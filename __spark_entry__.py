@@ -1,10 +1,11 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)  — flagship traversal on sf0.001 (smoke check).
+queries()     — one entry per implemented operator from SURVEY.md §2,
+                each (spark, sf_dir) -> DataFrame.
+oracle_sql()  — DuckDB-runnable ANSI SQL equivalent per query.
+
+Implementations live in nebula_storage_spark/workload.py.
 """
 
 from __future__ import annotations
@@ -13,26 +14,25 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from nebula_storage_spark.workload import build_oracles, build_queries
+from nebula_storage_spark.graph import tpch_graph
+from nebula_storage_spark.operators import get_neighbors
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: GetNeighbors traversal (customer -> placed orders) with
+    vertex + edge props and a filter, on sf0.001."""
+    g = tpch_graph(spark, "/root/testdata/sf0.001")
+    return get_neighbors(
+        g, list(range(100)), "placed",
+        vertex_tag="customer", vertex_props=["c_name", "c_mktsegment"],
+        edge_props=["o_totalprice", "o_orderstatus"],
+        edge_filter="o_totalprice > 1000")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return build_queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return build_oracles()

@@ -1,0 +1,67 @@
+#!/usr/bin/env python
+"""Benchmark headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": 0.1}
+
+The headliners are the scan/join/agg-shaped workloads where a columnar
+engine should match or beat the reference's single-node numbers
+(BASELINE.md: lookup scans, bulk ops, full scans — not µs point reads).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from nebula_storage_spark.session import get_spark
+from nebula_storage_spark.workload import build_queries
+
+HEADLINERS = [
+    "tpch_q1",            # full lineitem scan + agg (pricing summary)
+    "tpch_q3_top10",      # 3-way join + agg + top-k
+    "region_revenue",     # multi-hop traversal via broadcast joins
+    "go_stats",           # per-vertex edge stats (AggregateNode parity)
+    "go_limit",           # per-vertex top-k (WindowGroupLimit path)
+    "lookup_prefix",      # index-lookup semantics (pushed filters)
+    "scan_vertex",        # projection scan
+    "stats_task",         # space-wide counts (StatisTask parity)
+    "dedup_distinct",     # DeDupNode
+    "events_window",      # windowed event aggregation
+    "add_edges_overwrite",  # bulk mutate post-image
+    "ttl_visibility",     # TTL-filtered scan
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").split("sf")[-1]) if "sf" in sf_dir else -1.0
+    spark = get_spark("nebula-bench")
+    queries = build_queries()
+
+    # one warmup to exclude JVM/session startup from per-query numbers
+    queries["scan_vertex"](spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINERS:
+        t0 = time.perf_counter()
+        df = queries[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    print(json.dumps({
+        "metric": "headline_queries_total",
+        "value": round(sum(timings.values()), 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,11 @@
+from .go import get_neighbors, go_stats
+from .lookup import lookup
+from .scan import scan_edge, scan_vertex
+from .fetch import fetch_edges, fetch_vertices
+from .agg import stats_task
+from .dedup import dedup
+
+__all__ = [
+    "get_neighbors", "go_stats", "lookup", "scan_vertex", "scan_edge",
+    "fetch_vertices", "fetch_edges", "stats_task", "dedup",
+]

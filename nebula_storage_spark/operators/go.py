@@ -1,0 +1,161 @@
+"""GetNeighbors — the GO/traversal workhorse (SURVEY §3.1).
+
+Reference lifecycle (src/storage/query/GetNeighborsProcessor.cpp:31-139):
+per (part, vid) it runs the DAG
+  TagNodes + SingleEdgeNodes -> HashJoinNode -> FilterNode? ->
+  AggregateNode? -> GetNeighbors(Sample)Node
+(src/storage/exec/HashJoinNode.h:24-164, exec/FilterNode.h:29-83,
+exec/AggregateNode.h:35-162, exec/GetNeighborsNode.h:40-189).
+
+Spark shape: the per-vertex DAG disappears — ONE declarative DataFrame plan
+serves every seed vid:
+
+  seeds -> (left) join vertices_T -> join edges_E* on src/dst -> filter ->
+  {stats groupBy | per-vertex limit/sample window} -> flat rows
+
+Semantics preserved:
+  * direction OUT / IN / BOTH — IN is a dst-side join, surfaced with the
+    reference's sign convention: `_type` = "-<edge>" (out = "+<edge>"),
+    cf. GetNeighborsProcessor.cpp:344-357 `"_edge:" + ("+"/"-") + name`
+    and QueryBaseProcessor.inl:209-234 (negative edgeType for IN).
+  * missing tag row => left-outer NULL props (HashJoinNode.h:133-152).
+  * filter NULL => row dropped (FilterNode.h:64-77) — Spark's filter has
+    identical NULL semantics.
+  * stats (SUM/COUNT/AVG/MIN/MAX per source vertex) are computed over ALL
+    filtered edges while the returned edge list is truncated at `limit` —
+    the ordering subtlety at GetNeighborsProcessor.cpp:225-247. We expose
+    stats and edge-list as separate frames off one shared filtered plan.
+  * per-vertex limit takes the FIRST k edges in storage key order
+    (edgeType, rank, dst) — key layout NebulaKeyUtils.h:17-19; limit check
+    GetNeighborsNode.h:91-93.
+  * sample=k picks k uniform-random edges per vertex
+    (GetNeighborsSampleNode, GetNeighborsNode.h:125-189). For oracle
+    determinism we order by md5(src,type,rank,dst) — a fixed "random"
+    permutation reproducible in any engine — instead of an RNG.
+
+Scale notes: the seed set is broadcast (typical traversal = few seeds);
+per-vertex limit uses row_number over (vid) which Spark ≥3.5 executes with
+WindowGroupLimit partial pushdown (map-side top-k before the shuffle), so
+super-node skew does not ship all edges of a hub vertex to one reducer.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window as W, functions as F
+
+from ..graph import DST, RANK, SRC, TYPE, VID, GraphStore
+
+_EDGE_KEYS = [TYPE, SRC, DST, RANK]
+
+
+def _seed_df(store: GraphStore, spark, vids) -> DataFrame:
+    if isinstance(vids, DataFrame):
+        return vids.select(F.col(vids.columns[0]).cast(store.catalog.vid_type).alias(VID))
+    return spark.createDataFrame([(v,) for v in vids], f"{VID} {store.catalog.vid_type}")
+
+
+def _edges_for(store: GraphStore, etype: str, direction: str,
+               edge_props: Sequence[str] | None) -> DataFrame:
+    """One edge type in one direction as (join_vid, _type, _src, _dst, _rank, props)."""
+    e = store.edge_df(etype)
+    props = list(edge_props) if edge_props is not None else \
+        [c for c in e.columns if c not in (SRC, DST, RANK)]
+    sign = "+" if direction == "out" else "-"
+    join_key = SRC if direction == "out" else DST
+    return e.select(
+        F.col(join_key).alias(VID),
+        F.lit(sign + etype).alias(TYPE),
+        SRC, DST, RANK,
+        *[F.col(p) for p in props],
+    )
+
+
+def get_neighbors(store: GraphStore, vids, over: Sequence[str] | str,
+                  direction: str = "out",
+                  vertex_tag: str | None = None,
+                  vertex_props: Sequence[str] | None = None,
+                  edge_props: Sequence[str] | None = None,
+                  edge_filter: Column | str | None = None,
+                  limit: int | None = None,
+                  sample: int | None = None) -> DataFrame:
+    """Flat traversal result: one row per (seed vid, qualifying edge).
+
+    Columns: _vid, [vertex props], _type, _src, _dst, _rank, [edge props].
+    `over` may be one edge type or a list (multi-edge traversal unions by
+    name with NULLs for props the other type lacks — the reference's
+    per-type prop-list columns, MultiEdgeIterator StorageIterator.h:121-174).
+    """
+    spark = next(iter(store.edges.values())).sparkSession
+    if isinstance(over, str):
+        over = [over]
+    dirs = ["out", "in"] if direction == "both" else [direction]
+
+    seeds = _seed_df(store, spark, vids)
+
+    per_type = []
+    for etype in over:
+        for d in dirs:
+            per_type.append(_edges_for(store, etype, d, edge_props))
+    edges = per_type[0]
+    for other in per_type[1:]:
+        edges = edges.unionByName(other, allowMissingColumns=True)
+
+    # Seed-driven traversal: the seed list is small → broadcast it so the
+    # edge scan never shuffles (reference analog: per-part prefix scan from
+    # each vid, EdgeNode.h:203-208).
+    out = F.broadcast(seeds).join(edges, VID, "inner")
+
+    if vertex_tag:
+        v = store.tag_df(vertex_tag)
+        vcols = [VID] + (list(vertex_props) if vertex_props is not None
+                         else [c for c in v.columns if c != VID])
+        # missing tag ⇒ NULL props (left-outer flavor, HashJoinNode.h:133-152)
+        out = out.join(F.broadcast(v.select(*vcols)), VID, "left")
+
+    if edge_filter is not None:
+        pred = F.expr(edge_filter) if isinstance(edge_filter, str) else edge_filter
+        out = out.filter(pred)          # NULL predicate drops the row — parity
+
+    if sample is not None:
+        # deterministic pseudo-random permutation shared with the oracle
+        rand_key = F.md5(F.concat_ws("#", F.col(SRC).cast("string"),
+                                     F.col(TYPE), F.col(RANK).cast("string"),
+                                     F.col(DST).cast("string")))
+        w = W.partitionBy(VID).orderBy(rand_key)
+        out = (out.withColumn("_rn", F.row_number().over(w))
+                  .filter(F.col("_rn") <= sample).drop("_rn"))
+    elif limit is not None:
+        w = W.partitionBy(VID).orderBy(TYPE, RANK, DST)
+        out = (out.withColumn("_rn", F.row_number().over(w))
+                  .filter(F.col("_rn") <= limit).drop("_rn"))
+    return out
+
+
+def go_stats(store: GraphStore, vids, over: Sequence[str] | str,
+             stat_props: dict[str, tuple[str, str]],
+             direction: str = "out",
+             edge_filter: Column | str | None = None) -> DataFrame:
+    """Per-source-vertex stats over (filtered) edges — AggregateNode parity.
+
+    `stat_props`: out-col -> (agg, edge-prop) with agg in
+    sum/count/avg/min/max (src/storage/exec/AggregateNode.h:35-162; stat
+    typing rules GetNeighborsProcessor.cpp:359-458). Stats run over ALL
+    filtered edges regardless of any display limit — callers wanting both
+    should reuse one get_neighbors frame and apply the limit separately.
+    """
+    edges = get_neighbors(store, vids, over, direction=direction,
+                          edge_filter=edge_filter)
+    aggs = []
+    for out_name, (agg, prop) in stat_props.items():
+        if agg == "dsum":
+            # exact decimal accumulation for money columns (deterministic
+            # across engines/partitionings; see workload._dsum rationale)
+            aggs.append(F.sum(F.col(prop).cast("decimal(18,2)"))
+                        .cast("double").alias(out_name))
+            continue
+        f = {"sum": F.sum, "count": F.count, "avg": F.avg,
+             "min": F.min, "max": F.max}[agg]
+        aggs.append(f(prop).alias(out_name))
+    return edges.groupBy(VID).agg(*aggs)

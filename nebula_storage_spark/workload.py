@@ -1,0 +1,532 @@
+"""Driver-facing workload: every implemented operator as a (spark, sf_dir)
+query plus its DuckDB oracle SQL.
+
+This is the correctness surface for SURVEY.md §2 — each entry exercises one
+operator of the engine over the TPC-H-as-property-graph view (graph.py)
+so the driver can hash-compare Spark vs DuckDB on the same parquet files.
+
+Determinism rules used throughout:
+  * aggregates over doubles are round()ed identically on both sides
+    (engine-order-independent to 2-4 dp);
+  * "random" sampling uses an md5-keyed permutation both engines compute
+    identically (see operators/go.py);
+  * any LIMIT is preceded by a total order on a unique key.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from .graph import (DST, RANK, SRC, TYPE, VID, GraphStore, load_events,
+                    load_tables, tpch_graph)
+from .catalog import Catalog, FieldDef, TagDef
+from .operators import (dedup, fetch_edges, fetch_vertices, get_neighbors,
+                        go_stats, lookup, scan_edge, scan_vertex, stats_task)
+from .operators.lookup import Hint
+from .mutate import add_edges, add_vertices, delete_edges, delete_vertices, upsert
+
+Query = Callable[[SparkSession, str], DataFrame]
+
+# fixed TTL clock for deterministic visibility tests: 2024-01-20T00:00:00Z
+TTL_NOW = 1705708800
+TTL_DURATION = 15 * 86400
+
+
+def _seeds(spark: SparkSession, n: int) -> DataFrame:
+    """Seed vid set [0, n) built JVM-side (spark.range) — no Python
+    serialization, broadcast-friendly."""
+    return spark.range(0, n).select(F.col("id").alias(VID))
+
+
+def _dsum(col: str):
+    """Order-independent exact sum of a 2-dp money column: accumulate in
+    DECIMAL (exact), surface as rounded double. Double summation order
+    differs between engines ⇒ last-bit drift ⇒ rounding-boundary flakes;
+    decimal accumulation is exact in both Spark and DuckDB."""
+    return F.sum(F.col(col).cast("decimal(18,2)")).cast("double")
+
+
+# money revenue term: exact decimal product extendedprice * (1 - discount)
+_REV = ("CAST(l_extendedprice AS DECIMAL(18,2)) * "
+        "(1 - CAST(l_discount AS DECIMAL(18,2)))")
+
+
+# ---------------------------------------------------------------------------
+# traversal (GetNeighbors) — SURVEY §2 rows 1-5, 10-13, 16, 19-21; §3.1
+# ---------------------------------------------------------------------------
+
+def q_go_out_props(spark, sf_dir):
+    g = tpch_graph(spark, sf_dir)
+    return get_neighbors(g, _seeds(spark, 50), "placed",
+                         edge_props=["o_totalprice", "o_orderstatus"])
+
+
+def q_go_in_edges(spark, sf_dir):
+    g = tpch_graph(spark, sf_dir)
+    return get_neighbors(g, _seeds(spark, 20), "contains", direction="in",
+                         edge_props=["l_quantity", "l_extendedprice"])
+
+
+def q_go_both(spark, sf_dir):
+    g = tpch_graph(spark, sf_dir)
+    return get_neighbors(g, _seeds(spark, 10), "placed", direction="both",
+                         edge_props=["o_totalprice"])
+
+
+def q_go_filter(spark, sf_dir):
+    g = tpch_graph(spark, sf_dir)
+    return get_neighbors(
+        g, _seeds(spark, 200), "placed",
+        edge_props=["o_totalprice", "o_orderstatus"],
+        edge_filter="o_totalprice > 150000 AND o_orderstatus = 'O'")
+
+
+def q_go_vertex_props(spark, sf_dir):
+    g = tpch_graph(spark, sf_dir)
+    return get_neighbors(g, _seeds(spark, 100), "placed",
+                         vertex_tag="customer",
+                         vertex_props=["c_name", "c_mktsegment"],
+                         edge_props=["o_totalprice"])
+
+
+def q_go_stats(spark, sf_dir):
+    g = tpch_graph(spark, sf_dir)
+    s = go_stats(g, _seeds(spark, 300), "placed",
+                 {"cnt": ("count", "o_totalprice"),
+                  "sum_price": ("dsum", "o_totalprice"),
+                  "min_price": ("min", "o_totalprice"),
+                  "max_price": ("max", "o_totalprice")})
+    # avg via exact integer cents + truncating division: engines disagree on
+    # round() of half-boundary doubles (sum/cnt can land exactly on x.xx5),
+    # integer arithmetic cannot drift.
+    return s.select(VID, "cnt",
+                    F.round("sum_price", 2).alias("sum_price"),
+                    (F.expr("CAST(round(sum_price * 100, 0) AS BIGINT) DIV cnt")
+                     .cast("double") / 100).alias("avg_price"),
+                    "min_price", "max_price")
+
+
+def q_go_limit(spark, sf_dir):
+    g = tpch_graph(spark, sf_dir)
+    return get_neighbors(g, _seeds(spark, 500), "placed",
+                         edge_props=["o_totalprice"], limit=3)
+
+
+def q_go_sample(spark, sf_dir):
+    g = tpch_graph(spark, sf_dir)
+    return get_neighbors(g, _seeds(spark, 500), "placed",
+                         edge_props=["o_totalprice"], sample=2)
+
+
+_GO_COLS = ("o_custkey AS _vid, '+placed' AS _type, o_custkey AS _src, "
+            "o_orderkey AS _dst, CAST(0 AS BIGINT) AS _rank")
+
+ORACLE_GO = {
+    "go_out_props":
+        f"SELECT {_GO_COLS}, o_totalprice, o_orderstatus "
+        "FROM orders WHERE o_custkey < 50",
+    "go_in_edges":
+        "SELECT l_partkey AS _vid, '-contains' AS _type, l_orderkey AS _src, "
+        "l_partkey AS _dst, CAST(l_linenumber AS BIGINT) AS _rank, "
+        "l_quantity, l_extendedprice FROM lineitem WHERE l_partkey < 20",
+    "go_both":
+        f"SELECT {_GO_COLS}, o_totalprice FROM orders WHERE o_custkey < 10 "
+        "UNION ALL "
+        "SELECT o_orderkey, '-placed', o_custkey, o_orderkey, CAST(0 AS BIGINT), "
+        "o_totalprice FROM orders WHERE o_orderkey < 10",
+    "go_filter":
+        f"SELECT {_GO_COLS}, o_totalprice, o_orderstatus FROM orders "
+        "WHERE o_custkey < 200 AND o_totalprice > 150000 AND o_orderstatus = 'O'",
+    "go_vertex_props":
+        "SELECT o_custkey AS _vid, c_name, c_mktsegment, '+placed' AS _type, "
+        "o_custkey AS _src, o_orderkey AS _dst, CAST(0 AS BIGINT) AS _rank, "
+        "o_totalprice FROM orders JOIN customer ON c_custkey = o_custkey "
+        "WHERE o_custkey < 100",
+    "go_stats":
+        "SELECT o_custkey AS _vid, count(o_totalprice) AS cnt, "
+        "round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) "
+        "AS sum_price, "
+        "CAST(CAST(round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) "
+        "* 100, 0) AS BIGINT) // count(o_totalprice) AS DOUBLE) / 100 AS avg_price, "
+        "min(o_totalprice) AS min_price, max(o_totalprice) AS max_price "
+        "FROM orders WHERE o_custkey < 300 GROUP BY o_custkey",
+    "go_limit":
+        f"SELECT * FROM (SELECT {_GO_COLS}, o_totalprice FROM orders "
+        "WHERE o_custkey < 500) "
+        "QUALIFY row_number() OVER (PARTITION BY _vid ORDER BY _dst) <= 3",
+    "go_sample":
+        f"SELECT * FROM (SELECT {_GO_COLS}, o_totalprice FROM orders "
+        "WHERE o_custkey < 500) "
+        "QUALIFY row_number() OVER (PARTITION BY _vid ORDER BY "
+        "md5(concat_ws('#', CAST(_src AS VARCHAR), _type, "
+        "CAST(_rank AS VARCHAR), CAST(_dst AS VARCHAR)))) <= 2",
+}
+
+
+# ---------------------------------------------------------------------------
+# lookup / scan / fetch — SURVEY §2 rows 7-8, 22-25; §3.2
+# ---------------------------------------------------------------------------
+
+def q_lookup_prefix(spark, sf_dir):
+    g = tpch_graph(spark, sf_dir)
+    return lookup(g.tag_df("part"), [Hint.prefix("p_brand", "Brand#12")],
+                  yield_cols=[VID, "p_name", "p_size"], dedup_cols=[VID])
+
+
+def q_lookup_range(spark, sf_dir):
+    g = tpch_graph(spark, sf_dir)
+    return lookup(g.tag_df("part"),
+                  [Hint.prefix("p_brand", "Brand#21"),
+                   Hint.range("p_size", 10, 30)],
+                  yield_cols=[VID, "p_name", "p_size"], dedup_cols=[VID])
+
+
+def q_lookup_residual(spark, sf_dir):
+    g = tpch_graph(spark, sf_dir)
+    return lookup(g.tag_df("part"), [Hint.range("p_size", 5, 40)],
+                  residual="p_name LIKE '%red%' AND p_retailprice > 500",
+                  yield_cols=[VID, "p_name", "p_size", "p_retailprice"],
+                  dedup_cols=[VID])
+
+
+def q_scan_vertex(spark, sf_dir):
+    g = tpch_graph(spark, sf_dir)
+    return scan_vertex(g, "customer", props=["c_name", "c_acctbal"])
+
+
+def q_scan_edge_limit(spark, sf_dir):
+    g = tpch_graph(spark, sf_dir)
+    return scan_edge(g, "contains", props=["l_quantity"], limit=100)
+
+
+def q_fetch_vertices(spark, sf_dir):
+    g = tpch_graph(spark, sf_dir)
+    return fetch_vertices(g, "customer", [1, 5, 7, 11, 4000000])
+
+
+def q_fetch_edges(spark, sf_dir):
+    g = tpch_graph(spark, sf_dir)
+    keys = scan_edge(g, "contains", props=[], limit=5).select(SRC, DST, RANK)
+    return fetch_edges(g, "contains", keys, props=["l_quantity", "l_returnflag"])
+
+
+ORACLE_LOOKUP = {
+    "lookup_prefix":
+        "SELECT DISTINCT p_partkey AS _vid, p_name, p_size FROM part "
+        "WHERE p_brand = 'Brand#12'",
+    "lookup_range":
+        "SELECT DISTINCT p_partkey AS _vid, p_name, p_size FROM part "
+        "WHERE p_brand = 'Brand#21' AND p_size >= 10 AND p_size < 30",
+    "lookup_residual":
+        "SELECT DISTINCT p_partkey AS _vid, p_name, p_size, p_retailprice "
+        "FROM part WHERE p_size >= 5 AND p_size < 40 "
+        "AND p_name LIKE '%red%' AND p_retailprice > 500",
+    "scan_vertex":
+        "SELECT c_custkey AS _vid, c_name, c_acctbal FROM customer",
+    "scan_edge_limit":
+        "SELECT l_orderkey AS _src, l_partkey AS _dst, "
+        "CAST(l_linenumber AS BIGINT) AS _rank, l_quantity FROM lineitem "
+        "ORDER BY _src, _rank, _dst LIMIT 100",
+    "fetch_vertices":
+        "SELECT c_custkey AS _vid, c_name, c_nationkey, c_acctbal, "
+        "c_mktsegment FROM customer WHERE c_custkey IN (1, 5, 7, 11, 4000000)",
+    "fetch_edges":
+        "WITH k AS (SELECT l_orderkey, l_partkey, l_linenumber FROM lineitem "
+        "ORDER BY l_orderkey, l_linenumber, l_partkey LIMIT 5) "
+        "SELECT l.l_orderkey AS _src, l.l_partkey AS _dst, "
+        "CAST(l.l_linenumber AS BIGINT) AS _rank, l.l_quantity, l.l_returnflag "
+        "FROM lineitem l SEMI JOIN k ON l.l_orderkey = k.l_orderkey "
+        "AND l.l_partkey = k.l_partkey AND l.l_linenumber = k.l_linenumber",
+}
+
+
+# ---------------------------------------------------------------------------
+# aggregates / dedup / admin — SURVEY §2 rows 17-18
+# ---------------------------------------------------------------------------
+
+def q_stats_task(spark, sf_dir):
+    g = tpch_graph(spark, sf_dir)
+    return stats_task(g)
+
+
+def q_dedup_distinct(spark, sf_dir):
+    g = tpch_graph(spark, sf_dir)
+    return dedup(g.edge_df("contains").select("l_returnflag", "l_linestatus"))
+
+
+_STATS_BRANCHES = [
+    ("tag", "customer", "customer"), ("tag", "nation", "nation"),
+    ("tag", "order", "orders"), ("tag", "part", "part"),
+    ("tag", "region", "region"), ("tag", "supplier", "supplier"),
+    ("edge", "contains", "lineitem"), ("edge", "cust_nation", "customer"),
+    ("edge", "nation_region", "nation"), ("edge", "placed", "orders"),
+    ("edge", "supp_nation", "supplier"), ("edge", "supplied_by", "lineitem"),
+]
+
+ORACLE_AGG = {
+    "stats_task": " UNION ALL ".join(
+        f"SELECT '{k}' AS kind, '{n}' AS name, count(*) AS cnt FROM {t}"
+        for k, n, t in _STATS_BRANCHES),
+    "dedup_distinct":
+        "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+}
+
+
+# ---------------------------------------------------------------------------
+# mutations (post-image queries) — SURVEY §2 rows 27-31; §3.3
+# ---------------------------------------------------------------------------
+
+def q_add_vertices_ifnotexists(spark, sf_dir):
+    g = tpch_graph(spark, sf_dir)
+    existing = g.vertices["customer"]
+    clobber = (existing.filter(F.col(VID) < 50)
+               .select(VID, F.lit("CLOBBER").alias("c_name")))
+    new = (existing.filter(F.col(VID) < 50)
+           .select((F.col(VID) + 1000000).alias(VID), F.lit("NEW").alias("c_name")))
+    post = add_vertices(existing, clobber.unionByName(new), if_not_exists=True)
+    return post.select(VID, "c_name")
+
+
+def q_add_edges_overwrite(spark, sf_dir):
+    g = tpch_graph(spark, sf_dir)
+    existing = g.edges["placed"]
+    batch = (existing.filter(F.col(SRC) < 20)
+             .select(SRC, DST, RANK, F.lit(-1.0).alias("o_totalprice")))
+    post = add_edges(existing, batch, if_not_exists=False)
+    return post.select(SRC, DST, RANK, "o_totalprice")
+
+
+def q_upsert_update_cond(spark, sf_dir):
+    g = tpch_graph(spark, sf_dir)
+    table = g.vertices["customer"]
+    batch = (table.filter(F.col(VID) < 100).select(VID)
+             .unionByName(spark.createDataFrame([(9999999,)], f"{VID} bigint")))
+    post = upsert(table, batch, [VID],
+                  {"c_acctbal": "t.c_acctbal + 100"},
+                  condition="t.c_acctbal < 1000", insertable=False)
+    return post.select(VID, "c_name", F.round("c_acctbal", 2).alias("c_acctbal"))
+
+
+def q_upsert_insert(spark, sf_dir):
+    g = tpch_graph(spark, sf_dir)
+    table = g.vertices["supplier"]
+    batch = spark.createDataFrame([(0,), (1,), (100,), (101,)], f"{VID} bigint")
+    post = upsert(table, batch, [VID],
+                  {"s_acctbal": "coalesce(t.s_acctbal, 0) + 50"},
+                  insertable=True, schema=g.catalog.tags["supplier"])
+    return post.select(VID, "s_name", F.round("s_acctbal", 2).alias("s_acctbal"))
+
+
+def q_delete_vertices_cascade(spark, sf_dir):
+    g = tpch_graph(spark, sf_dir)
+    g2 = delete_vertices(g, _seeds(spark, 50))
+    return (g2.edges["placed"].filter(F.col(SRC) < 100)
+            .select(SRC, DST, RANK))
+
+
+def q_delete_edges(spark, sf_dir):
+    g = tpch_graph(spark, sf_dir)
+    keys = g.edges["contains"].filter(F.col(SRC) < 10).select(SRC, DST, RANK)
+    post = delete_edges(g.edges["contains"], keys)
+    return post.filter(F.col(SRC) < 30).select(SRC, DST, RANK)
+
+
+ORACLE_MUTATE = {
+    "add_vertices_ifnotexists":
+        "SELECT c_custkey AS _vid, c_name FROM customer UNION ALL "
+        "SELECT c_custkey + 1000000, 'NEW' FROM customer WHERE c_custkey < 50",
+    "add_edges_overwrite":
+        "SELECT o_custkey AS _src, o_orderkey AS _dst, CAST(0 AS BIGINT) AS _rank, "
+        "CASE WHEN o_custkey < 20 THEN -1.0 ELSE o_totalprice END AS o_totalprice "
+        "FROM orders",
+    "upsert_update_cond":
+        "SELECT c_custkey AS _vid, c_name, "
+        "round(CASE WHEN c_custkey < 100 AND c_acctbal < 1000 "
+        "THEN c_acctbal + 100 ELSE c_acctbal END, 2) AS c_acctbal FROM customer",
+    "upsert_insert":
+        "SELECT s_suppkey AS _vid, s_name, round(CASE WHEN s_suppkey IN (0, 1) "
+        "THEN s_acctbal + 50 ELSE s_acctbal END, 2) AS s_acctbal FROM supplier "
+        "UNION ALL SELECT CAST(x AS BIGINT), NULL, 50.0 "
+        "FROM (VALUES (100), (101)) t(x)",
+    "delete_vertices_cascade":
+        "SELECT o_custkey AS _src, o_orderkey AS _dst, CAST(0 AS BIGINT) AS _rank "
+        "FROM orders WHERE o_custkey >= 50 AND o_orderkey >= 50 AND o_custkey < 100",
+    "delete_edges":
+        "SELECT l_orderkey AS _src, l_partkey AS _dst, "
+        "CAST(l_linenumber AS BIGINT) AS _rank FROM lineitem "
+        "WHERE l_orderkey >= 10 AND l_orderkey < 30",
+}
+
+
+# ---------------------------------------------------------------------------
+# TTL visibility — SURVEY §2 rows 32-33
+# ---------------------------------------------------------------------------
+
+def _events_store(spark, sf_dir) -> GraphStore:
+    ev = load_events(spark, sf_dir)
+    cat = Catalog(vid_type="bigint")
+    cat.add_tag(TagDef("event", (
+        FieldDef("ts_epoch", "bigint"), FieldDef("event_type", "string"),
+        FieldDef("value", "double")),
+        ttl_col="ts_epoch", ttl_duration=TTL_DURATION))
+    g = GraphStore(catalog=cat, now=TTL_NOW)
+    g.add_vertices_df("event", ev.select(
+        ev.event_id.cast("bigint").alias(VID), "ts_epoch", "event_type", "value"))
+    return g
+
+
+def q_ttl_visibility(spark, sf_dir):
+    g = _events_store(spark, sf_dir)
+    return scan_vertex(g, "event")
+
+
+ORACLE_TTL = {
+    "ttl_visibility":
+        "SELECT event_id AS _vid, CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch, "
+        "event_type, value FROM events "
+        f"WHERE floor(epoch(ts)) + {TTL_DURATION} > {TTL_NOW}",
+}
+
+
+# ---------------------------------------------------------------------------
+# analytic pipelines (multi-hop traversals = TPC-H-shaped joins) — the
+# "would a reference user's workload run here" proof + bench headliners
+# ---------------------------------------------------------------------------
+
+def q_tpch_q1(spark, sf_dir):
+    g = tpch_graph(spark, sf_dir)
+    li = g.edge_df("contains")
+    return (li.filter(F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.round(_dsum("l_quantity"), 2).alias("sum_qty"),
+                 F.round(_dsum("l_extendedprice"), 2).alias("sum_base"),
+                 F.round(F.sum(F.expr(_REV)).cast("double"), 2).alias("sum_disc"),
+                 F.count(F.lit(1)).alias("cnt"))
+            .withColumn("avg_qty",
+                        F.expr("CAST((CAST(round(sum_qty * 100, 0) AS BIGINT) * 100) "
+                               "DIV cnt AS DOUBLE) / 10000"))
+            .select("l_returnflag", "l_linestatus", "sum_qty", "sum_base",
+                    "sum_disc", "avg_qty", "cnt"))
+
+
+def q_tpch_q3_top10(spark, sf_dir):
+    g = tpch_graph(spark, sf_dir)
+    cust = g.tag_df("customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = g.edge_df("placed").filter(
+        F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp"))
+    li = g.edge_df("contains").filter(
+        F.col("l_shipdate") > F.lit("1999-01-01").cast("timestamp"))
+    joined = (orders.join(F.broadcast(cust.select(F.col(VID).alias(SRC))), SRC)
+              .select(F.col(DST).alias("o_orderkey"), "o_orderdate")
+              .join(li.withColumnRenamed(SRC, "o_orderkey"), "o_orderkey"))
+    rev = (joined.groupBy("o_orderkey", "o_orderdate")
+           .agg(F.round(F.sum(F.expr(_REV)).cast("double"), 2).alias("revenue")))
+    return (rev.orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+            .limit(10).select("o_orderkey", "revenue", "o_orderdate"))
+
+
+def q_region_revenue(spark, sf_dir):
+    """customer -> nation -> region rollup of lineitem revenue: a 3-hop
+    traversal expressed as broadcast joins over the graph frames."""
+    g = tpch_graph(spark, sf_dir)
+    cn = g.edge_df("cust_nation").select(F.col(SRC).alias("custkey"),
+                                         F.col(DST).alias("nationkey"))
+    nr = g.edge_df("nation_region").select(F.col(SRC).alias("nationkey"),
+                                           F.col(DST).alias("regionkey"))
+    region = g.tag_df("region").select(F.col(VID).alias("regionkey"), "r_name")
+    orders = g.edge_df("placed").select(F.col(SRC).alias("custkey"),
+                                        F.col(DST).alias("orderkey"))
+    li = g.edge_df("contains").select(F.col(SRC).alias("orderkey"),
+                                      "l_extendedprice", "l_discount")
+    df = (li.join(orders, "orderkey")
+          .join(F.broadcast(cn), "custkey")
+          .join(F.broadcast(nr), "nationkey")
+          .join(F.broadcast(region), "regionkey"))
+    return (df.groupBy("r_name")
+            .agg(F.round(F.sum(F.expr(_REV)).cast("double"), 2).alias("revenue")))
+
+
+def q_events_window(spark, sf_dir):
+    ev = load_events(spark, sf_dir)
+    return (ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour"),
+                       "event_type")
+            .agg(F.count(F.lit(1)).alias("cnt"),
+                 F.round(_dsum("value"), 2).alias("sum_value")))
+
+
+ORACLE_ANALYTIC = {
+    "tpch_q1":
+        "SELECT l_returnflag, l_linestatus, "
+        "round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty, "
+        "round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_base, "
+        f"round(CAST(sum({_REV}) AS DOUBLE), 2) AS sum_disc, "
+        "CAST((CAST(round(round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) "
+        "AS DOUBLE), 2) * 100, 0) AS BIGINT) * 100) // count(*) AS DOUBLE) / 10000 "
+        "AS avg_qty, count(*) AS cnt FROM lineitem "
+        "WHERE l_shipdate <= TIMESTAMP '2000-09-02' "
+        "GROUP BY l_returnflag, l_linestatus",
+    "tpch_q3_top10":
+        f"SELECT o_orderkey, round(CAST(sum({_REV}) AS DOUBLE), 2) "
+        "AS revenue, o_orderdate FROM customer "
+        "JOIN orders ON c_custkey = o_custkey "
+        "JOIN lineitem ON l_orderkey = o_orderkey "
+        "WHERE c_mktsegment = 'BUILDING' "
+        "AND o_orderdate < TIMESTAMP '1999-01-01' "
+        "AND l_shipdate > TIMESTAMP '1999-01-01' "
+        "GROUP BY o_orderkey, o_orderdate "
+        "ORDER BY revenue DESC, o_orderkey LIMIT 10",
+    "region_revenue":
+        f"SELECT r_name, round(CAST(sum({_REV}) AS DOUBLE), 2) "
+        "AS revenue FROM lineitem "
+        "JOIN orders ON l_orderkey = o_orderkey "
+        "JOIN customer ON o_custkey = c_custkey "
+        "JOIN nation ON c_nationkey = n_nationkey "
+        "JOIN region ON n_regionkey = r_regionkey GROUP BY r_name",
+    "events_window":
+        "SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS cnt, "
+        "round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value "
+        "FROM events GROUP BY date_trunc('hour', ts), event_type",
+}
+
+
+def build_queries() -> dict[str, Query]:
+    return {
+        "go_out_props": q_go_out_props,
+        "go_in_edges": q_go_in_edges,
+        "go_both": q_go_both,
+        "go_filter": q_go_filter,
+        "go_vertex_props": q_go_vertex_props,
+        "go_stats": q_go_stats,
+        "go_limit": q_go_limit,
+        "go_sample": q_go_sample,
+        "lookup_prefix": q_lookup_prefix,
+        "lookup_range": q_lookup_range,
+        "lookup_residual": q_lookup_residual,
+        "scan_vertex": q_scan_vertex,
+        "scan_edge_limit": q_scan_edge_limit,
+        "fetch_vertices": q_fetch_vertices,
+        "fetch_edges": q_fetch_edges,
+        "stats_task": q_stats_task,
+        "dedup_distinct": q_dedup_distinct,
+        "add_vertices_ifnotexists": q_add_vertices_ifnotexists,
+        "add_edges_overwrite": q_add_edges_overwrite,
+        "upsert_update_cond": q_upsert_update_cond,
+        "upsert_insert": q_upsert_insert,
+        "delete_vertices_cascade": q_delete_vertices_cascade,
+        "delete_edges": q_delete_edges,
+        "ttl_visibility": q_ttl_visibility,
+        "tpch_q1": q_tpch_q1,
+        "tpch_q3_top10": q_tpch_q3_top10,
+        "region_revenue": q_region_revenue,
+        "events_window": q_events_window,
+    }
+
+
+def build_oracles() -> dict[str, str]:
+    out: dict[str, str] = {}
+    for d in (ORACLE_GO, ORACLE_LOOKUP, ORACLE_AGG, ORACLE_MUTATE,
+              ORACLE_TTL, ORACLE_ANALYTIC):
+        out.update(d)
+    return out
