@@ -1,0 +1,184 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Reference analog: the engine's DeDupNode (src/storage/exec/DeDupNode.h:19-58)
+is exact-key distinct; a training-data pipeline additionally needs *near*-
+duplicate detection. All four families below are expressed with built-in
+DataFrame ops (explode / groupBy / join / higher-order functions) — the
+whole pipeline is JVM-side and shuffle-parallel.
+
+Determinism: hashes are md5 hex strings (identical in any engine);
+similarity scores are x10000 integers via integer division.
+
+Scale notes (100 TB posture):
+  * exact_dedup — one hash-shuffle on the content hash; map-side partial
+    via dropDuplicates-style first-win per partition is automatic.
+  * candidate generation NEVER does the O(n²) cross join: n-gram Jaccard
+    joins an inverted (shingle → doc) index; MinHash-LSH joins on band
+    signatures. Both shuffle O(n·shingles) rows, not O(n²).
+  * verification (exact Jaccard) runs only on candidate pairs.
+  * super-common shingles (stop-shingles) would skew the inverted-index
+    join at scale — `max_shingle_freq` drops them (textbook LSH trick,
+    also kills the quadratic blowup of boilerplate text).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W, functions as F
+
+from .text import tokenize
+
+
+def exact_dedup(docs: DataFrame, key_cols: list[str] | None = None,
+                id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact dedup: keep the lowest-id document per identical content.
+
+    Content identity = md5 of the key columns (default: the text itself).
+    One shuffle on the 16-byte hash, never on the full text.
+    """
+    key = F.md5(F.concat_ws("\x1f", *(key_cols or [text_col])))
+    w = W.partitionBy(key).orderBy(id_col)
+    return (docs.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1).drop("_rn"))
+
+
+def doc_shingles(docs: DataFrame, n: int = 3, id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """(id, shingles) with shingles = distinct word n-grams. Documents with
+    fewer than n tokens are dropped (no shingle support)."""
+    toks = tokenize(text_col)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size("__toks") - (n - 1)),
+        lambda i: F.concat_ws(" ", *[F.element_at(F.col("__toks"), i + k)
+                                     for k in range(n)]))
+    return (docs.select(id_col, toks.alias("__toks"))
+            .filter(F.size("__toks") >= n)
+            .select(id_col, F.array_distinct(grams).alias("shingles")))
+
+
+# exact Jaccard as an x10000 integer — integer DIV keeps it engine-portable
+_JACCARD_X10000 = ("(CAST(size(array_intersect(sa, sb)) AS BIGINT) * 10000) DIV "
+                   "size(array_distinct(concat(sa, sb)))")
+
+
+def ngram_jaccard_pairs(docs: DataFrame, n: int = 3,
+                        threshold_x10000: int = 5000,
+                        max_shingle_freq: int | None = None,
+                        id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """Near-duplicate pairs by exact word-n-gram Jaccard.
+
+    Candidates = pairs sharing ≥1 shingle (inverted-index self-join — no
+    cross join); verify = exact Jaccard ≥ threshold. Output
+    (id_a, id_b, jaccard_x10000) with id_a < id_b.
+    """
+    sh = doc_shingles(docs, n=n, id_col=id_col, text_col=text_col)
+    inv = sh.select(F.col(id_col).alias("_id"), F.explode("shingles").alias("g"))
+    if max_shingle_freq is not None:
+        freq = inv.groupBy("g").agg(F.count(F.lit(1)).alias("_f"))
+        inv = (inv.join(freq.filter(F.col("_f") <= max_shingle_freq), "g")
+               .drop("_f"))
+    cand = (inv.alias("a").join(inv.alias("b"), "g")
+            .filter(F.col("a._id") < F.col("b._id"))
+            .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+            .distinct())
+    av = sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sa"))
+    bv = sh.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sb"))
+    jx = F.expr(_JACCARD_X10000)
+    return (cand.join(av, "id_a").join(bv, "id_b")
+            .select("id_a", "id_b", jx.alias("jaccard_x10000"))
+            .filter(F.col("jaccard_x10000") >= threshold_x10000))
+
+
+def minhash_signature(sh: DataFrame, num_hashes: int = 12,
+                      id_col: str = "doc_id") -> DataFrame:
+    """MinHash signature: column m{i} = min over shingles of
+    md5('<i>#' || shingle). min over hex strings = min over a fixed random
+    permutation of the shingle universe — the classic MinHash estimator,
+    engine-portable because md5 and string-min are universal."""
+    ex = sh.select(id_col, F.explode("shingles").alias("g"))
+    aggs = [F.min(F.md5(F.concat_ws("#", F.lit(str(i)), F.col("g")))).alias(f"m{i}")
+            for i in range(num_hashes)]
+    return ex.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(sig: DataFrame, bands: int = 4, rows: int = 3,
+                        id_col: str = "doc_id") -> DataFrame:
+    """LSH banding: hash each band of `rows` signature slots; a pair is a
+    candidate iff some band matches. Join is on (band_idx, band_hash) —
+    O(n) shuffle, never O(n²)."""
+    band_cols = [
+        F.md5(F.concat_ws("", *[F.col(f"m{b * rows + r}") for r in range(rows)]))
+        .alias(f"b{b}")
+        for b in range(bands)]
+    banded = sig.select(id_col, F.posexplode(F.array(*band_cols))
+                        .alias("band_idx", "band"))
+    a, b = banded.alias("a"), banded.alias("b")
+    return (a.join(b, ["band_idx", "band"])
+            .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            .select(F.col(f"a.{id_col}").alias("id_a"),
+                    F.col(f"b.{id_col}").alias("id_b"))
+            .distinct())
+
+
+def minhash_lsh_pairs(docs: DataFrame, n: int = 3, num_hashes: int = 12,
+                      bands: int = 4, rows: int = 3,
+                      threshold_x10000: int = 5000,
+                      id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: shingle → signature → band →
+    candidate join → exact-Jaccard verify. Output
+    (id_a, id_b, jaccard_x10000)."""
+    sh = doc_shingles(docs, n=n, id_col=id_col, text_col=text_col)
+    sig = minhash_signature(sh, num_hashes=num_hashes, id_col=id_col)
+    cand = lsh_candidate_pairs(sig, bands=bands, rows=rows, id_col=id_col)
+    av = sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sa"))
+    bv = sh.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sb"))
+    jx = F.expr(_JACCARD_X10000)
+    return (cand.join(av, "id_a").join(bv, "id_b")
+            .select("id_a", "id_b", jx.alias("jaccard_x10000"))
+            .filter(F.col("jaccard_x10000") >= threshold_x10000))
+
+
+def simhash(docs: DataFrame, bits: int = 48, id_col: str = "doc_id",
+            text_col: str = "text") -> DataFrame:
+    """SimHash fingerprint: for each bit position, sum ±1 votes from every
+    token occurrence's md5 (bit j of hex digit k), take the sign. Output
+    (id, simhash) with simhash an integer of `bits` bits (≤ 56 to stay in
+    positive int64; production would use 64-bit via two 32-bit halves).
+
+    Hot path: explode tokens → one md5 per token → `bits` conditional-sum
+    aggregates → integer assembly. All JVM-side, one shuffle on id.
+    """
+    assert bits % 4 == 0 and bits <= 56
+    ex = docs.select(id_col, F.explode(tokenize(text_col)).alias("t"))
+    ex = ex.withColumn("h", F.md5("t"))
+    aggs = []
+    for i in range(bits):
+        k, j = divmod(i, 4)  # hex digit k, bit j within it
+        vote = (f"CASE WHEN ((instr('0123456789abcdef', substr(h, {k + 1}, 1)) - 1)"
+                f" DIV {1 << j}) % 2 = 1 THEN 1 ELSE -1 END")
+        aggs.append(F.sum(F.expr(vote)).alias(f"s{i}"))
+    per_doc = ex.groupBy(id_col).agg(*aggs)
+    fp = " + ".join(
+        f"CASE WHEN s{i} > 0 THEN CAST({1 << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+        for i in range(bits))
+    return per_doc.select(id_col, F.expr(fp).alias("simhash"))
+
+
+def simhash_pairs(docs: DataFrame, bits: int = 16, max_hamming: int = 3,
+                  id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ max_hamming.
+
+    Demonstration path uses an all-pairs join on the compact fingerprints
+    (fine to ~10⁵ docs); the scale path partitions fingerprints into
+    (max_hamming+1) bit-blocks and joins on exact-match blocks (pigeonhole),
+    same shape as lsh_candidate_pairs.
+    """
+    fp = simhash(docs, bits=bits, id_col=id_col, text_col=text_col)
+    a = fp.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("fa"))
+    b = fp.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("fb"))
+    ham = F.bit_count(F.col("fa").bitwiseXOR(F.col("fb")))
+    return (a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+            .withColumn("hamming", ham.cast("int"))
+            .filter(F.col("hamming") <= max_hamming)
+            .select("id_a", "id_b", "hamming"))

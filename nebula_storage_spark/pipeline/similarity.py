@@ -1,0 +1,145 @@
+"""Embedding similarity search: brute-force cosine top-k, IVF partition
+search, cosine near-dup pairs.
+
+Embeddings are `array<float>` columns. Everything is computed on exact
+integers: each element is quantized once as floor(double(x) * 1e6) —
+a single IEEE-deterministic op — after which dot products and norms are
+exact int64 sums (order-independent, engine-independent). Cosine is then
+ONE double expression over exact integers:
+
+    cos = double(dot) / sqrt(double(|a|²) * double(|b|²))
+
+which is bit-identical in any IEEE engine — this is what makes top-k
+*rankings* (not just scores) oracle-comparable.
+
+Scale posture:
+  * brute-force top-k broadcasts the (small) query set against a corpus
+    scan — one shuffle for the per-query top-k window; with Spark ≥3.5 the
+    rank filter becomes WindowGroupLimit (map-side partial top-k).
+  * knn_ivf is the scale path: corpus pre-partitioned into cells (here the
+    `label` column stands in for a k-means assignment; a real deployment
+    bucket-writes by cell id), query probes only its nearest cell(s) —
+    corpus scanned per query drops by ~n_cells×.
+  * element ops are higher-order functions (zip_with/aggregate) — JVM
+    codegen, no Python in the loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W, functions as F
+
+QUANT = 1_000_000
+
+
+def quantize_embeddings(df: DataFrame, vec_col: str = "embedding",
+                        out_col: str = "qvec") -> DataFrame:
+    """array<float> → array<bigint>: floor(double(x) * 1e6) per element.
+    Adds `qvec` plus its exact squared norm `qnorm2`."""
+    q = F.transform(F.col(vec_col),
+                    lambda x: F.floor(x.cast("double") * QUANT).cast("long"))
+    df = df.withColumn(out_col, q)
+    n2 = F.aggregate(F.col(out_col), F.lit(0).cast("long"),
+                     lambda acc, x: acc + x * x)
+    return df.withColumn("qnorm2", n2)
+
+
+def _dot(a: Column | str, b: Column | str) -> Column:
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0).cast("long"), lambda acc, v: acc + v)
+
+
+# cosine from exact integer dot/norms — single deterministic double expr
+_COS = "CAST(_dot AS DOUBLE) / sqrt(CAST(_n2a AS DOUBLE) * CAST(_n2b AS DOUBLE))"
+
+
+def knn_bruteforce(emb: DataFrame, query_ids, k: int = 5,
+                   id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """Exact cosine top-k: for each query vector, the k nearest corpus
+    vectors (self excluded). Output (q_id, n_id, cos round 6), ranked by
+    (cos desc, n_id asc) — fully deterministic."""
+    q = quantize_embeddings(emb, vec_col)
+    corpus = q.select(F.col(id_col).alias("n_id"), F.col("qvec").alias("cv"),
+                      F.col("qnorm2").alias("_n2b"))
+    queries = (q.filter(F.col(id_col).isin(list(query_ids)))
+               .select(F.col(id_col).alias("q_id"), F.col("qvec").alias("qv"),
+                       F.col("qnorm2").alias("_n2a")))
+    pairs = (F.broadcast(queries).crossJoin(corpus)
+             .filter(F.col("q_id") != F.col("n_id"))
+             .withColumn("_dot", _dot("qv", "cv"))
+             .withColumn("cos", F.expr(_COS)))
+    w = W.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id"))
+    return (pairs.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= k)
+            .select("q_id", "n_id", F.round("cos", 6).alias("cos")))
+
+
+def knn_ivf(emb: DataFrame, query_ids, k: int = 5, id_col: str = "vec_id",
+            vec_col: str = "embedding", cell_col: str = "label") -> DataFrame:
+    """IVF-style ANN: corpus is partitioned into cells (`cell_col`);
+    each query is assigned to the cell whose centroid direction is nearest
+    (cos against the cell's exact component-sum vector — scale-invariant,
+    so the un-normalized sum IS the centroid for cosine) and searches only
+    that cell. nprobe=1. Output (q_id, n_id, cos round 6).
+
+    Centroid norms use DECIMAL(38,0) accumulation (component sums squared
+    overflow int64) — still exact, still engine-portable.
+    """
+    q = quantize_embeddings(emb, vec_col)
+    # exact centroid component sums per cell
+    comp = (q.select(cell_col, F.posexplode("qvec").alias("pos", "v"))
+            .groupBy(cell_col, "pos").agg(F.sum("v").alias("cs")))
+    cnorm = (comp.groupBy(cell_col)
+             .agg(F.sum(F.col("cs").cast("decimal(19,0)")
+                        * F.col("cs").cast("decimal(19,0)")).alias("cn2")))
+    queries = (q.filter(F.col(id_col).isin(list(query_ids)))
+               .select(F.col(id_col).alias("q_id"), F.col("qvec").alias("qv"),
+                       F.col("qnorm2").alias("qn2")))
+    qcomp = queries.select("q_id", F.posexplode("qv").alias("pos", "qval"))
+    # query × cell affinity: ranking value = dot(q, centroid_sum)/|centroid_sum|
+    # (|q| is constant per query — dropped from the argmax)
+    aff = (qcomp.join(F.broadcast(comp), "pos")
+           .groupBy("q_id", cell_col)
+           .agg(F.sum(F.col("qval") * F.col("cs")).alias("qc_dot"))
+           .join(F.broadcast(cnorm), cell_col)
+           .withColumn("rank_val", F.expr(
+               "CAST(qc_dot AS DOUBLE) / sqrt(CAST(cn2 AS DOUBLE))")))
+    wcell = W.partitionBy("q_id").orderBy(F.col("rank_val").desc(), F.col(cell_col))
+    assign = (aff.withColumn("_rn", F.row_number().over(wcell))
+              .filter(F.col("_rn") == 1).select("q_id", cell_col))
+    corpus = q.select(cell_col, F.col(id_col).alias("n_id"),
+                      F.col("qvec").alias("cv"), F.col("qnorm2").alias("_n2b"))
+    pairs = (F.broadcast(queries.join(assign, "q_id")
+                         .withColumnRenamed("qn2", "_n2a"))
+             .join(corpus, cell_col)
+             .filter(F.col("q_id") != F.col("n_id"))
+             .withColumn("_dot", _dot("qv", "cv"))
+             .withColumn("cos", F.expr(_COS)))
+    w = W.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id"))
+    return (pairs.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= k)
+            .select("q_id", "n_id", F.round("cos", 6).alias("cos")))
+
+
+def embedding_near_dup(emb: DataFrame, min_cos: float = 0.4,
+                       id_col: str = "vec_id",
+                       vec_col: str = "embedding") -> DataFrame:
+    """Cosine near-duplicate pairs: (id_a < id_b, cos ≥ min_cos).
+
+    All-pairs form (correctness surface; fine to ~10⁴ vectors). The scale
+    path reuses knn_ivf's cell partitioning: pairs within a cell + pairs in
+    adjacent cells only — same verify expression, candidate set shrinks
+    ~n_cells×.
+    """
+    q = quantize_embeddings(emb, vec_col)
+    a = q.select(F.col(id_col).alias("id_a"), F.col("qvec").alias("qv"),
+                 F.col("qnorm2").alias("_n2a"))
+    b = q.select(F.col(id_col).alias("id_b"), F.col("qvec").alias("cv"),
+                 F.col("qnorm2").alias("_n2b"))
+    return (a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+            .withColumn("_dot", _dot("qv", "cv"))
+            .withColumn("cos", F.expr(_COS))
+            .filter(F.col("cos") >= min_cos)
+            .select("id_a", "id_b", F.round("cos", 6).alias("cos")))

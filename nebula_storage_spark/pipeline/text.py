@@ -1,0 +1,118 @@
+"""Text analysis operators: tokenization, quality features, language-ID,
+document fingerprints.
+
+All hot-path logic is built-in pyspark.sql.functions (JVM-side, whole-stage
+codegen) — no Python UDFs. Ratios surface as x100 integers (integer DIV) so
+results are bit-identical across engines and partitionings; every operator
+has an ANSI-SQL oracle in workload_pipeline.py.
+
+Scale posture: each operator is a narrow per-row map over one table — no
+shuffle, trivially parallel at 100 TB. The only wide op anywhere in this
+module is none; fingerprints and features are computed inside the scan
+stage (check WholeStageCodegen spans in .explain).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# small marker vocabularies for the n-gram/stopword language heuristic —
+# deliberately tiny: the operator contract is "deterministic argmax of
+# marker hits", not a production langid model.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "das", "und", "ist", "nicht"),
+    "en": ("the", "a", "is", "of", "and", "to"),
+    "es": ("el", "los", "las", "y", "es", "una"),
+    "fr": ("le", "la", "les", "et", "est", "une"),
+    "zh": ("的", "是", "了", "在"),
+}
+
+STOPWORDS = ("the", "a", "an", "of", "and", "to", "is", "in", "it", "for")
+
+# BPE-ish token regex: runs of letters, runs of digits, single other symbol.
+BPE_REGEX = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+POLY_MOD = 1_000_000_007
+
+
+def tokenize(text: Column | str) -> Column:
+    """Whitespace tokens (single-space corpus contract)."""
+    return F.split(text if isinstance(text, Column) else F.col(text), " ")
+
+
+def _count_in(tokens: Column, vocab: tuple[str, ...]) -> Column:
+    """Number of tokens (with multiplicity) that appear in `vocab`."""
+    return F.size(F.filter(tokens, lambda t: t.isin(*vocab)))
+
+
+def text_features(docs: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Quality features per document.
+
+    Columns: n_chars, n_tokens, n_bpe_tokens, avg_token_len_x100,
+    stop_ratio_x100, alpha_ratio_x100, quality (0-100 integer score).
+    """
+    toks = tokenize(text_col).alias("__toks")
+    stop = _count_in(F.col("__toks"), STOPWORDS)
+    out = (docs.select(id_col, text_col, toks)
+           .withColumn("n_chars", F.length(text_col))
+           .withColumn("n_tokens", F.size("__toks"))
+           .withColumn("n_bpe_tokens",
+                       F.size(F.expr(f"regexp_extract_all({text_col}, '{BPE_REGEX}', 0)")))
+           .withColumn("avg_token_len_x100",
+                       F.expr(f"(length(replace({text_col}, ' ', '')) * 100) DIV n_tokens"))
+           .withColumn("__stop_cnt", stop)
+           .withColumn("stop_ratio_x100",
+                       F.expr("(__stop_cnt * 100) DIV n_tokens"))
+           .withColumn("alpha_ratio_x100",
+                       F.expr(f"(length(regexp_replace({text_col}, '[^a-z]', '')) * 100)"
+                              f" DIV length({text_col})")))
+    quality = (F.least(F.col("n_tokens"), F.lit(40))
+               + F.when(F.col("stop_ratio_x100").between(3, 40), 30).otherwise(0)
+               + F.when(F.col("avg_token_len_x100").between(300, 800), 30).otherwise(0))
+    return out.withColumn("quality", quality).drop("__toks", "__stop_cnt", text_col)
+
+
+def lang_id(docs: DataFrame, text_col: str = "text",
+            id_col: str = "doc_id") -> DataFrame:
+    """Marker-vocabulary language heuristic: score = marker-token hits per
+    language; predicted language = argmax, ties broken alphabetically.
+    Output: (id, pred_lang, lang_score)."""
+    toks = tokenize(text_col).alias("__toks")
+    out = docs.select(id_col, toks)
+    langs = sorted(LANG_MARKERS)
+    for lg in langs:
+        out = out.withColumn(f"s_{lg}", _count_in(F.col("__toks"), LANG_MARKERS[lg]))
+    # alphabetical CASE chain = deterministic argmax with alphabetical ties
+    pred = None
+    for lg in langs:
+        cond = F.lit(True)
+        for other in langs:
+            if other != lg:
+                cond = cond & (F.col(f"s_{lg}") >= F.col(f"s_{other}"))
+        pred = F.when(cond, lg) if pred is None else pred.when(cond, lg)
+    out = out.withColumn("pred_lang", pred)
+    score = F.greatest(*[F.col(f"s_{lg}") for lg in langs])
+    return out.select(id_col, "pred_lang", score.alias("lang_score"))
+
+
+def doc_fingerprints(docs: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id", window: int = 8) -> DataFrame:
+    """Two fingerprints per document:
+
+    * poly_hash — order-sensitive rolling polynomial hash of the full char
+      stream: fold (acc*31 + ascii(c)) % 1e9+7. Near-zero-cost content id.
+    * min_window_md5 — winnowing-lite: min md5 over all `window`-char
+      rolling substrings; stable under small appends (classic fingerprint
+      for shift-tolerant content identity).
+    """
+    chars = F.expr(f"transform(split({text_col}, ''), c -> CAST(ascii(c) AS BIGINT))")
+    poly = F.aggregate(chars, F.lit(0).cast("long"),
+                       lambda acc, x: (acc * 31 + x) % POLY_MOD)
+    win = F.expr(
+        f"array_min(transform(sequence(1, length({text_col}) - {window - 1}),"
+        f" i -> md5(substr({text_col}, i, {window}))))")
+    return docs.select(
+        id_col,
+        poly.alias("poly_hash"),
+        F.when(F.length(text_col) >= window, win).alias("min_window_md5"))

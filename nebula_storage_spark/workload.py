@@ -492,6 +492,13 @@ ORACLE_ANALYTIC = {
 
 
 def build_queries() -> dict[str, Query]:
+    from .workload_pipeline import build_pipeline_queries
+    out = build_pipeline_queries()
+    out.update(_core_queries())
+    return out
+
+
+def _core_queries() -> dict[str, Query]:
     return {
         "go_out_props": q_go_out_props,
         "go_in_edges": q_go_in_edges,
@@ -525,7 +532,8 @@ def build_queries() -> dict[str, Query]:
 
 
 def build_oracles() -> dict[str, str]:
-    out: dict[str, str] = {}
+    from .workload_pipeline import build_pipeline_oracles
+    out: dict[str, str] = build_pipeline_oracles()
     for d in (ORACLE_GO, ORACLE_LOOKUP, ORACLE_AGG, ORACLE_MUTATE,
               ORACLE_TTL, ORACLE_ANALYTIC):
         out.update(d)

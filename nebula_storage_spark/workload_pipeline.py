@@ -1,0 +1,362 @@
+"""Training-data pipeline workload: each pipeline operator as a
+(spark, sf_dir) query plus its DuckDB oracle (same determinism contract as
+workload.py — md5 strings, x10000 integer ratios, doubles derived from
+exact integers by one shared IEEE expression).
+
+Tables: documents(doc_id, text, lang, source, n_chars),
+embeddings(vec_id, embedding float[64], label).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .graph import read_parquet
+from .pipeline import (doc_fingerprints, embedding_near_dup, exact_dedup,
+                       frame_sample, image_meta, knn_bruteforce, knn_ivf,
+                       lang_id, minhash_lsh_pairs, ngram_jaccard_pairs,
+                       simhash, text_features, with_binary_payload)
+from .pipeline.dedup import simhash_pairs
+from .pipeline.text import BPE_REGEX, LANG_MARKERS, POLY_MOD, STOPWORDS
+
+EMB_DIM = 64
+KNN_QUERY_IDS = list(range(10))
+
+
+def _docs(spark, sf_dir):
+    return read_parquet(spark, f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark, sf_dir):
+    return read_parquet(spark, f"{sf_dir}/embeddings.parquet")
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+def q_text_features(spark, sf_dir):
+    out = text_features(_docs(spark, sf_dir))
+    # align integer widths with DuckDB (len/length → BIGINT)
+    return out.select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_bpe_tokens").cast("long").alias("n_bpe_tokens"),
+        F.col("avg_token_len_x100").cast("long").alias("avg_token_len_x100"),
+        F.col("stop_ratio_x100").cast("long").alias("stop_ratio_x100"),
+        F.col("alpha_ratio_x100").cast("long").alias("alpha_ratio_x100"),
+        F.col("quality").cast("long").alias("quality"))
+
+
+def q_lang_id(spark, sf_dir):
+    out = lang_id(_docs(spark, sf_dir))
+    return out.select("doc_id", "pred_lang",
+                      F.col("lang_score").cast("long").alias("lang_score"))
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    return doc_fingerprints(_docs(spark, sf_dir))
+
+
+def _sql_list(words) -> str:
+    return "[" + ", ".join("'" + w.replace("'", "''") + "'" for w in words) + "]"
+
+
+def _marker_count(vocab) -> str:
+    return ("len(list_filter(string_split(text, ' '), "
+            f"t -> list_contains({_sql_list(vocab)}, t)))")
+
+
+def _oracle_text_features() -> str:
+    stop = _marker_count(STOPWORDS)
+    return f"""
+SELECT doc_id,
+  length(text) AS n_chars,
+  len(string_split(text, ' ')) AS n_tokens,
+  len(regexp_extract_all(text, '{BPE_REGEX}')) AS n_bpe_tokens,
+  (length(replace(text, ' ', '')) * 100) // len(string_split(text, ' '))
+    AS avg_token_len_x100,
+  ({stop} * 100) // len(string_split(text, ' ')) AS stop_ratio_x100,
+  (length(regexp_replace(text, '[^a-z]', '', 'g')) * 100) // length(text)
+    AS alpha_ratio_x100,
+  least(len(string_split(text, ' ')), 40)
+    + CASE WHEN ({stop} * 100) // len(string_split(text, ' '))
+           BETWEEN 3 AND 40 THEN 30 ELSE 0 END
+    + CASE WHEN (length(replace(text, ' ', '')) * 100)
+                // len(string_split(text, ' ')) BETWEEN 300 AND 800
+           THEN 30 ELSE 0 END AS quality
+FROM documents"""
+
+
+def _oracle_lang_id() -> str:
+    langs = sorted(LANG_MARKERS)
+    scores = ",\n  ".join(f"{_marker_count(LANG_MARKERS[lg])} AS s_{lg}"
+                          for lg in langs)
+    branches = []
+    for lg in langs:
+        cond = " AND ".join(f"s_{lg} >= s_{o}" for o in langs if o != lg)
+        branches.append(f"WHEN {cond} THEN '{lg}'")
+    case = "CASE " + " ".join(branches) + " END"
+    greatest = "greatest(" + ", ".join(f"s_{lg}" for lg in langs) + ")"
+    return (f"WITH s AS (SELECT doc_id,\n  {scores}\nFROM documents)\n"
+            f"SELECT doc_id, {case} AS pred_lang, {greatest} AS lang_score FROM s")
+
+
+def _oracle_doc_fingerprint() -> str:
+    return f"""
+SELECT doc_id,
+  list_reduce(
+    list_prepend(CAST(0 AS BIGINT),
+      list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+    (a, b) -> (a * 31 + b) % {POLY_MOD}) AS poly_hash,
+  CASE WHEN length(text) >= 8 THEN
+    list_min(list_transform(generate_series(1, length(text) - 7),
+                            i -> md5(substr(text, i, 8))))
+  END AS min_window_md5
+FROM documents"""
+
+
+# ---------------------------------------------------------------------------
+# dedup family
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(spark, sf_dir):
+    return (exact_dedup(_docs(spark, sf_dir))
+            .select("doc_id", "lang", "source", "n_chars"))
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold_x10000=5000)
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    return minhash_lsh_pairs(_docs(spark, sf_dir), n=3, num_hashes=12,
+                             bands=4, rows=3, threshold_x10000=5000)
+
+
+def q_dedup_simhash(spark, sf_dir):
+    return simhash(_docs(spark, sf_dir), bits=48)
+
+
+def q_dedup_simhash_pairs(spark, sf_dir):
+    return simhash_pairs(_docs(spark, sf_dir), bits=16, max_hamming=3)
+
+
+_SHINGLES_CTE = """sh AS (
+  SELECT doc_id, list_distinct(list_transform(
+    generate_series(1, len(string_split(text, ' ')) - 2),
+    i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
+         || ' ' || string_split(text, ' ')[i+2])) AS s
+  FROM documents WHERE len(string_split(text, ' ')) >= 3)"""
+
+_JACCARD_SQL = ("(CAST(len(list_intersect(x.s, y.s)) AS BIGINT) * 10000) // "
+                "len(list_distinct(list_concat(x.s, y.s)))")
+
+
+def _oracle_ngram_jaccard() -> str:
+    return f"""
+WITH {_SHINGLES_CTE},
+inv AS (SELECT doc_id, unnest(s) AS g FROM sh),
+cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM inv a JOIN inv b USING (g) WHERE a.doc_id < b.doc_id)
+SELECT * FROM (
+  SELECT id_a, id_b, {_JACCARD_SQL} AS jaccard_x10000
+  FROM cand JOIN sh x ON x.doc_id = id_a JOIN sh y ON y.doc_id = id_b)
+WHERE jaccard_x10000 >= 5000"""
+
+
+def _oracle_minhash_lsh(num_hashes: int = 12, bands: int = 4,
+                        rows: int = 3) -> str:
+    mins = ", ".join(f"min(md5('{i}#' || g)) AS m{i}" for i in range(num_hashes))
+    band_rows = " UNION ALL ".join(
+        "SELECT doc_id, {idx} AS band_idx, md5({concat}) AS band FROM sig"
+        .format(idx=b, concat=" || ".join(f"m{b * rows + r}" for r in range(rows)))
+        for b in range(bands))
+    return f"""
+WITH {_SHINGLES_CTE},
+inv AS (SELECT doc_id, unnest(s) AS g FROM sh),
+sig AS (SELECT doc_id, {mins} FROM inv GROUP BY doc_id),
+bands AS ({band_rows}),
+cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM bands a JOIN bands b USING (band_idx, band)
+         WHERE a.doc_id < b.doc_id)
+SELECT * FROM (
+  SELECT id_a, id_b, {_JACCARD_SQL} AS jaccard_x10000
+  FROM cand JOIN sh x ON x.doc_id = id_a JOIN sh y ON y.doc_id = id_b)
+WHERE jaccard_x10000 >= 5000"""
+
+
+def _simhash_sql(bits: int) -> str:
+    """CTEs ex/s/f computing per-doc simhash of `bits` bits as column fp."""
+    sums = []
+    for i in range(bits):
+        k, j = divmod(i, 4)
+        sums.append(
+            f"sum(CASE WHEN ((strpos('0123456789abcdef', substr(h, {k + 1}, 1))"
+            f" - 1) // {1 << j}) % 2 = 1 THEN 1 ELSE -1 END) AS s{i}")
+    fp = " + ".join(f"CASE WHEN s{i} > 0 THEN CAST({1 << i} AS BIGINT) "
+                    f"ELSE CAST(0 AS BIGINT) END" for i in range(bits))
+    return f"""ex0 AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+       FROM documents),
+ex AS (SELECT doc_id, md5(t) AS h FROM ex0),
+s AS (SELECT doc_id, {', '.join(sums)} FROM ex GROUP BY doc_id),
+f AS (SELECT doc_id, {fp} AS fp FROM s)"""
+
+
+def _oracle_simhash() -> str:
+    return f"WITH {_simhash_sql(48)} SELECT doc_id, fp AS simhash FROM f"
+
+
+def _oracle_simhash_pairs() -> str:
+    return f"""
+WITH {_simhash_sql(16)}
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.fp, b.fp)) AS INTEGER) AS hamming
+FROM f a JOIN f b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.fp, b.fp)) <= 3"""
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+def q_knn_bruteforce(spark, sf_dir):
+    return knn_bruteforce(_emb(spark, sf_dir), KNN_QUERY_IDS, k=5)
+
+
+def q_knn_ivf(spark, sf_dir):
+    return knn_ivf(_emb(spark, sf_dir), KNN_QUERY_IDS, k=5)
+
+
+def q_embedding_near_dup(spark, sf_dir):
+    return embedding_near_dup(_emb(spark, sf_dir), min_cos=0.4)
+
+
+_QVEC_CTE = """n AS (
+  SELECT vec_id, label,
+    list_transform(embedding,
+      x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v
+  FROM embeddings),
+nn AS (SELECT vec_id, label, v,
+       CAST(list_sum(list_transform(v, x -> x * x)) AS BIGINT) AS n2 FROM n)"""
+
+_PAIR_COS = ("CAST(CAST(list_sum(list_transform(generate_series(1, len(a.v)), "
+             "i -> a.v[i] * b.v[i])) AS BIGINT) AS DOUBLE) / "
+             "sqrt(CAST(a.n2 AS DOUBLE) * CAST(b.n2 AS DOUBLE))")
+
+_QIDS = "(" + ", ".join(str(i) for i in KNN_QUERY_IDS) + ")"
+
+
+def _oracle_knn_bruteforce() -> str:
+    return f"""
+WITH {_QVEC_CTE},
+p AS (SELECT a.vec_id AS q_id, b.vec_id AS n_id, {_PAIR_COS} AS c
+      FROM nn a JOIN nn b ON a.vec_id != b.vec_id
+      WHERE a.vec_id IN {_QIDS})
+SELECT q_id, n_id, round(c, 6) AS cos FROM p
+QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY c DESC, n_id) <= 5"""
+
+
+def _oracle_knn_ivf() -> str:
+    return f"""
+WITH {_QVEC_CTE},
+comp AS (SELECT label, pos, sum(v[pos]) AS cs
+         FROM nn, (SELECT unnest(generate_series(1, {EMB_DIM})) AS pos) t
+         GROUP BY label, pos),
+cn AS (SELECT label, sum(CAST(cs AS DECIMAL(19,0)) * CAST(cs AS DECIMAL(19,0)))
+              AS cn2 FROM comp GROUP BY label),
+aff AS (SELECT a.vec_id AS q_id, c.label, sum(a.v[c.pos] * c.cs) AS qc_dot
+        FROM nn a, comp c WHERE a.vec_id IN {_QIDS}
+        GROUP BY a.vec_id, c.label),
+assign AS (
+  SELECT q_id, label FROM (
+    SELECT q_id, aff.label,
+           CAST(qc_dot AS DOUBLE) / sqrt(CAST(cn2 AS DOUBLE)) AS rv
+    FROM aff JOIN cn USING (label))
+  QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY rv DESC, label) = 1),
+p AS (SELECT a.vec_id AS q_id, b.vec_id AS n_id, {_PAIR_COS} AS c
+      FROM assign JOIN nn a ON a.vec_id = assign.q_id
+      JOIN nn b ON b.label = assign.label AND b.vec_id != a.vec_id)
+SELECT q_id, n_id, round(c, 6) AS cos FROM p
+QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY c DESC, n_id) <= 5"""
+
+
+def _oracle_embedding_near_dup() -> str:
+    return f"""
+WITH {_QVEC_CTE}
+SELECT id_a, id_b, round(c, 6) AS cos FROM (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_PAIR_COS} AS c
+  FROM nn a JOIN nn b ON a.vec_id < b.vec_id)
+WHERE c >= 0.4"""
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing
+# ---------------------------------------------------------------------------
+
+def q_mm_image_meta(spark, sf_dir):
+    return image_meta(with_binary_payload(_docs(spark, sf_dir)))
+
+
+def q_mm_frame_sample(spark, sf_dir):
+    return frame_sample(with_binary_payload(_docs(spark, sf_dir)), stride=5)
+
+
+def _oracle_mm_image_meta() -> str:
+    n = "octet_length(encode(text))"
+    return f"""
+SELECT doc_id, {n} AS n_bytes,
+  CAST({n} % 640 + 1 AS INTEGER) AS width,
+  CAST(({n} * 7) % 480 + 1 AS INTEGER) AS height,
+  CAST(3 AS INTEGER) AS channels,
+  CASE {n} % 3 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'webp' END AS format
+FROM documents"""
+
+
+def _oracle_mm_frame_sample() -> str:
+    return """
+WITH d AS (SELECT doc_id, octet_length(encode(text)) % 30 + 1 AS n_frames
+           FROM documents),
+fr AS (SELECT doc_id, unnest(generate_series(0, n_frames - 1)) AS i FROM d)
+SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
+       md5(CAST(doc_id AS VARCHAR) || '#' || CAST(i AS VARCHAR)) AS frame_md5
+FROM fr WHERE i % 5 = 0"""
+
+
+def build_pipeline_queries():
+    return {
+        "text_features": q_text_features,
+        "lang_id": q_lang_id,
+        "doc_fingerprint": q_doc_fingerprint,
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_simhash_pairs": q_dedup_simhash_pairs,
+        "knn_bruteforce": q_knn_bruteforce,
+        "knn_ivf": q_knn_ivf,
+        "embedding_near_dup": q_embedding_near_dup,
+        "mm_image_meta": q_mm_image_meta,
+        "mm_frame_sample": q_mm_frame_sample,
+    }
+
+
+def build_pipeline_oracles():
+    return {
+        "text_features": _oracle_text_features(),
+        "lang_id": _oracle_lang_id(),
+        "doc_fingerprint": _oracle_doc_fingerprint(),
+        "dedup_exact":
+            "SELECT doc_id, lang, source, n_chars FROM documents QUALIFY "
+            "row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1",
+        "dedup_ngram_jaccard": _oracle_ngram_jaccard(),
+        "dedup_minhash_lsh": _oracle_minhash_lsh(),
+        "dedup_simhash": _oracle_simhash(),
+        "dedup_simhash_pairs": _oracle_simhash_pairs(),
+        "knn_bruteforce": _oracle_knn_bruteforce(),
+        "knn_ivf": _oracle_knn_ivf(),
+        "embedding_near_dup": _oracle_embedding_near_dup(),
+        "mm_image_meta": _oracle_mm_image_meta(),
+        "mm_frame_sample": _oracle_mm_frame_sample(),
+    }
