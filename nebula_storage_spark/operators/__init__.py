@@ -4,8 +4,13 @@ from .scan import scan_edge, scan_vertex
 from .fetch import fetch_edges, fetch_vertices
 from .agg import stats_task
 from .dedup import dedup
+from .kv import kv_get, kv_put, kv_remove, kv_scan_prefix
+from .index_rebuild import rebuild_index
+from .sessionize import sessionize
 
 __all__ = [
     "get_neighbors", "go_stats", "lookup", "scan_vertex", "scan_edge",
     "fetch_vertices", "fetch_edges", "stats_task", "dedup",
+    "kv_get", "kv_put", "kv_remove", "kv_scan_prefix",
+    "rebuild_index", "sessionize",
 ]

@@ -22,11 +22,17 @@ from ..graph import DST, RANK, SRC, VID, GraphStore
 
 def scan_vertex(store: GraphStore, tag: str,
                 props: Sequence[str] | None = None,
-                limit: int | None = None) -> DataFrame:
+                limit: int | None = None,
+                cursor=None) -> DataFrame:
+    """`cursor` = last vid of the previous page (exclusive) — the
+    resume-cursor protocol of ScanVertexProcessor.cpp:27-100 mapped onto a
+    sargable `vid > cursor` predicate + vid-ordered limit."""
     df = store.tag_df(tag)
     cols = [VID] + (list(props) if props is not None
                     else [c for c in df.columns if c != VID])
     out = df.select(*cols)
+    if cursor is not None:
+        out = out.filter(F.col(VID) > F.lit(cursor))
     if limit is not None:
         # deterministic paging order for parity tests: vid order (the
         # reference pages in key order, i.e. vid order within a part)

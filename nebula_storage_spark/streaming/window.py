@@ -1,0 +1,59 @@
+"""Structured Streaming: windowed event aggregation over the events table.
+
+Reference analog: the Raft-WAL → Listener change feed
+(src/kvstore/Listener.h, kvstore/plugins/elasticsearch/ESListener.h:19-66)
+is the reference's only streaming surface — a change stream consumed by an
+external indexer. The Spark-native story is Structured Streaming: the
+same parquet data consumed as a file stream, watermarked event-time
+windows, stateful aggregation managed by the engine.
+
+The entry below runs the stream to completion with Trigger.AvailableNow
+(single consistent snapshot → deterministic, oracle-comparable output) and
+returns the materialized result. In production the same plan tails a
+directory/Kafka source continuously; nothing about the plan changes.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+_COUNTER = itertools.count()
+
+
+def stream_events_windowed(spark: SparkSession, sf_dir: str,
+                           window: str = "1 hour",
+                           watermark: str = "1 hour") -> DataFrame:
+    """Hourly (window-start, event_type) counts + exact decimal value sums,
+    computed by a real streaming query (file source → watermark → windowed
+    agg → memory sink), then returned as a batch DataFrame.
+    """
+    # file-stream source needs an explicit schema (footer inference is a
+    # batch-only convenience) and a DIRECTORY to tail — stage a symlink dir
+    # (in production this is the landing directory new files arrive in)
+    import os
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = f"{sf_dir}/events.parquet"
+    stream_dir = f"/tmp/nebula_stream/{os.path.basename(sf_dir.rstrip('/'))}/events"
+    os.makedirs(stream_dir, exist_ok=True)
+    link = f"{stream_dir}/events.parquet"
+    if not os.path.islink(link):
+        os.symlink(path, link)
+    schema = spark.read.parquet(path).schema
+    raw = spark.readStream.schema(schema).parquet(stream_dir)
+    ev = raw.select(
+        F.expr("timestamp_micros(ts div 1000)").alias("ts"),
+        "event_type", "value")
+    agg = (ev.withWatermark("ts", watermark)
+           .groupBy(F.window("ts", window).alias("w"), "event_type")
+           .agg(F.count(F.lit(1)).alias("cnt"),
+                F.sum(F.col("value").cast("decimal(18,2)"))
+                .cast("double").alias("sum_value")))
+    name = f"stream_events_{next(_COUNTER)}"
+    q = (agg.writeStream.format("memory").queryName(name)
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return (spark.table(name)
+            .select(F.col("w.start").alias("hour"), "event_type", "cnt",
+                    F.round("sum_value", 2).alias("sum_value")))

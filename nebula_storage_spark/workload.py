@@ -391,6 +391,148 @@ ORACLE_TTL = {
 
 
 # ---------------------------------------------------------------------------
+# KV mode / index rebuild / paging / expression surface / sessions /
+# streaming — SURVEY §2 rows 7, 9, 26, 34 and §2.3
+# ---------------------------------------------------------------------------
+
+def q_kv_ops(spark, sf_dir):
+    """KV-mode put(overwrite) → remove → prefix-scan pipeline (row 9)."""
+    from .operators import kv_put, kv_remove, kv_scan_prefix
+    g = tpch_graph(spark, sf_dir)
+    c = g.vertices["customer"]
+    key = F.concat(F.lit("c:"), F.col(VID).cast("string")).alias("key")
+    kv = c.select(key, F.col("c_name").alias("value"))
+    batch = (c.filter(F.col(VID) < 10)
+             .select(key, F.lit("OVERWRITTEN").alias("value"))
+             .unionByName(spark.createDataFrame(
+                 [("x:1", "one"), ("x:2", "two")], "key string, value string")))
+    rm = c.filter(F.col(VID).between(10, 19)).select(key)
+    return kv_scan_prefix(kv_remove(kv_put(kv, batch), rm), "c:1")
+
+
+def q_index_rebuild(spark, sf_dir):
+    """RebuildIndexTask parity (row 26): rewrite part as a (p_brand,p_size)
+    sorted projection, then range-lookup the rebuilt layout."""
+    import os
+    from .operators import rebuild_index
+    g = tpch_graph(spark, sf_dir)
+    path = f"/tmp/nebula_spark_index/part_brand_size_{os.path.basename(sf_dir.rstrip('/'))}"
+    idx = rebuild_index(g.tag_df("part"), ["p_brand", "p_size"], path,
+                        include_cols=[VID, "p_name", "p_retailprice"])
+    return lookup(idx, [Hint.prefix("p_brand", "Brand#21"),
+                        Hint.range("p_size", 10, 30)],
+                  yield_cols=[VID, "p_name", "p_size"], dedup_cols=[VID])
+
+
+def q_scan_vertex_page(spark, sf_dir):
+    """Resume-cursor paging parity (row 7): page after vid 100, size 50."""
+    g = tpch_graph(spark, sf_dir)
+    return scan_vertex(g, "customer", props=["c_name"], limit=50, cursor=100)
+
+
+def q_go_multi_edge(spark, sf_dir):
+    """Multi-edge-type traversal (row 5, MultiEdgeIterator): union by name
+    with NULLs for props the other type lacks."""
+    g = tpch_graph(spark, sf_dir)
+    return get_neighbors(g, _seeds(spark, 30), ["placed", "cust_nation"])
+
+
+def q_expr_surface(spark, sf_dir):
+    """§2.3 expression whitelist showcase: CASE WHEN, IN, regex, string
+    predicates, %, cast, and list-HOF transform/filter/aggregate."""
+    p = tpch_graph(spark, sf_dir).tag_df("part")
+    return p.select(
+        VID,
+        F.expr("CASE WHEN p_size < 10 THEN 'small' WHEN p_size < 30 "
+               "THEN 'mid' ELSE 'big' END").alias("size_class"),
+        F.expr("p_brand IN ('Brand#12', 'Brand#21')").alias("brand_hit"),
+        F.expr("p_name rlike 'red|blue'").alias("colorish"),
+        F.expr("contains(p_type, 'BRUSHED')").alias("brushed"),
+        F.expr("startswith(p_type, 'STANDARD')").alias("standardish"),
+        F.expr("endswith(p_type, 'TIN')").alias("tinnish"),
+        F.expr("CAST(p_size % 7 AS BIGINT)").alias("size_mod"),
+        F.expr("CAST(floor(p_retailprice) AS BIGINT)").alias("price_floor"),
+        F.expr("CAST(aggregate(filter(transform(sequence(1, 3), i -> p_size * i), "
+               "x -> x > 10), 0, (a, b) -> a + b) AS BIGINT)").alias("hof_sum"),
+        F.expr("CASE WHEN p_retailprice IS NULL THEN -1 ELSE 0 END")
+        .cast("long").alias("null_probe"))
+
+
+def q_sessionize(spark, sf_dir):
+    from .operators import sessionize
+    return sessionize(load_events(spark, sf_dir), gap_seconds=1800)
+
+
+def q_stream_window(spark, sf_dir):
+    from .streaming import stream_events_windowed
+    return stream_events_windowed(spark, sf_dir)
+
+
+ORACLE_EXT = {
+    "kv_ops": """
+WITH kv AS (SELECT 'c:' || CAST(c_custkey AS VARCHAR) AS key, c_name AS value
+            FROM customer),
+put AS (SELECT 'c:' || CAST(c_custkey AS VARCHAR) AS key,
+               'OVERWRITTEN' AS value FROM customer WHERE c_custkey < 10
+        UNION ALL SELECT * FROM (VALUES ('x:1', 'one'), ('x:2', 'two')) t(k, v)),
+merged AS (SELECT * FROM kv WHERE key NOT IN (SELECT key FROM put)
+           UNION ALL SELECT * FROM put),
+removed AS (SELECT * FROM merged WHERE key NOT IN (
+    SELECT 'c:' || CAST(c_custkey AS VARCHAR) FROM customer
+    WHERE c_custkey BETWEEN 10 AND 19))
+SELECT * FROM removed WHERE key LIKE 'c:1%'""",
+    "index_rebuild":
+        "SELECT DISTINCT p_partkey AS _vid, p_name, p_size FROM part "
+        "WHERE p_brand = 'Brand#21' AND p_size >= 10 AND p_size < 30",
+    "scan_vertex_page":
+        "SELECT c_custkey AS _vid, c_name FROM customer WHERE c_custkey > 100 "
+        "ORDER BY _vid LIMIT 50",
+    "go_multi_edge":
+        f"SELECT {_GO_COLS}, o_orderstatus, o_totalprice, o_orderdate, "
+        "o_orderpriority FROM orders WHERE o_custkey < 30 "
+        "UNION ALL SELECT c_custkey, '+cust_nation', c_custkey, c_nationkey, "
+        "CAST(0 AS BIGINT), NULL, NULL, NULL, NULL FROM customer "
+        "WHERE c_custkey < 30",
+    "expr_surface": """
+SELECT p_partkey AS _vid,
+  CASE WHEN p_size < 10 THEN 'small' WHEN p_size < 30 THEN 'mid'
+       ELSE 'big' END AS size_class,
+  p_brand IN ('Brand#12', 'Brand#21') AS brand_hit,
+  regexp_matches(p_name, 'red|blue') AS colorish,
+  contains(p_type, 'BRUSHED') AS brushed,
+  starts_with(p_type, 'STANDARD') AS standardish,
+  ends_with(p_type, 'TIN') AS tinnish,
+  CAST(p_size % 7 AS BIGINT) AS size_mod,
+  CAST(floor(p_retailprice) AS BIGINT) AS price_floor,
+  CAST(coalesce(list_sum(list_filter(list_transform(generate_series(1, 3),
+    i -> p_size * i), x -> x > 10)), 0) AS BIGINT) AS hof_sum,
+  CAST(CASE WHEN p_retailprice IS NULL THEN -1 ELSE 0 END AS BIGINT)
+    AS null_probe
+FROM part""",
+    "sessionize": """
+WITH e AS (SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT)
+           AS ts_epoch FROM events),
+l AS (SELECT *, CASE WHEN
+        lag(ts_epoch) OVER (PARTITION BY user_id ORDER BY ts_epoch, event_id)
+          IS NULL
+        OR ts_epoch - lag(ts_epoch)
+          OVER (PARTITION BY user_id ORDER BY ts_epoch, event_id) > 1800
+      THEN 1 ELSE 0 END AS is_new FROM e),
+s AS (SELECT user_id, ts_epoch,
+        CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_epoch, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        AS session_idx FROM l)
+SELECT user_id, session_idx, count(*) AS n_events,
+       min(ts_epoch) AS start_epoch, max(ts_epoch) AS end_epoch
+FROM s GROUP BY user_id, session_idx""",
+    "stream_window":
+        "SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS cnt, "
+        "round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) "
+        "AS sum_value FROM events GROUP BY date_trunc('hour', ts), event_type",
+}
+
+
+# ---------------------------------------------------------------------------
 # analytic pipelines (multi-hop traversals = TPC-H-shaped joins) — the
 # "would a reference user's workload run here" proof + bench headliners
 # ---------------------------------------------------------------------------
@@ -528,6 +670,13 @@ def _core_queries() -> dict[str, Query]:
         "tpch_q3_top10": q_tpch_q3_top10,
         "region_revenue": q_region_revenue,
         "events_window": q_events_window,
+        "kv_ops": q_kv_ops,
+        "index_rebuild": q_index_rebuild,
+        "scan_vertex_page": q_scan_vertex_page,
+        "go_multi_edge": q_go_multi_edge,
+        "expr_surface": q_expr_surface,
+        "sessionize": q_sessionize,
+        "stream_window": q_stream_window,
     }
 
 
@@ -535,6 +684,6 @@ def build_oracles() -> dict[str, str]:
     from .workload_pipeline import build_pipeline_oracles
     out: dict[str, str] = build_pipeline_oracles()
     for d in (ORACLE_GO, ORACLE_LOOKUP, ORACLE_AGG, ORACLE_MUTATE,
-              ORACLE_TTL, ORACLE_ANALYTIC):
+              ORACLE_TTL, ORACLE_ANALYTIC, ORACLE_EXT):
         out.update(d)
     return out
