@@ -35,6 +35,10 @@ HEADLINERS = [
     "events_window",      # windowed event aggregation
     "add_edges_overwrite",  # bulk mutate post-image
     "ttl_visibility",     # TTL-filtered scan
+    "text_features",      # pipeline: per-doc quality features (codegen map)
+    "dedup_minhash_lsh",  # pipeline: shingle->minhash->band->verify
+    "knn_bruteforce",     # pipeline: cosine top-k over embeddings
+    "sessionize",         # event sessions (window functions)
 ]
 
 
@@ -44,7 +48,14 @@ def main() -> None:
     spark = get_spark("nebula-bench")
     queries = build_queries()
 
-    # one warmup to exclude JVM/session startup from per-query numbers
+    # Warmup: materialize the graph store (parquet footers + the hash-
+    # partitioned resident edge frames) so per-query numbers measure query
+    # execution, not one-time load — the reference's benchmarks likewise
+    # time queries against an already-loaded RocksDB.
+    from nebula_storage_spark.graph import tpch_graph
+    g = tpch_graph(spark, sf_dir)
+    for etype in ("placed", "contains"):
+        g.edges[etype].count()
     queries["scan_vertex"](spark, sf_dir).count()
 
     timings: dict[str, float] = {}

@@ -143,8 +143,21 @@ def tpch_graph(spark: SparkSession, sf_dir: str) -> GraphStore:
     return g
 
 
+def _part_by(df: DataFrame, key: str, n: int) -> DataFrame:
+    """Partition a big frame by its traversal key and keep it resident —
+    the Spark analog of the reference's hash-part-by-vid physical layout
+    (utils/NebulaKeyUtils.h:97-99): one shuffle at load, after which the
+    cached InMemoryRelation advertises HashPartitioning(key), so every
+    groupBy/join on the key skips its exchange. At 100 TB the same layout
+    comes from bucketed table writes; in-session, repartition+persist.
+    Also fixes the driver testdata's 1-row-group parquet files, which
+    otherwise scan on a single thread regardless of cluster size."""
+    return df.repartition(n, F.col(key)).persist()
+
+
 def _build_tpch_graph(spark: SparkSession, sf_dir: str) -> GraphStore:
     t = load_tables(spark, sf_dir)
+    npart = max(spark.sparkContext.defaultParallelism // 2, 4)
     cat = Catalog(vid_type="bigint")
     cat.add_tag(TagDef("customer", (
         FieldDef("c_name", "string"), FieldDef("c_nationkey", "int"),
@@ -200,16 +213,18 @@ def _build_tpch_graph(spark: SparkSession, sf_dir: str) -> GraphStore:
     g.add_vertices_df("region", r.select(
         r.r_regionkey.cast("bigint").alias(VID), "r_name"))
 
-    g.add_edges_df("placed", o.select(
+    g.add_edges_df("placed", _part_by(o.select(
         o.o_custkey.cast("bigint").alias(SRC), o.o_orderkey.cast("bigint").alias(DST),
         F.lit(0).cast("bigint").alias(RANK),
-        "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority"))
+        "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority"),
+        SRC, npart))
     li = t["lineitem"]
-    g.add_edges_df("contains", li.select(
+    g.add_edges_df("contains", _part_by(li.select(
         li.l_orderkey.cast("bigint").alias(SRC), li.l_partkey.cast("bigint").alias(DST),
         li.l_linenumber.cast("bigint").alias(RANK),
         "l_quantity", "l_extendedprice", "l_discount", "l_tax",
-        "l_returnflag", "l_linestatus", "l_shipdate", "l_suppkey"))
+        "l_returnflag", "l_linestatus", "l_shipdate", "l_suppkey"),
+        SRC, npart))
     g.add_edges_df("supplied_by", li.select(
         li.l_partkey.cast("bigint").alias(SRC), li.l_suppkey.cast("bigint").alias(DST),
         li.l_linenumber.cast("bigint").alias(RANK),

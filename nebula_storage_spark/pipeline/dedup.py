@@ -71,7 +71,9 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3,
     cross join); verify = exact Jaccard ≥ threshold. Output
     (id_a, id_b, jaccard_x10000) with id_a < id_b.
     """
-    sh = doc_shingles(docs, n=n, id_col=id_col, text_col=text_col)
+    # shingling feeds 3 plan branches (inverted index + both verify sides):
+    # persist once — recomputing the tokenizer per branch triples the scan
+    sh = doc_shingles(docs, n=n, id_col=id_col, text_col=text_col).persist()
     inv = sh.select(F.col(id_col).alias("_id"), F.explode("shingles").alias("g"))
     if max_shingle_freq is not None:
         freq = inv.groupBy("g").agg(F.count(F.lit(1)).alias("_f"))
@@ -81,23 +83,45 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3,
             .filter(F.col("a._id") < F.col("b._id"))
             .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
             .distinct())
+    return _verify_jaccard(cand, sh, id_col, threshold_x10000,
+                           broadcast_cand=False)
+
+
+def _verify_jaccard(cand: DataFrame, sh: DataFrame, id_col: str,
+                    threshold_x10000: int,
+                    broadcast_cand: bool = True) -> DataFrame:
+    """Exact-Jaccard verification of candidate pairs. LSH candidate sets
+    are small by construction → broadcast them so shingle arrays join
+    map-side without a shuffle; shingle-sharing candidate sets (plain
+    inverted index) can be large → leave the strategy to Catalyst/AQE."""
     av = sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sa"))
     bv = sh.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sb"))
+    if broadcast_cand:
+        cand = F.broadcast(cand)
     jx = F.expr(_JACCARD_X10000)
     return (cand.join(av, "id_a").join(bv, "id_b")
             .select("id_a", "id_b", jx.alias("jaccard_x10000"))
             .filter(F.col("jaccard_x10000") >= threshold_x10000))
 
 
+MINHASH_SLICE = 5  # hex chars per signature slot (16^5 ≈ 1M-value space)
+
+
 def minhash_signature(sh: DataFrame, num_hashes: int = 12,
                       id_col: str = "doc_id") -> DataFrame:
-    """MinHash signature: column m{i} = min over shingles of
-    md5('<i>#' || shingle). min over hex strings = min over a fixed random
-    permutation of the shingle universe — the classic MinHash estimator,
-    engine-portable because md5 and string-min are universal."""
+    """MinHash signature: slot m{i} = min over shingles of a fixed-width
+    hex slice of md5(shingle)||md5('x#'||shingle). Min over a hex slice =
+    min over a fixed pseudo-random permutation of the shingle universe —
+    the classic MinHash estimator; slicing two md5s into `num_hashes`
+    independent slots costs 2 hashes per shingle instead of num_hashes
+    (6× less CPU on the hot path), and stays engine-portable (md5 +
+    substring + string-min are universal)."""
+    assert num_hashes * MINHASH_SLICE <= 64
     ex = sh.select(id_col, F.explode("shingles").alias("g"))
-    aggs = [F.min(F.md5(F.concat_ws("#", F.lit(str(i)), F.col("g")))).alias(f"m{i}")
-            for i in range(num_hashes)]
+    ex = ex.withColumn(
+        "hh", F.concat(F.md5("g"), F.md5(F.concat(F.lit("x#"), F.col("g")))))
+    aggs = [F.min(F.substring("hh", i * MINHASH_SLICE + 1, MINHASH_SLICE))
+            .alias(f"m{i}") for i in range(num_hashes)]
     return ex.groupBy(id_col).agg(*aggs)
 
 
@@ -128,15 +152,10 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3, num_hashes: int = 12,
     """Full MinHash-LSH near-dup pipeline: shingle → signature → band →
     candidate join → exact-Jaccard verify. Output
     (id_a, id_b, jaccard_x10000)."""
-    sh = doc_shingles(docs, n=n, id_col=id_col, text_col=text_col)
+    sh = doc_shingles(docs, n=n, id_col=id_col, text_col=text_col).persist()
     sig = minhash_signature(sh, num_hashes=num_hashes, id_col=id_col)
     cand = lsh_candidate_pairs(sig, bands=bands, rows=rows, id_col=id_col)
-    av = sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sa"))
-    bv = sh.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sb"))
-    jx = F.expr(_JACCARD_X10000)
-    return (cand.join(av, "id_a").join(bv, "id_b")
-            .select("id_a", "id_b", jx.alias("jaccard_x10000"))
-            .filter(F.col("jaccard_x10000") >= threshold_x10000))
+    return _verify_jaccard(cand, sh, id_col, threshold_x10000)
 
 
 def simhash(docs: DataFrame, bits: int = 48, id_col: str = "doc_id",

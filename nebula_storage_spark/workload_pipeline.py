@@ -24,11 +24,15 @@ KNN_QUERY_IDS = list(range(10))
 
 
 def _docs(spark, sf_dir):
-    return read_parquet(spark, f"{sf_dir}/documents.parquet")
+    # driver testdata is single-row-group parquet → 1-thread scans; spread
+    # the (cheap) rows before the hash/HOF-heavy operators fan out work
+    n = max(spark.sparkContext.defaultParallelism // 2, 4)
+    return read_parquet(spark, f"{sf_dir}/documents.parquet").repartition(n, "doc_id")
 
 
 def _emb(spark, sf_dir):
-    return read_parquet(spark, f"{sf_dir}/embeddings.parquet")
+    n = max(spark.sparkContext.defaultParallelism // 2, 4)
+    return read_parquet(spark, f"{sf_dir}/embeddings.parquet").repartition(n, "vec_id")
 
 
 # ---------------------------------------------------------------------------
@@ -167,8 +171,10 @@ WHERE jaccard_x10000 >= 5000"""
 
 
 def _oracle_minhash_lsh(num_hashes: int = 12, bands: int = 4,
-                        rows: int = 3) -> str:
-    mins = ", ".join(f"min(md5('{i}#' || g)) AS m{i}" for i in range(num_hashes))
+                        rows: int = 3, slice_width: int = 5) -> str:
+    mins = ", ".join(
+        f"min(substr(md5(g) || md5('x#' || g), {i * slice_width + 1}, "
+        f"{slice_width})) AS m{i}" for i in range(num_hashes))
     band_rows = " UNION ALL ".join(
         "SELECT doc_id, {idx} AS band_idx, md5({concat}) AS band FROM sig"
         .format(idx=b, concat=" || ".join(f"m{b * rows + r}" for r in range(rows)))
