@@ -1,7 +1,7 @@
 from .add import add_edges, add_vertices
 from .delete import delete_edges, delete_tags, delete_vertices
-from .upsert import upsert
+from .upsert import upsert, upsert_returning
 from .ttl import ttl_purge
 
 __all__ = ["add_vertices", "add_edges", "delete_vertices", "delete_tags",
-           "delete_edges", "upsert", "ttl_purge"]
+           "delete_edges", "upsert", "upsert_returning", "ttl_purge"]

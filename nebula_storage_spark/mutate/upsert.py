@@ -91,3 +91,17 @@ def upsert(table: DataFrame, batch: DataFrame, keys: Sequence[str],
              .otherwise(ins)                             # insert branch (insertable)
              .alias(c))
     return joined.select(*out_cols)
+
+
+def upsert_returning(table: DataFrame, batch: DataFrame, keys: Sequence[str],
+                     set_exprs: Mapping[str, Column | str],
+                     return_cols: Sequence[Column | str],
+                     **kwargs) -> DataFrame:
+    """UpdateResNode parity (exec/UpdateResultNode.h:18-79): run the upsert
+    and evaluate RETURN expressions on the post-image of the TOUCHED rows
+    only (the reference responds with one row per updated key)."""
+    post = upsert(table, batch, keys, set_exprs, **kwargs)
+    bk = batch.dropDuplicates(list(keys)).select(*keys)
+    return (post.join(F.broadcast(bk), list(keys), "left_semi")
+            .select(*[F.expr(c) if isinstance(c, str) else c
+                      for c in return_cols]))

@@ -1,0 +1,76 @@
+"""Whole-graph analytics — the "GraphX bridge" of SURVEY §7 M4, expressed
+DataFrame-native (PySpark has no GraphX binding; iterative DataFrame jobs
+are the idiomatic equivalent and let Catalyst/AQE optimize each step).
+
+PageRank here is **integer fixed-point**: ranks are scaled bigints,
+contributions use truncating integer division, damping is (85·x) DIV 100.
+Every iteration is exact integer arithmetic — order-independent sums,
+bit-identical across engines and partitionings — which makes an iterative
+algorithm oracle-comparable (the DuckDB oracle unrolls the same K steps).
+
+Scale: per iteration = one join (edges × ranks, both hash-partitioned on
+src) + one groupBy(dst). Persisting the degree-annotated edge frame keeps
+the per-iteration cost to a single shuffle of the contribution stream;
+ranks are tiny relative to edges. Pick `scale` so N·scale·85 < 2^63
+(scale=1e9 is safe to ~10^8 vertices; 1e6 to ~10^11).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..graph import DST, SRC
+
+
+def pagerank_fixed(edges: DataFrame, iterations: int = 5,
+                   scale: int = 10 ** 9, damping_pct: int = 85) -> DataFrame:
+    """K synchronous PageRank iterations over directed (src, dst) edges.
+
+    r0(v) = scale;  r_{t+1}(v) = ((100-d)·scale) DIV 100
+                                 + (d · Σ_{u→v} (r_t(u) DIV deg(u))) DIV 100
+
+    Output: (node, rank) with rank a scaled bigint. Dangling mass is
+    dropped (standard simplified formulation) — callers wanting none can
+    union reversed edges first so every node has out-degree ≥ 1.
+    """
+    jump = ((100 - damping_pct) * scale) // 100
+    nodes = (edges.select(F.col(SRC).alias("node"))
+             .union(edges.select(F.col(DST).alias("node"))).distinct())
+    deg = edges.groupBy(SRC).agg(F.count(F.lit(1)).alias("_deg"))
+    e = edges.select(SRC, DST).join(deg, SRC).persist()
+    ranks = nodes.select("node", F.lit(scale).cast("long").alias("rank"))
+    for _ in range(iterations):
+        contribs = (e.join(ranks, e[SRC] == ranks["node"])
+                    .select(F.col(DST).alias("node"),
+                            F.expr("rank DIV _deg").alias("_c")))
+        summed = contribs.groupBy("node").agg(F.sum("_c").alias("_s"))
+        ranks = (nodes.join(summed, "node", "left")
+                 .select("node",
+                         (F.lit(jump) + F.expr(
+                             f"({damping_pct} * coalesce(_s, CAST(0 AS BIGINT)))"
+                             " DIV 100")).cast("long").alias("rank")))
+    return ranks
+
+
+def pagerank_oracle_sql(edges_sql: str, iterations: int = 5,
+                        scale: int = 10 ** 9, damping_pct: int = 85) -> str:
+    """DuckDB oracle for pagerank_fixed: the same K steps unrolled as CTEs.
+    `edges_sql` must yield columns (src, dst)."""
+    jump = ((100 - damping_pct) * scale) // 100
+    parts = [
+        f"e AS ({edges_sql})",
+        "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e)",
+        "deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src)",
+        f"r0 AS (SELECT node, CAST({scale} AS BIGINT) AS rank FROM nodes)",
+    ]
+    for t in range(1, iterations + 1):
+        parts.append(
+            f"c{t} AS (SELECT e.dst AS node, sum(r.rank // d.deg) AS s "
+            f"FROM e JOIN deg d USING (src) JOIN r{t-1} r ON r.node = e.src "
+            f"GROUP BY e.dst)")
+        parts.append(
+            f"r{t} AS (SELECT n.node, CAST({jump} + ({damping_pct} * "
+            f"coalesce(c.s, 0)) // 100 AS BIGINT) AS rank "
+            f"FROM nodes n LEFT JOIN c{t} c USING (node))")
+    return ("WITH " + ",\n".join(parts)
+            + f"\nSELECT node, rank FROM r{iterations}")

@@ -468,7 +468,123 @@ def q_stream_window(spark, sf_dir):
     return stream_events_windowed(spark, sf_dir)
 
 
+def q_lookup_multi_index(spark, sf_dir):
+    """Multi-index-context union + DeDupNode (rows 24-25): two index scans
+    over the same table, unioned, deduped on the key."""
+    g = tpch_graph(spark, sf_dir)
+    part = g.tag_df("part")
+    a = lookup(part, [Hint.prefix("p_brand", "Brand#12")],
+               yield_cols=[VID, "p_name", "p_size"])
+    b = lookup(part, [Hint.range("p_size", 45, 50)],
+               yield_cols=[VID, "p_name", "p_size"])
+    return dedup(a.unionByName(b), [VID])
+
+
+def q_upsert_returning(spark, sf_dir):
+    """UpdateResNode parity (row 30): RETURN expressions evaluated on the
+    post-image of touched rows only."""
+    from .mutate import upsert_returning
+    g = tpch_graph(spark, sf_dir)
+    table = g.vertices["customer"]
+    batch = table.filter(F.col(VID) < 100).select(VID)
+    return upsert_returning(
+        table, batch, [VID], {"c_acctbal": "t.c_acctbal + 100"},
+        return_cols=[VID, "c_name",
+                     F.round("c_acctbal", 2).alias("c_acctbal")],
+        condition="t.c_acctbal < 1000", insertable=False)
+
+
+def q_delete_tag_rows(spark, sf_dir):
+    """DeleteTagsProcessor parity (row 31): drop one tag's rows for a vid
+    set; other tags and edges are untouched."""
+    from .mutate import delete_tags
+    g = tpch_graph(spark, sf_dir)
+    post = delete_tags(g.vertices["customer"], _seeds(spark, 100))
+    return post.filter(F.col(VID) < 300).select(VID, "c_name")
+
+
+def q_ttl_purge(spark, sf_dir):
+    """Compaction-filter purge (row 33) as a retention rewrite, with the
+    clock advanced 5 days past the read-filter fixture."""
+    from .mutate import ttl_purge
+    g = _events_store(spark, sf_dir)
+    purged = ttl_purge(g.vertices["event"], g.catalog.tags["event"],
+                       TTL_NOW + 5 * 86400)
+    return purged.select(VID, "ts_epoch", "event_type")
+
+
+def q_fulltext_search(spark, sf_dir):
+    """Fulltext-flavored predicates (row 34): prefix / wildcard / regexp /
+    fuzzy (edit-distance), served natively instead of delegating to ES."""
+    from .workload_pipeline import _docs
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        F.col("text").startswith("key").alias("prefix_hit"),
+        F.col("text").like("%window merge%").alias("wildcard_hit"),
+        F.col("text").rlike("spark (join|merge)").alias("regexp_hit"),
+        (F.levenshtein(F.col("lang"), F.lit("en")) <= 1).alias("fuzzy_hit"))
+
+
+def q_degree_stats(spark, sf_dir):
+    """StatisTask degree histogram (row 17): out-degree distribution of the
+    contains edge."""
+    g = tpch_graph(spark, sf_dir)
+    deg = (g.edge_df("contains").groupBy(SRC)
+           .agg(F.count(F.lit(1)).alias("out_degree")))
+    return deg.groupBy("out_degree").agg(F.count(F.lit(1)).alias("n_vertices"))
+
+
+def q_pagerank(spark, sf_dir):
+    """DataFrame-iterative PageRank (the GraphX-bridge analytics path),
+    integer fixed-point for oracle determinism, over the undirected-ized
+    customer↔order graph."""
+    from .operators import pagerank_fixed
+    g = tpch_graph(spark, sf_dir)
+    placed = g.edges["placed"].select(SRC, DST)
+    # order keys overlap customer keys numerically — offset one side so the
+    # two vertex domains stay disjoint, then undirected-ize
+    fwd = placed.select(F.col(SRC).alias(SRC),
+                        (F.col(DST) + 10_000_000).alias(DST))
+    edges = fwd.union(fwd.select(F.col(DST).alias(SRC), F.col(SRC).alias(DST)))
+    return pagerank_fixed(edges, iterations=5)
+
+
+def _oracle_pagerank() -> str:
+    from .operators import pagerank_oracle_sql
+    edges_sql = (
+        "SELECT o_custkey AS src, o_orderkey + 10000000 AS dst FROM orders "
+        "UNION ALL "
+        "SELECT o_orderkey + 10000000 AS src, o_custkey AS dst FROM orders")
+    return pagerank_oracle_sql(edges_sql, iterations=5)
+
+
 ORACLE_EXT = {
+    "lookup_multi_index":
+        "SELECT DISTINCT p_partkey AS _vid, p_name, p_size FROM part "
+        "WHERE p_brand = 'Brand#12' OR (p_size >= 45 AND p_size < 50)",
+    "upsert_returning":
+        "SELECT c_custkey AS _vid, c_name, "
+        "round(CASE WHEN c_acctbal < 1000 THEN c_acctbal + 100 "
+        "ELSE c_acctbal END, 2) AS c_acctbal FROM customer "
+        "WHERE c_custkey < 100",
+    "delete_tag_rows":
+        "SELECT c_custkey AS _vid, c_name FROM customer "
+        "WHERE c_custkey >= 100 AND c_custkey < 300",
+    "ttl_purge":
+        "SELECT event_id AS _vid, CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch, "
+        "event_type FROM events "
+        f"WHERE floor(epoch(ts)) + {TTL_DURATION} > {TTL_NOW + 5 * 86400}",
+    "fulltext_search":
+        "SELECT doc_id, starts_with(text, 'key') AS prefix_hit, "
+        "text LIKE '%window merge%' AS wildcard_hit, "
+        "regexp_matches(text, 'spark (join|merge)') AS regexp_hit, "
+        "levenshtein(lang, 'en') <= 1 AS fuzzy_hit FROM documents",
+    "degree_stats":
+        "SELECT out_degree, count(*) AS n_vertices FROM ("
+        "SELECT l_orderkey, count(*) AS out_degree FROM lineitem "
+        "GROUP BY l_orderkey) GROUP BY out_degree",
+    "pagerank": None,  # filled right below (generated SQL)
     "kv_ops": """
 WITH kv AS (SELECT 'c:' || CAST(c_custkey AS VARCHAR) AS key, c_name AS value
             FROM customer),
@@ -530,6 +646,7 @@ FROM s GROUP BY user_id, session_idx""",
         "round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) "
         "AS sum_value FROM events GROUP BY date_trunc('hour', ts), event_type",
 }
+ORACLE_EXT["pagerank"] = _oracle_pagerank()
 
 
 # ---------------------------------------------------------------------------
@@ -677,6 +794,13 @@ def _core_queries() -> dict[str, Query]:
         "expr_surface": q_expr_surface,
         "sessionize": q_sessionize,
         "stream_window": q_stream_window,
+        "lookup_multi_index": q_lookup_multi_index,
+        "upsert_returning": q_upsert_returning,
+        "delete_tag_rows": q_delete_tag_rows,
+        "ttl_purge": q_ttl_purge,
+        "fulltext_search": q_fulltext_search,
+        "degree_stats": q_degree_stats,
+        "pagerank": q_pagerank,
     }
 
 
