@@ -535,6 +535,70 @@ def q_degree_stats(spark, sf_dir):
     return deg.groupBy("out_degree").agg(F.count(F.lit(1)).alias("n_vertices"))
 
 
+def q_go_grouped(spark, sf_dir):
+    """GetNeighborsNode output-shape parity (§3.1 step 5): ONE row per seed
+    vertex with its edge list as a nested cell. The list cell is surfaced
+    as a sorted ';'-joined string so the oracle hash-compares across
+    engines (nested-type stringification differs engine-to-engine)."""
+    g = tpch_graph(spark, sf_dir)
+    edges = get_neighbors(g, _seeds(spark, 80), "placed",
+                          edge_props=["o_totalprice"])
+    item = F.expr("concat(CAST(_dst AS STRING), ':', "
+                  "CAST(CAST(floor(o_totalprice * 100) AS BIGINT) AS STRING))")
+    return (edges.groupBy(VID)
+            .agg(F.count(F.lit(1)).alias("degree"),
+                 F.array_join(F.sort_array(F.collect_list(item)), ";")
+                 .alias("edge_cell")))
+
+
+def q_schema_evolution(spark, sf_dir):
+    """Multi-version schema decode parity (§1.3): rows written under an
+    old schema version (no c_mktsegment column) are read alongside new
+    rows via parquet schema-merge, with the missing field filled from the
+    latest schema's default — the reference's decode-with-writer-version +
+    default-from-latest-schema (RowWriterV2.h:37-47, QueryUtils.h:80-89)."""
+    import os
+    g = tpch_graph(spark, sf_dir)
+    c = g.vertices["customer"]
+    base = f"/tmp/nebula_spark_schema_evo/{os.path.basename(sf_dir.rstrip('/'))}"
+    # v1 writer: schema version without c_mktsegment (vids < 500)
+    (c.filter(F.col(VID) < 500).select(VID, "c_name", "c_acctbal")
+     .write.mode("overwrite").parquet(f"{base}/v=1"))
+    # v2 writer: adds c_mktsegment
+    (c.filter(F.col(VID) >= 500).select(VID, "c_name", "c_acctbal", "c_mktsegment")
+     .write.mode("overwrite").parquet(f"{base}/v=2"))
+    merged = spark.read.option("mergeSchema", "true").parquet(base)
+    return merged.select(
+        VID, "c_name", F.round("c_acctbal", 2).alias("c_acctbal"),
+        F.coalesce(F.col("c_mktsegment"), F.lit("UNKNOWN")).alias("c_mktsegment"))
+
+
+def q_fetch_string_vids(spark, sf_dir):
+    """String-VID space parity (§1.1: vid is fixed-len string or int64 per
+    space; fixed-string pad/trim at QueryUtils.h:107): key customers by a
+    FIXED_STRING(12)-style vid and point-fetch."""
+    g = tpch_graph(spark, sf_dir)
+    c = g.vertices["customer"]
+    svid = F.concat(F.lit("C"), F.lpad(F.col(VID).cast("string"), 8, "0"))
+    tagged = c.select(svid.alias(VID), "c_name", "c_acctbal")
+    cat = Catalog(vid_type="string")
+    cat.add_tag(TagDef("customer_s", (FieldDef("c_name", "string"),
+                                      FieldDef("c_acctbal", "double"))))
+    gs = GraphStore(catalog=cat)
+    gs.add_vertices_df("customer_s", tagged)
+    out = fetch_vertices(gs, "customer_s",
+                         ["C00000001", "C00000777", "C99999999"])
+    return out.select(VID, "c_name", F.round("c_acctbal", 2).alias("c_acctbal"))
+
+
+def q_stream_stateful_count(spark, sf_dir):
+    """Custom stateful streaming operator (applyInPandasWithState): running
+    per-event-type counters driven by a real streaming query; AvailableNow
+    over one snapshot makes the final state oracle-comparable."""
+    from .streaming.stateful import stream_stateful_counts
+    return stream_stateful_counts(spark, sf_dir)
+
+
 def q_pagerank(spark, sf_dir):
     """DataFrame-iterative PageRank (the GraphX-bridge analytics path),
     integer fixed-point for oracle determinism, over the undirected-ized
@@ -647,6 +711,23 @@ FROM s GROUP BY user_id, session_idx""",
         "AS sum_value FROM events GROUP BY date_trunc('hour', ts), event_type",
 }
 ORACLE_EXT["pagerank"] = _oracle_pagerank()
+ORACLE_EXT["go_grouped"] = (
+    "SELECT o_custkey AS _vid, count(*) AS degree, "
+    "string_agg(CAST(o_orderkey AS VARCHAR) || ':' || "
+    "CAST(CAST(floor(o_totalprice * 100) AS BIGINT) AS VARCHAR), ';' "
+    "ORDER BY CAST(o_orderkey AS VARCHAR) || ':' || "
+    "CAST(CAST(floor(o_totalprice * 100) AS BIGINT) AS VARCHAR)) AS edge_cell "
+    "FROM orders WHERE o_custkey < 80 GROUP BY o_custkey")
+ORACLE_EXT["schema_evolution"] = (
+    "SELECT c_custkey AS _vid, c_name, round(c_acctbal, 2) AS c_acctbal, "
+    "CASE WHEN c_custkey < 500 THEN 'UNKNOWN' ELSE c_mktsegment END "
+    "AS c_mktsegment FROM customer")
+ORACLE_EXT["fetch_string_vids"] = (
+    "SELECT 'C' || lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS _vid, "
+    "c_name, round(c_acctbal, 2) AS c_acctbal FROM customer "
+    "WHERE c_custkey IN (1, 777)")
+ORACLE_EXT["stream_stateful_count"] = (
+    "SELECT event_type, count(*) AS cnt FROM events GROUP BY event_type")
 
 
 # ---------------------------------------------------------------------------
@@ -801,6 +882,10 @@ def _core_queries() -> dict[str, Query]:
         "fulltext_search": q_fulltext_search,
         "degree_stats": q_degree_stats,
         "pagerank": q_pagerank,
+        "go_grouped": q_go_grouped,
+        "schema_evolution": q_schema_evolution,
+        "fetch_string_vids": q_fetch_string_vids,
+        "stream_stateful_count": q_stream_stateful_count,
     }
 
 
