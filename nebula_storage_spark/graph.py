@@ -51,6 +51,7 @@ class GraphStore:
     catalog: Catalog
     vertices: dict[str, DataFrame] = field(default_factory=dict)
     edges: dict[str, DataFrame] = field(default_factory=dict)
+    reverse_edges: dict[str, DataFrame] = field(default_factory=dict)
     now: int | None = None
 
     def add_vertices_df(self, tag: str, df: DataFrame) -> "GraphStore":
@@ -73,6 +74,28 @@ class GraphStore:
 
     def edge_df(self, etype: str) -> DataFrame:
         df = self.edges[etype]
+        sch = self.catalog.edges.get(etype)
+        return apply_read_semantics(df, sch, self.now) if sch else df
+
+    def build_reverse_projection(self, etype: str,
+                                 num_partitions: int = 16) -> "GraphStore":
+        """Materialize a dst-partitioned copy of one edge type — the
+        reference's stored in-edge record (every edge written twice, the
+        reverse keyed by dst with negative edgeType,
+        QueryBaseProcessor.inl:209-234). IN-direction traversal reads this
+        copy and gets the same shuffle-free properties as OUT reads from
+        the src-partitioned primary; the cost is the reference's own
+        trade: 2× edge storage/write amplification. Idempotent."""
+        if etype not in self.reverse_edges:
+            self.reverse_edges[etype] = (
+                self.edges[etype].repartition(num_partitions, F.col(DST))
+                .persist())
+        return self
+
+    def reverse_edge_df(self, etype: str) -> DataFrame:
+        """dst-partitioned frame for IN-direction reads; falls back to the
+        primary (dst-side join still correct, just shuffles)."""
+        df = self.reverse_edges.get(etype, self.edges[etype])
         sch = self.catalog.edges.get(etype)
         return apply_read_semantics(df, sch, self.now) if sch else df
 

@@ -58,8 +58,12 @@ def _seed_df(store: GraphStore, spark, vids) -> DataFrame:
 
 def _edges_for(store: GraphStore, etype: str, direction: str,
                edge_props: Sequence[str] | None) -> DataFrame:
-    """One edge type in one direction as (join_vid, _type, _src, _dst, _rank, props)."""
-    e = store.edge_df(etype)
+    """One edge type in one direction as (join_vid, _type, _src, _dst, _rank, props).
+
+    IN direction prefers the dst-partitioned reverse projection when the
+    store has one (GraphStore.build_reverse_projection — the reference's
+    stored in-edge copy)."""
+    e = store.reverse_edge_df(etype) if direction == "in" else store.edge_df(etype)
     props = list(edge_props) if edge_props is not None else \
         [c for c in e.columns if c not in (SRC, DST, RANK)]
     sign = "+" if direction == "out" else "-"
@@ -108,11 +112,18 @@ def get_neighbors(store: GraphStore, vids, over: Sequence[str] | str,
     out = F.broadcast(seeds).join(edges, VID, "inner")
 
     if vertex_tag:
-        v = store.tag_df(vertex_tag)
-        vcols = [VID] + (list(vertex_props) if vertex_props is not None
-                         else [c for c in v.columns if c != VID])
-        # missing tag ⇒ NULL props (left-outer flavor, HashJoinNode.h:133-152)
-        out = out.join(F.broadcast(v.select(*vcols)), VID, "left")
+        # multi-tag vertices: one row per tag in the reference
+        # (AddVerticesProcessor.cpp:83-124); traversal output carries every
+        # requested tag's props side by side (TagNodes fan-in at
+        # HashJoinNode). Accepts "tag" or [("tag", [props…]), …].
+        tag_specs = ([(vertex_tag, vertex_props)] if isinstance(vertex_tag, str)
+                     else [(t, p) for t, p in vertex_tag])
+        for tag, props in tag_specs:
+            v = store.tag_df(tag)
+            vcols = [VID] + (list(props) if props is not None
+                             else [c for c in v.columns if c != VID])
+            # missing tag ⇒ NULL props (left-outer, HashJoinNode.h:133-152)
+            out = out.join(F.broadcast(v.select(*vcols)), VID, "left")
 
     if edge_filter is not None:
         pred = F.expr(edge_filter) if isinstance(edge_filter, str) else edge_filter

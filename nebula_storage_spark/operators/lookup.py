@@ -63,10 +63,12 @@ def lookup(df: DataFrame, hints: Sequence[Hint] = (),
     """
     seen_range = False
     for h in hints:
+        if seen_range:
+            # nothing may follow a RANGE hint: equality prefix first, at
+            # most one trailing range (IndexScanNode.h:27-41)
+            raise ValueError("only the last column hint may be a RANGE "
+                             "(IndexScanNode.h:27-41)")
         if h.eq is None:
-            if seen_range:
-                raise ValueError("only the last column hint may be a RANGE "
-                                 "(IndexScanNode.h:27-41)")
             seen_range = True
     out = df
     for h in hints:

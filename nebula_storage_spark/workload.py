@@ -591,6 +591,44 @@ def q_fetch_string_vids(spark, sf_dir):
     return out.select(VID, "c_name", F.round("c_acctbal", 2).alias("c_acctbal"))
 
 
+def q_go_multi_tag(spark, sf_dir):
+    """Multi-tag vertex traversal (§1.1: one row per tag per vertex,
+    AddVerticesProcessor.cpp:83-124): props of TWO tags on the same vid
+    domain carried side by side in the traversal output."""
+    from .catalog import EdgeDef
+    g = tpch_graph(spark, sf_dir)
+    c = g.vertices["customer"]
+    cat = Catalog(vid_type="bigint")
+    cat.add_tag(TagDef("profile", (FieldDef("c_name", "string"),)))
+    cat.add_tag(TagDef("account", (FieldDef("c_acctbal", "double"),)))
+    s = GraphStore(catalog=cat)
+    s.add_vertices_df("profile", c.select(VID, "c_name"))
+    s.add_vertices_df("account", c.select(VID, "c_acctbal"))
+    s.edges["placed"] = g.edges["placed"]
+    return get_neighbors(s, _seeds(spark, 40), "placed",
+                         vertex_tag=[("profile", ["c_name"]),
+                                     ("account", ["c_acctbal"])],
+                         edge_props=["o_totalprice"])
+
+
+def q_go_in_projected(spark, sf_dir):
+    """IN-direction traversal over the materialized reverse projection
+    (the reference's stored in-edge copy) — same results as a dst-side
+    join on the primary, shuffle-free on the dst-partitioned copy."""
+    g = tpch_graph(spark, sf_dir)
+    g.build_reverse_projection("contains")
+    return get_neighbors(g, _seeds(spark, 40), "contains", direction="in",
+                         edge_props=["l_quantity", "l_returnflag"])
+
+
+def q_corpus_curation(spark, sf_dir):
+    """End-to-end curation capstone: quality gate + MinHash-LSH near-dup
+    removal in one composed pipeline."""
+    from .pipeline.curate import curate_corpus
+    from .workload_pipeline import _docs
+    return curate_corpus(_docs(spark, sf_dir), min_quality=60)
+
+
 def q_stream_stateful_count(spark, sf_dir):
     """Custom stateful streaming operator (applyInPandasWithState): running
     per-event-type counters driven by a real streaming query; AvailableNow
@@ -728,6 +766,26 @@ ORACLE_EXT["fetch_string_vids"] = (
     "WHERE c_custkey IN (1, 777)")
 ORACLE_EXT["stream_stateful_count"] = (
     "SELECT event_type, count(*) AS cnt FROM events GROUP BY event_type")
+ORACLE_EXT["go_multi_tag"] = (
+    f"SELECT {_GO_COLS}, o_totalprice, c_name, c_acctbal "
+    "FROM orders JOIN customer ON c_custkey = o_custkey "
+    "WHERE o_custkey < 40")
+ORACLE_EXT["go_in_projected"] = (
+    "SELECT l_partkey AS _vid, '-contains' AS _type, l_orderkey AS _src, "
+    "l_partkey AS _dst, CAST(l_linenumber AS BIGINT) AS _rank, "
+    "l_quantity, l_returnflag FROM lineitem WHERE l_partkey < 40")
+
+
+def _oracle_curation() -> str:
+    from .workload_pipeline import (_oracle_minhash_lsh,
+                                    _oracle_text_features)
+    return (
+        "SELECT doc_id, quality FROM (" + _oracle_text_features() + ") tf "
+        "WHERE quality >= 60 AND doc_id NOT IN "
+        "(SELECT DISTINCT id_b FROM (" + _oracle_minhash_lsh() + ") p)")
+
+
+ORACLE_EXT["corpus_curation"] = _oracle_curation()
 
 
 # ---------------------------------------------------------------------------
@@ -886,6 +944,9 @@ def _core_queries() -> dict[str, Query]:
         "schema_evolution": q_schema_evolution,
         "fetch_string_vids": q_fetch_string_vids,
         "stream_stateful_count": q_stream_stateful_count,
+        "go_multi_tag": q_go_multi_tag,
+        "go_in_projected": q_go_in_projected,
+        "corpus_curation": q_corpus_curation,
     }
 
 

@@ -1,0 +1,111 @@
+"""Per-operator golden tests over tiny synthetic frames — the reference's
+unit-test taxonomy (SURVEY §5: NULL semantics, upsert conditions, dedup
+keep-rule, hint validation, KV overwrite, session gaps) on cases the
+TPC-H-shaped oracle queries don't isolate."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_exact_dedup_keeps_lowest_id(spark):
+    from nebula_storage_spark.pipeline.dedup import exact_dedup
+    docs = spark.createDataFrame(
+        [(3, "same text"), (1, "same text"), (2, "other"), (9, "same text")],
+        "doc_id bigint, text string")
+    kept = {r.doc_id for r in exact_dedup(docs).collect()}
+    assert kept == {1, 2}
+
+
+def test_upsert_condition_filter_out_leaves_row(spark):
+    from nebula_storage_spark.mutate import upsert
+    t = spark.createDataFrame([(1, 10.0), (2, 2000.0)], "_vid bigint, bal double")
+    b = spark.createDataFrame([(1,), (2,)], "_vid bigint")
+    post = upsert(t, b, ["_vid"], {"bal": "t.bal + 5"},
+                  condition="t.bal < 100", insertable=False)
+    got = {r._vid: r.bal for r in post.collect()}
+    assert got == {1: 15.0, 2: 2000.0}  # 2 filtered out (E_FILTER_OUT)
+
+
+def test_upsert_not_insertable_drops_absent_keys(spark):
+    from nebula_storage_spark.mutate import upsert
+    t = spark.createDataFrame([(1, 10.0)], "_vid bigint, bal double")
+    b = spark.createDataFrame([(1,), (99,)], "_vid bigint")
+    post = upsert(t, b, ["_vid"], {"bal": "t.bal + 5"}, insertable=False)
+    assert {r._vid for r in post.collect()} == {1}
+
+
+def test_hint_range_must_be_last(spark):
+    from nebula_storage_spark.operators.lookup import Hint, lookup
+    df = spark.range(3).select(F.col("id").alias("a"), F.col("id").alias("b"))
+    with pytest.raises(ValueError):
+        lookup(df, [Hint.range("a", 0, 2), Hint.prefix("b", 1)])
+
+
+def test_kv_put_overwrites_and_remove(spark):
+    from nebula_storage_spark.operators import kv_put, kv_remove
+    kv = spark.createDataFrame([("a", "1"), ("b", "2")], "key string, value string")
+    batch = spark.createDataFrame([("a", "X"), ("c", "3")], "key string, value string")
+    rm = spark.createDataFrame([("b",)], "key string")
+    got = {r.key: r.value for r in kv_remove(kv_put(kv, batch), rm).collect()}
+    assert got == {"a": "X", "c": "3"}
+
+
+def test_sessionize_gap_splits(spark):
+    from nebula_storage_spark.operators import sessionize
+    ev = spark.createDataFrame(
+        [(1, 100, 0), (1, 200, 1), (1, 5000, 2), (2, 100, 3)],
+        "user_id bigint, ts_epoch bigint, event_id bigint")
+    out = {(r.user_id, r.session_idx): r.n_events
+           for r in sessionize(ev, gap_seconds=1000).collect()}
+    assert out == {(1, 1): 2, (1, 2): 1, (2, 1): 1}
+
+
+def test_filter_null_drops_row(spark):
+    """FilterNode NULL ⇒ row dropped (FilterNode.h:64-77)."""
+    df = spark.createDataFrame([(1, 5.0), (2, None)], "_vid bigint, x double")
+    assert df.filter("x > 1").count() == 1
+
+
+def test_pagerank_deterministic_and_mass_bounded(spark):
+    from nebula_storage_spark.operators import pagerank_fixed
+    e = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 1)], "_src bigint, _dst bigint")
+    r1 = {r.node: r.rank for r in pagerank_fixed(e, iterations=3).collect()}
+    r2 = {r.node: r.rank for r in pagerank_fixed(e, iterations=3).collect()}
+    assert r1 == r2                       # bit-identical across runs
+    assert set(r1) == {1, 2, 3}
+    scale = 10 ** 9
+    assert all(0 < v <= 3 * scale for v in r1.values())
+
+
+def test_knn_excludes_self(spark):
+    from nebula_storage_spark.pipeline.similarity import knn_bruteforce
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(4)],
+        "vec_id bigint, embedding array<float>")
+    out = knn_bruteforce(emb, [0], k=3)
+    assert all(r.n_id != 0 for r in out.collect())
+
+
+def test_minhash_lsh_finds_planted_near_dup(spark):
+    from nebula_storage_spark.pipeline.dedup import minhash_lsh_pairs
+    base = " ".join(f"w{i}" for i in range(40))
+    near = " ".join(f"w{i}" for i in range(39)) + " zz"
+    other = " ".join(f"x{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [(1, base), (2, near), (3, other)], "doc_id bigint, text string")
+    pairs = {(r.id_a, r.id_b) for r in minhash_lsh_pairs(docs).collect()}
+    assert pairs == {(1, 2)}
+
+
+def test_scan_cursor_pages_disjoint(spark, sf_dir):
+    from nebula_storage_spark.graph import tpch_graph
+    from nebula_storage_spark.operators import scan_vertex
+    g = tpch_graph(spark, sf_dir)
+    p1 = scan_vertex(g, "customer", props=["c_name"], limit=10)
+    last = max(r._vid for r in p1.collect())
+    p2 = scan_vertex(g, "customer", props=["c_name"], limit=10, cursor=last)
+    ids2 = {r._vid for r in p2.collect()}
+    assert all(v > last for v in ids2) and len(ids2) == 10
