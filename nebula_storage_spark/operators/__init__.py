@@ -7,11 +7,14 @@ from .dedup import dedup
 from .kv import kv_get, kv_put, kv_remove, kv_scan_prefix
 from .index_rebuild import rebuild_index
 from .sessionize import sessionize
-from .analytics import pagerank_fixed, pagerank_oracle_sql
+from .analytics import (connected_components_fixed,
+                        connected_components_oracle_sql,
+                        pagerank_fixed, pagerank_oracle_sql)
 
 __all__ = [
     "get_neighbors", "go_stats", "lookup", "scan_vertex", "scan_edge",
     "fetch_vertices", "fetch_edges", "stats_task", "dedup",
     "kv_get", "kv_put", "kv_remove", "kv_scan_prefix",
     "rebuild_index", "sessionize", "pagerank_fixed", "pagerank_oracle_sql",
+    "connected_components_fixed", "connected_components_oracle_sql",
 ]

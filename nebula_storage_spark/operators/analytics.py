@@ -52,6 +52,51 @@ def pagerank_fixed(edges: DataFrame, iterations: int = 5,
     return ranks
 
 
+def connected_components_fixed(edges: DataFrame,
+                               iterations: int = 3) -> DataFrame:
+    """K rounds of synchronous min-label propagation over the
+    undirected-ized edge set. Labels are vertex ids (integers) and every
+    step is an integer min — bit-deterministic, so a fixed iteration count
+    is oracle-comparable even before convergence. Output: (node, label);
+    after convergence label = min vid of the component.
+
+    Scale: per round = one join (edges × labels on dst) + one min-groupBy;
+    same shuffle profile as pagerank_fixed. Large-diameter graphs want
+    the large-star/small-star variant; K-round propagation is the
+    building block both share.
+    """
+    und = (edges.select(SRC, DST)
+           .union(edges.select(F.col(DST).alias(SRC), F.col(SRC).alias(DST))))
+    nodes = und.select(F.col(SRC).alias("node")).distinct()
+    labels = nodes.select("node", F.col("node").alias("label"))
+    for _ in range(iterations):
+        nbr = (und.join(labels, und[DST] == labels["node"])
+               .select(F.col(SRC).alias("node"), "label"))
+        labels = (labels.union(nbr)
+                  .groupBy("node").agg(F.min("label").alias("label")))
+    return labels
+
+
+def connected_components_oracle_sql(edges_sql: str,
+                                    iterations: int = 3) -> str:
+    """DuckDB oracle: the same K min-label rounds unrolled as CTEs.
+    `edges_sql` must yield columns (src, dst)."""
+    parts = [
+        f"e0 AS ({edges_sql})",
+        "e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0)",
+        "nodes AS (SELECT DISTINCT src AS node FROM e)",
+        "l0 AS (SELECT node, node AS label FROM nodes)",
+    ]
+    for t in range(1, iterations + 1):
+        parts.append(
+            f"l{t} AS (SELECT node, min(label) AS label FROM ("
+            f"SELECT node, label FROM l{t-1} "
+            f"UNION ALL SELECT e.src AS node, l.label FROM e "
+            f"JOIN l{t-1} l ON l.node = e.dst) GROUP BY node)")
+    return ("WITH " + ",\n".join(parts)
+            + f"\nSELECT node, label FROM l{iterations}")
+
+
 def pagerank_oracle_sql(edges_sql: str, iterations: int = 5,
                         scale: int = 10 ** 9, damping_pct: int = 85) -> str:
     """DuckDB oracle for pagerank_fixed: the same K steps unrolled as CTEs.

@@ -629,6 +629,39 @@ def q_corpus_curation(spark, sf_dir):
     return curate_corpus(_docs(spark, sf_dir), min_quality=60)
 
 
+def q_connected_components(spark, sf_dir):
+    """Fixed-iteration min-label propagation (the second GraphX-bridge
+    algorithm) over the same offset bipartite graph as pagerank."""
+    from .operators import connected_components_fixed
+    g = tpch_graph(spark, sf_dir)
+    placed = g.edges["placed"].select(SRC, DST)
+    edges = placed.select(F.col(SRC).alias(SRC),
+                          (F.col(DST) + 10_000_000).alias(DST))
+    return connected_components_fixed(edges, iterations=3)
+
+
+def q_vocab_topk(spark, sf_dir):
+    """Corpus vocabulary top-k (token histogram — the wordcount of
+    training-data pipelines), deterministic ties by token."""
+    from .workload_pipeline import _docs
+    tok = (_docs(spark, sf_dir)
+           .select(F.explode(F.split("text", " ")).alias("token")))
+    counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    w = W.orderBy(F.col("cnt").desc(), "token")
+    return (counts.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= 20).drop("_rn"))
+
+
+def q_dedup_ngram_pruned(spark, sf_dir):
+    """n-gram Jaccard with stop-shingle pruning (max_shingle_freq): the
+    skew-mitigation path — boilerplate shingles are dropped from the
+    inverted index before the candidate join."""
+    from .pipeline import ngram_jaccard_pairs
+    from .workload_pipeline import _docs
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), n=3,
+                               threshold_x10000=5000, max_shingle_freq=20)
+
+
 def q_stream_stateful_count(spark, sf_dir):
     """Custom stateful streaming operator (applyInPandasWithState): running
     per-event-type counters driven by a real streaming query; AvailableNow
@@ -786,6 +819,40 @@ def _oracle_curation() -> str:
 
 
 ORACLE_EXT["corpus_curation"] = _oracle_curation()
+
+
+def _oracle_cc() -> str:
+    from .operators import connected_components_oracle_sql
+    edges_sql = ("SELECT o_custkey AS src, o_orderkey + 10000000 AS dst "
+                 "FROM orders")
+    return connected_components_oracle_sql(edges_sql, iterations=3)
+
+
+ORACLE_EXT["connected_components"] = _oracle_cc()
+ORACLE_EXT["vocab_topk"] = (
+    "SELECT token, cnt FROM ("
+    "SELECT token, count(*) AS cnt FROM ("
+    "SELECT unnest(string_split(text, ' ')) AS token FROM documents) "
+    "GROUP BY token) "
+    "QUALIFY row_number() OVER (ORDER BY cnt DESC, token) <= 20")
+
+
+def _oracle_ngram_pruned() -> str:
+    from .workload_pipeline import _SHINGLES_CTE, _JACCARD_SQL
+    return f"""
+WITH {_SHINGLES_CTE},
+inv0 AS (SELECT doc_id, unnest(s) AS g FROM sh),
+inv AS (SELECT * FROM inv0 WHERE g IN (
+  SELECT g FROM inv0 GROUP BY g HAVING count(*) <= 20)),
+cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM inv a JOIN inv b USING (g) WHERE a.doc_id < b.doc_id)
+SELECT * FROM (
+  SELECT id_a, id_b, {_JACCARD_SQL} AS jaccard_x10000
+  FROM cand JOIN sh x ON x.doc_id = id_a JOIN sh y ON y.doc_id = id_b)
+WHERE jaccard_x10000 >= 5000"""
+
+
+ORACLE_EXT["dedup_ngram_pruned"] = _oracle_ngram_pruned()
 
 
 # ---------------------------------------------------------------------------
@@ -947,6 +1014,9 @@ def _core_queries() -> dict[str, Query]:
         "go_multi_tag": q_go_multi_tag,
         "go_in_projected": q_go_in_projected,
         "corpus_curation": q_corpus_curation,
+        "connected_components": q_connected_components,
+        "vocab_topk": q_vocab_topk,
+        "dedup_ngram_pruned": q_dedup_ngram_pruned,
     }
 
 
