@@ -86,6 +86,43 @@ class Catalog:
         self.edges[edge.name] = edge
         return self
 
+    # -- DDL surface (metad schemaMan parity: CreateTagProcessor.cpp:13-87,
+    #    AlterTagProcessor.cpp, DropTagProcessor.cpp). ALTER in the
+    #    reference mints a new schema VERSION and old rows decode with
+    #    their writer version; here the catalog holds the latest schema
+    #    and apply_read_semantics repairs older rows (missing field ->
+    #    default / NULL) at load — same observable results. --
+
+    def alter_add_field(self, name: str, fld: FieldDef,
+                        is_edge: bool = False) -> "Catalog":
+        store = self.edges if is_edge else self.tags
+        old = store[name]
+        if any(f.name == fld.name for f in old.fields):
+            raise ValueError(f"{name}: field {fld.name} already exists")
+        store[name] = type(old)(old.name, old.fields + (fld,),
+                                old.ttl_col, old.ttl_duration)
+        return self
+
+    def alter_drop_field(self, name: str, field_name: str,
+                         is_edge: bool = False) -> "Catalog":
+        store = self.edges if is_edge else self.tags
+        old = store[name]
+        if old.ttl_col == field_name:
+            raise ValueError(f"{name}: cannot drop TTL column {field_name}")
+        kept = tuple(f for f in old.fields if f.name != field_name)
+        if len(kept) == len(old.fields):
+            raise KeyError(f"{name}: no field {field_name}")
+        store[name] = type(old)(old.name, kept, old.ttl_col, old.ttl_duration)
+        return self
+
+    def drop_tag(self, name: str) -> "Catalog":
+        del self.tags[name]
+        return self
+
+    def drop_edge(self, name: str) -> "Catalog":
+        del self.edges[name]
+        return self
+
 
 def ttl_filter(schema: SchemaDef, now_epoch_sec: int) -> Column | None:
     """Visibility predicate for TTL'd schemas; None when no TTL.

@@ -346,10 +346,15 @@ ORACLE_MUTATE = {
         "round(CASE WHEN c_custkey < 100 AND c_acctbal < 1000 "
         "THEN c_acctbal + 100 ELSE c_acctbal END, 2) AS c_acctbal FROM customer",
     "upsert_insert":
-        "SELECT s_suppkey AS _vid, s_name, round(CASE WHEN s_suppkey IN (0, 1) "
+        # scale-independent: batch keys present in the table are updated
+        # (+50), absent ones are inserted with the SET default — which keys
+        # exist depends on the scale factor
+        "SELECT s_suppkey AS _vid, s_name, "
+        "round(CASE WHEN s_suppkey IN (0, 1, 100, 101) "
         "THEN s_acctbal + 50 ELSE s_acctbal END, 2) AS s_acctbal FROM supplier "
         "UNION ALL SELECT CAST(x AS BIGINT), NULL, 50.0 "
-        "FROM (VALUES (100), (101)) t(x)",
+        "FROM (VALUES (0), (1), (100), (101)) t(x) "
+        "WHERE x NOT IN (SELECT s_suppkey FROM supplier)",
     "delete_vertices_cascade":
         "SELECT o_custkey AS _src, o_orderkey AS _dst, CAST(0 AS BIGINT) AS _rank "
         "FROM orders WHERE o_custkey >= 50 AND o_orderkey >= 50 AND o_custkey < 100",
@@ -662,6 +667,17 @@ def q_dedup_ngram_pruned(spark, sf_dir):
                                threshold_x10000=5000, max_shingle_freq=20)
 
 
+def q_events_props_json(spark, sf_dir):
+    """Semi-structured property access (runtime Value containers, §1.2):
+    JSON props parsed and aggregated engine-side."""
+    ev = load_events(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (ev.withColumn("k", k).filter(F.col("k") > 50)
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_high"),
+                 F.sum("k").alias("sum_k")))
+
+
 def q_stream_stateful_count(spark, sf_dir):
     """Custom stateful streaming operator (applyInPandasWithState): running
     per-event-type counters driven by a real streaming query; AvailableNow
@@ -829,6 +845,12 @@ def _oracle_cc() -> str:
 
 
 ORACLE_EXT["connected_components"] = _oracle_cc()
+ORACLE_EXT["events_props_json"] = (
+    "SELECT event_type, count(*) AS n_high, "
+    "CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) "
+    "AS sum_k FROM events "
+    "WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50 "
+    "GROUP BY event_type")
 ORACLE_EXT["vocab_topk"] = (
     "SELECT token, cnt FROM ("
     "SELECT token, count(*) AS cnt FROM ("
@@ -1015,6 +1037,7 @@ def _core_queries() -> dict[str, Query]:
         "go_in_projected": q_go_in_projected,
         "corpus_curation": q_corpus_curation,
         "connected_components": q_connected_components,
+        "events_props_json": q_events_props_json,
         "vocab_topk": q_vocab_topk,
         "dedup_ngram_pruned": q_dedup_ngram_pruned,
     }

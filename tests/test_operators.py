@@ -109,3 +109,35 @@ def test_scan_cursor_pages_disjoint(spark, sf_dir):
     p2 = scan_vertex(g, "customer", props=["c_name"], limit=10, cursor=last)
     ids2 = {r._vid for r in p2.collect()}
     assert all(v > last for v in ids2) and len(ids2) == 10
+
+def test_catalog_ddl_alter_and_drop(spark):
+    from nebula_storage_spark.catalog import (Catalog, FieldDef, TagDef,
+                                              apply_read_semantics)
+    import pytest as _pt
+    cat = Catalog()
+    cat.add_tag(TagDef("t", (FieldDef("a", "bigint"),)))
+    cat.alter_add_field("t", FieldDef("b", "string", default="dflt"))
+    assert cat.tags["t"].prop_names == ["a", "b"]
+    with _pt.raises(ValueError):
+        cat.alter_add_field("t", FieldDef("b", "string"))
+    # old rows (written before ALTER) get the new field's default at read
+    df = spark.createDataFrame([(1,)], "a bigint")
+    out = apply_read_semantics(df, cat.tags["t"]).collect()[0]
+    assert out.b == "dflt"
+    cat.alter_drop_field("t", "b")
+    assert cat.tags["t"].prop_names == ["a"]
+    cat.drop_tag("t")
+    assert "t" not in cat.tags
+
+
+def test_edge_ttl_visibility(spark):
+    from nebula_storage_spark.catalog import Catalog, EdgeDef, FieldDef
+    from nebula_storage_spark.graph import GraphStore
+    cat = Catalog()
+    cat.add_edge(EdgeDef("e", (FieldDef("ts", "bigint"),),
+                         ttl_col="ts", ttl_duration=100))
+    g = GraphStore(catalog=cat, now=1000)
+    df = spark.createDataFrame([(1, 2, 950), (1, 3, 850)],
+                               "_src bigint, _dst bigint, ts bigint")
+    g.add_edges_df("e", df)
+    assert {r._dst for r in g.edge_df("e").collect()} == {2}
