@@ -82,6 +82,7 @@ def get_neighbors(store: GraphStore, vids, over: Sequence[str] | str,
                   vertex_props: Sequence[str] | None = None,
                   edge_props: Sequence[str] | None = None,
                   edge_filter: Column | str | None = None,
+                  expr_col: Column | str | None = None,
                   limit: int | None = None,
                   sample: int | None = None) -> DataFrame:
     """Flat traversal result: one row per (seed vid, qualifying edge).
@@ -128,6 +129,13 @@ def get_neighbors(store: GraphStore, vids, over: Sequence[str] | str,
     if edge_filter is not None:
         pred = F.expr(edge_filter) if isinstance(edge_filter, str) else edge_filter
         out = out.filter(pred)          # NULL predicate drops the row — parity
+
+    if expr_col is not None:
+        # the `_expr` output column: an arbitrary expression evaluated per
+        # result row after the filter (GetNeighborsProcessor.cpp:256-258
+        # fixes `_expr` as the trailing output column)
+        e = F.expr(expr_col) if isinstance(expr_col, str) else expr_col
+        out = out.withColumn("_expr", e)
 
     if sample is not None:
         # deterministic pseudo-random permutation shared with the oracle

@@ -1,0 +1,119 @@
+"""GraphStore persistence: the engine-owned storage layout.
+
+The reference owns its bytes in RocksDB (ingest once, query many); the
+Spark engine equivalently owns a warehouse directory of parquet tables in
+query-optimal layout:
+
+    <root>/catalog.json                  schemas, TTL, vid type
+    <root>/tags/<tag>/                   hash-partitioned by _vid
+    <root>/edges/<etype>/                hash-partitioned by _src
+    <root>/edges_rev/<etype>/            optional dst-partitioned copy
+
+Partition-by-key at write time is what makes the part-by-vid properties
+(PLANS.md: shuffle-free per-vertex aggregation/top-k) durable across
+sessions instead of per-session cache effects. At cluster scale the same
+writes go through `bucketBy` into a metastore; plain parquet keeps this
+hermetic (and the partitioning is re-established by one repartition on
+load, amortized over the session).
+
+TTL/defaults live in catalog.json and re-attach on load — read semantics
+are a catalog property, not a table property (SURVEY §2 row 32).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import SparkSession, functions as F
+
+from .catalog import Catalog, EdgeDef, FieldDef, TagDef
+from .graph import DST, SRC, VID, GraphStore
+
+
+def _schema_to_dict(s) -> dict:
+    return {
+        "name": s.name,
+        "fields": [{"name": f.name, "dtype": f.dtype, "nullable": f.nullable,
+                    "default": f.default} for f in s.fields],
+        "ttl_col": s.ttl_col,
+        "ttl_duration": s.ttl_duration,
+    }
+
+
+def _schema_from_dict(d: dict, cls):
+    return cls(d["name"],
+               tuple(FieldDef(f["name"], f["dtype"], f["nullable"],
+                              f["default"]) for f in d["fields"]),
+               d["ttl_col"], d["ttl_duration"])
+
+
+def save_store(store: GraphStore, root: str, num_partitions: int = 16,
+               sort_edges: bool = True) -> None:
+    """Write the store in query-optimal layout (overwrite)."""
+    os.makedirs(root, exist_ok=True)
+    # persist only schemas that have a stored frame (a catalog may describe
+    # a wider space than this store materializes); tables without a declared
+    # schema get a minimal inferred entry so load round-trips
+    def entry(name, schemas, df, keys):
+        s = schemas.get(name)
+        if s is not None:
+            return _schema_to_dict(s)
+        cls = TagDef if keys == (VID,) else EdgeDef
+        flds = tuple(FieldDef(c, dict(df.dtypes)[c], True)
+                     for c in df.columns if c not in keys + ("_rank",))
+        return _schema_to_dict(cls(name, flds))
+
+    meta = {
+        "vid_type": store.catalog.vid_type,
+        "now": store.now,
+        "tags": {t: entry(t, store.catalog.tags, df, (VID,))
+                 for t, df in store.vertices.items()},
+        "edges": {e: entry(e, store.catalog.edges, df, (SRC, DST))
+                  for e, df in store.edges.items()},
+        "reverse_projections": sorted(store.reverse_edges),
+    }
+    with open(f"{root}/catalog.json", "w") as f:
+        json.dump(meta, f, indent=2)
+    for tag, df in store.vertices.items():
+        (df.repartition(num_partitions, F.col(VID))
+         .sortWithinPartitions(VID)
+         .write.mode("overwrite").parquet(f"{root}/tags/{tag}"))
+    for etype, df in store.edges.items():
+        w = df.repartition(num_partitions, F.col(SRC))
+        if sort_edges:
+            # storage key order (src, type, rank, dst) → row-group pruning
+            # for seed scans, and rank-ordered iteration for free
+            w = w.sortWithinPartitions(SRC, "_rank", DST)
+        w.write.mode("overwrite").parquet(f"{root}/edges/{etype}")
+    for etype in store.reverse_edges:
+        (store.edges[etype].repartition(num_partitions, F.col(DST))
+         .sortWithinPartitions(DST, "_rank", SRC)
+         .write.mode("overwrite").parquet(f"{root}/edges_rev/{etype}"))
+
+
+def load_store(spark: SparkSession, root: str,
+               resident: bool = True, num_partitions: int = 16) -> GraphStore:
+    """Reload a saved store; `resident` re-establishes the in-session
+    hash-partitioned frames for the big tables."""
+    with open(f"{root}/catalog.json") as f:
+        meta = json.load(f)
+    cat = Catalog(vid_type=meta["vid_type"])
+    for t, d in meta["tags"].items():
+        cat.add_tag(_schema_from_dict(d, TagDef))
+    for e, d in meta["edges"].items():
+        cat.add_edge(_schema_from_dict(d, EdgeDef))
+    g = GraphStore(catalog=cat, now=meta["now"])
+    for tag in meta["tags"]:
+        g.add_vertices_df(tag, spark.read.parquet(f"{root}/tags/{tag}"))
+    for etype in meta["edges"]:
+        df = spark.read.parquet(f"{root}/edges/{etype}")
+        if resident:
+            df = df.repartition(num_partitions, F.col(SRC)).persist()
+        g.add_edges_df(etype, df)
+    for etype in meta.get("reverse_projections", []):
+        df = spark.read.parquet(f"{root}/edges_rev/{etype}")
+        if resident:
+            df = df.repartition(num_partitions, F.col(DST)).persist()
+        g.reverse_edges[etype] = df
+    return g

@@ -667,6 +667,67 @@ def q_dedup_ngram_pruned(spark, sf_dir):
                                threshold_x10000=5000, max_shingle_freq=20)
 
 
+def q_go_expr(spark, sf_dir):
+    """`_expr` output column (§3.1 output naming): an expression evaluated
+    per result row after the filter."""
+    g = tpch_graph(spark, sf_dir)
+    return get_neighbors(
+        g, _seeds(spark, 60), "placed", edge_props=["o_totalprice"],
+        expr_col="CAST(CASE WHEN o_totalprice > 100000 THEN 1 ELSE 0 END "
+                 "AS BIGINT)")
+
+
+def q_tpch_q6(spark, sf_dir):
+    """TPC-H Q6 forecasting revenue: tight filter + single decimal agg —
+    the pushed-filter scan benchmark shape."""
+    g = tpch_graph(spark, sf_dir)
+    li = g.edge_df("contains")
+    f = (li.filter((F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+                   & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+                   & (F.col("l_discount").between(0.04, 0.06))
+                   & (F.col("l_quantity") < 24)))
+    return f.agg(F.round(F.sum(F.expr(
+        "CAST(l_extendedprice AS DECIMAL(18,2)) * "
+        "CAST(l_discount AS DECIMAL(18,2))")).cast("double"), 2)
+        .alias("revenue"))
+
+
+def q_tpch_q18(spark, sf_dir):
+    """TPC-H Q18 large-volume orders: groupBy + HAVING-style filter +
+    multi-join enrichment."""
+    g = tpch_graph(spark, sf_dir)
+    li = g.edge_df("contains")
+    big = (li.groupBy(F.col(SRC).alias("o_orderkey"))
+           .agg(F.round(_dsum("l_quantity"), 2).alias("sum_qty"))
+           .filter(F.col("sum_qty") > 250))
+    orders = g.edges["placed"].select(F.col(SRC).alias("c_custkey"),
+                                      F.col(DST).alias("o_orderkey"),
+                                      "o_totalprice", "o_orderdate")
+    cust = g.tag_df("customer").select(F.col(VID).alias("c_custkey"), "c_name")
+    return (orders.join(big, "o_orderkey")
+            .join(F.broadcast(cust), "c_custkey")
+            .select("c_name", "c_custkey", "o_orderkey", "o_orderdate",
+                    "o_totalprice", "sum_qty"))
+
+
+def q_store_roundtrip(spark, sf_dir):
+    """Engine-owned storage layout: save a store to the warehouse layout
+    (hash-partitioned, key-sorted parquet + catalog.json), reload it, and
+    traverse — results identical to querying the source."""
+    import os
+    from .store_io import load_store, save_store
+    g = tpch_graph(spark, sf_dir)
+    sub = GraphStore(catalog=g.catalog)
+    sub.add_vertices_df("nation", g.vertices["nation"])
+    sub.add_vertices_df("region", g.vertices["region"])
+    sub.edges["nation_region"] = g.edges["nation_region"]
+    root = f"/tmp/nebula_spark_store/{os.path.basename(sf_dir.rstrip('/'))}"
+    save_store(sub, root, num_partitions=4)
+    g2 = load_store(spark, root, resident=False)
+    return get_neighbors(g2, list(range(25)), "nation_region",
+                         vertex_tag="nation", vertex_props=["n_name"])
+
+
 def q_events_props_json(spark, sf_dir):
     """Semi-structured property access (runtime Value containers, §1.2):
     JSON props parsed and aggregated engine-side."""
@@ -845,6 +906,27 @@ def _oracle_cc() -> str:
 
 
 ORACLE_EXT["connected_components"] = _oracle_cc()
+ORACLE_EXT["go_expr"] = (
+    f"SELECT {_GO_COLS}, o_totalprice, "
+    "CAST(CASE WHEN o_totalprice > 100000 THEN 1 ELSE 0 END AS BIGINT) "
+    "AS _expr FROM orders WHERE o_custkey < 60")
+ORACLE_EXT["tpch_q6"] = (
+    "SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * "
+    "CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE), 2) AS revenue "
+    "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01' "
+    "AND l_shipdate < TIMESTAMP '1997-01-01' "
+    "AND l_discount BETWEEN 0.04 AND 0.06 AND l_quantity < 24")
+ORACLE_EXT["tpch_q18"] = (
+    "SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, "
+    "sum_qty FROM (SELECT l_orderkey AS o_orderkey, "
+    "round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) "
+    "AS sum_qty FROM lineitem GROUP BY l_orderkey) big "
+    "JOIN orders USING (o_orderkey) "
+    "JOIN customer ON c_custkey = o_custkey WHERE sum_qty > 250")
+ORACLE_EXT["store_roundtrip"] = (
+    "SELECT n_nationkey AS _vid, n_name, '+nation_region' AS _type, "
+    "n_nationkey AS _src, n_regionkey AS _dst, CAST(0 AS BIGINT) AS _rank "
+    "FROM nation WHERE n_nationkey < 25")
 ORACLE_EXT["events_props_json"] = (
     "SELECT event_type, count(*) AS n_high, "
     "CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) "
@@ -1038,6 +1120,10 @@ def _core_queries() -> dict[str, Query]:
         "corpus_curation": q_corpus_curation,
         "connected_components": q_connected_components,
         "events_props_json": q_events_props_json,
+        "go_expr": q_go_expr,
+        "tpch_q6": q_tpch_q6,
+        "tpch_q18": q_tpch_q18,
+        "store_roundtrip": q_store_roundtrip,
         "vocab_topk": q_vocab_topk,
         "dedup_ngram_pruned": q_dedup_ngram_pruned,
     }
