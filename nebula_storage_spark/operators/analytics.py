@@ -35,20 +35,32 @@ def pagerank_fixed(edges: DataFrame, iterations: int = 5,
     """
     jump = ((100 - damping_pct) * scale) // 100
     nodes = (edges.select(F.col(SRC).alias("node"))
-             .union(edges.select(F.col(DST).alias("node"))).distinct())
+             .union(edges.select(F.col(DST).alias("node")))
+             .distinct().persist())
     deg = edges.groupBy(SRC).agg(F.count(F.lit(1)).alias("_deg"))
     e = edges.select(SRC, DST).join(deg, SRC).persist()
     ranks = nodes.select("node", F.lit(scale).cast("long").alias("rank"))
-    for _ in range(iterations):
-        contribs = (e.join(ranks, e[SRC] == ranks["node"])
+    for i in range(iterations):
+        # rank frame is |V| rows of (long, long) — broadcast it so the
+        # persisted edge frame never re-shuffles; only the contribution
+        # groupBy moves data. (At |V| beyond broadcast range, drop the
+        # hint: both frames are hash-partitioned on the key and Catalyst
+        # falls back to a co-located SMJ.)
+        contribs = (e.join(F.broadcast(ranks), e[SRC] == ranks["node"])
                     .select(F.col(DST).alias("node"),
                             F.expr("rank DIV _deg").alias("_c")))
         summed = contribs.groupBy("node").agg(F.sum("_c").alias("_s"))
-        ranks = (nodes.join(summed, "node", "left")
+        ranks = (nodes.join(F.broadcast(summed), "node", "left")
                  .select("node",
                          (F.lit(jump) + F.expr(
                              f"({damping_pct} * coalesce(_s, CAST(0 AS BIGINT)))"
                              " DIV 100")).cast("long").alias("rank")))
+        if i < iterations - 1:
+            # cut the growing lineage: each round's ranks are tiny —
+            # materialize so the next round's broadcast re-plans O(|V|),
+            # not O(i·|E|)
+            ranks = ranks.persist()
+            ranks.count()
     return ranks
 
 
@@ -66,14 +78,21 @@ def connected_components_fixed(edges: DataFrame,
     building block both share.
     """
     und = (edges.select(SRC, DST)
-           .union(edges.select(F.col(DST).alias(SRC), F.col(SRC).alias(DST))))
+           .union(edges.select(F.col(DST).alias(SRC), F.col(SRC).alias(DST)))
+           .persist())
     nodes = und.select(F.col(SRC).alias("node")).distinct()
     labels = nodes.select("node", F.col("node").alias("label"))
-    for _ in range(iterations):
-        nbr = (und.join(labels, und[DST] == labels["node"])
+    for i in range(iterations):
+        # same shape as pagerank_fixed: broadcast the |V|-sized label
+        # frame against the persisted edges, shuffle only the min-groupBy;
+        # materialize each round to keep lineage O(|V|)
+        nbr = (und.join(F.broadcast(labels), und[DST] == labels["node"])
                .select(F.col(SRC).alias("node"), "label"))
         labels = (labels.union(nbr)
                   .groupBy("node").agg(F.min("label").alias("label")))
+        if i < iterations - 1:
+            labels = labels.persist()
+            labels.count()
     return labels
 
 

@@ -667,6 +667,25 @@ def q_dedup_ngram_pruned(spark, sf_dir):
                                threshold_x10000=5000, max_shingle_freq=20)
 
 
+def q_go_stats_with_limit(spark, sf_dir):
+    """The stats-vs-limit ordering contract (SURVEY §4 hard-part 2,
+    GetNeighborsProcessor.cpp:225-247): per-vertex stats are computed over
+    ALL filtered edges while the returned edge list is truncated at
+    `limit` — one shared filtered frame, two aggregations."""
+    g = tpch_graph(spark, sf_dir)
+    edges = get_neighbors(g, _seeds(spark, 120), "placed",
+                          edge_props=["o_totalprice"],
+                          edge_filter="o_totalprice > 50000")
+    wv = W.partitionBy(VID)
+    full_stats = edges.select(
+        VID, TYPE, SRC, DST, RANK, "o_totalprice",
+        F.count(F.lit(1)).over(wv).alias("deg"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                .over(wv).cast("double"), 2).alias("sum_price"),
+        F.row_number().over(wv.orderBy(DST)).alias("_rn"))
+    return full_stats.filter(F.col("_rn") <= 2).drop("_rn")
+
+
 def q_go_expr(spark, sf_dir):
     """`_expr` output column (§3.1 output naming): an expression evaluated
     per result row after the filter."""
@@ -906,6 +925,14 @@ def _oracle_cc() -> str:
 
 
 ORACLE_EXT["connected_components"] = _oracle_cc()
+ORACLE_EXT["go_stats_with_limit"] = (
+    f"SELECT * EXCLUDE (_rn) FROM (SELECT {_GO_COLS}, o_totalprice, "
+    "count(*) OVER (PARTITION BY o_custkey) AS deg, "
+    "round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) "
+    "OVER (PARTITION BY o_custkey) AS DOUBLE), 2) AS sum_price, "
+    "row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS _rn "
+    "FROM orders WHERE o_custkey < 120 AND o_totalprice > 50000) "
+    "WHERE _rn <= 2")
 ORACLE_EXT["go_expr"] = (
     f"SELECT {_GO_COLS}, o_totalprice, "
     "CAST(CASE WHEN o_totalprice > 100000 THEN 1 ELSE 0 END AS BIGINT) "
@@ -1121,6 +1148,7 @@ def _core_queries() -> dict[str, Query]:
         "connected_components": q_connected_components,
         "events_props_json": q_events_props_json,
         "go_expr": q_go_expr,
+        "go_stats_with_limit": q_go_stats_with_limit,
         "tpch_q6": q_tpch_q6,
         "tpch_q18": q_tpch_q18,
         "store_roundtrip": q_store_roundtrip,
