@@ -747,6 +747,26 @@ def q_store_roundtrip(spark, sf_dir):
                          vertex_tag="nation", vertex_props=["n_name"])
 
 
+def q_go_two_hop(spark, sf_dir):
+    """Multi-hop traversal by composition (graphd composes GO n STEPS from
+    repeated single-hop GetNeighbors; so do we — the frontier of hop k
+    seeds hop k+1). Output: distinct (start_vid, end_vid) 2-hop pairs."""
+    g = tpch_graph(spark, sf_dir)
+    hop1 = (get_neighbors(g, _seeds(spark, 20), "placed", edge_props=[])
+            .select(F.col(VID).alias("start_vid"), F.col(DST).alias("mid")))
+    frontier = hop1.select(F.col("mid").alias(VID)).distinct()
+    hop2 = (get_neighbors(g, frontier, "contains", edge_props=[])
+            .select(F.col(VID).alias("mid"), F.col(DST).alias("end_vid")))
+    return hop1.join(hop2, "mid").select("start_vid", "end_vid").distinct()
+
+
+def q_stream_cdc_upsert(spark, sf_dir):
+    """CDC sink (Listener parity): foreachBatch last-write-wins merge of
+    the events change stream into a maintained user-state table."""
+    from .streaming.cdc import stream_cdc_latest_per_user
+    return stream_cdc_latest_per_user(spark, sf_dir)
+
+
 def q_events_props_json(spark, sf_dir):
     """Semi-structured property access (runtime Value containers, §1.2):
     JSON props parsed and aggregated engine-side."""
@@ -933,6 +953,16 @@ ORACLE_EXT["go_stats_with_limit"] = (
     "row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS _rn "
     "FROM orders WHERE o_custkey < 120 AND o_totalprice > 50000) "
     "WHERE _rn <= 2")
+ORACLE_EXT["go_two_hop"] = (
+    "SELECT DISTINCT o_custkey AS start_vid, l_partkey AS end_vid "
+    "FROM orders JOIN lineitem ON l_orderkey = o_orderkey "
+    "WHERE o_custkey < 20")
+ORACLE_EXT["stream_cdc_upsert"] = (
+    "SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch, "
+    "event_type AS last_event_type, round(CAST(value AS DOUBLE), 2) "
+    "AS last_value FROM events "
+    "QUALIFY row_number() OVER (PARTITION BY user_id "
+    "ORDER BY floor(epoch(ts)) DESC, event_id DESC) = 1")
 ORACLE_EXT["go_expr"] = (
     f"SELECT {_GO_COLS}, o_totalprice, "
     "CAST(CASE WHEN o_totalprice > 100000 THEN 1 ELSE 0 END AS BIGINT) "
@@ -1147,6 +1177,8 @@ def _core_queries() -> dict[str, Query]:
         "corpus_curation": q_corpus_curation,
         "connected_components": q_connected_components,
         "events_props_json": q_events_props_json,
+        "go_two_hop": q_go_two_hop,
+        "stream_cdc_upsert": q_stream_cdc_upsert,
         "go_expr": q_go_expr,
         "go_stats_with_limit": q_go_stats_with_limit,
         "tpch_q6": q_tpch_q6,
