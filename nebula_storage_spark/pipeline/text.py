@@ -96,6 +96,70 @@ def lang_id(docs: DataFrame, text_col: str = "text",
     return out.select(id_col, "pred_lang", score.alias("lang_score"))
 
 
+def chunk_documents(docs: DataFrame, chunk_tokens: int = 32,
+                    overlap: int = 8, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Split documents into overlapping token windows — the standard
+    pre-training chunking step. Output: (id, chunk_idx, chunk_text,
+    chunk_n_tokens); stride = chunk_tokens - overlap; the tail chunk may
+    be short but is never empty. Pure HOF fan-out (sequence + transform +
+    explode) — no Python, no shuffle."""
+    stride = chunk_tokens - overlap
+    assert stride > 0
+    toks = tokenize(text_col).alias("__toks")
+    n = F.size("__toks")
+    # chunk starts: 0, stride, 2*stride, ... while start < n
+    starts = F.sequence(F.lit(0), n - 1, F.lit(stride))
+    chunks = F.transform(
+        starts,
+        lambda s: F.struct(
+            (s / stride).cast("int").alias("chunk_idx"),
+            F.concat_ws(" ", F.slice(F.col("__toks"), s + 1, chunk_tokens))
+            .alias("chunk_text"),
+            F.least(F.lit(chunk_tokens), n - s).alias("chunk_n_tokens")))
+    return (docs.select(id_col, toks)
+            .select(id_col, F.explode(chunks).alias("c"))
+            .select(id_col, "c.chunk_idx", "c.chunk_text",
+                    F.col("c.chunk_n_tokens").cast("long")
+                    .alias("chunk_n_tokens")))
+
+
+def build_vocab(docs: DataFrame, size: int = 1000, text_col: str = "text",
+                min_count: int = 1) -> DataFrame:
+    """Frequency-ranked vocabulary: (token, token_id, cnt) with token_id =
+    dense rank by (count desc, token) — deterministic, engine-portable."""
+    from pyspark.sql import Window as W
+    tok = docs.select(F.explode(tokenize(text_col)).alias("token"))
+    counts = (tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+              .filter(F.col("cnt") >= min_count))
+    w = W.orderBy(F.col("cnt").desc(), "token")
+    return (counts.withColumn("token_id", F.row_number().over(w).cast("long"))
+            .filter(F.col("token_id") <= size)
+            .select("token", "token_id", "cnt"))
+
+
+def encode_documents(docs: DataFrame, vocab: DataFrame,
+                     text_col: str = "text", id_col: str = "doc_id",
+                     oov_id: int = 0) -> DataFrame:
+    """Map documents to token-id sequences via the vocab (explode → join →
+    re-assemble in position order). Output: (id, n_tokens, ids_csv) — the
+    id sequence surfaced as a ','-joined string for engine-portable
+    comparison. The vocab side is broadcast (it is top-k by construction)."""
+    pos = (docs.select(id_col, F.posexplode(tokenize(text_col))
+                       .alias("pos", "token")))
+    mapped = (pos.join(F.broadcast(vocab.select("token", "token_id")),
+                       "token", "left")
+              .withColumn("tid", F.coalesce("token_id", F.lit(oov_id))))
+    return (mapped.groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_tokens"),
+                 F.array_join(
+                     F.transform(
+                         F.array_sort(F.collect_list(
+                             F.struct("pos", "tid"))),
+                         lambda s: s["tid"].cast("string")), ",")
+                 .alias("ids_csv")))
+
+
 def doc_fingerprints(docs: DataFrame, text_col: str = "text",
                      id_col: str = "doc_id", window: int = 8) -> DataFrame:
     """Two fingerprints per document:

@@ -330,6 +330,32 @@ SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
 FROM fr WHERE i % 5 = 0"""
 
 
+def q_doc_chunks(spark, sf_dir):
+    from .pipeline.text import chunk_documents
+    return chunk_documents(_docs(spark, sf_dir), chunk_tokens=32, overlap=8)
+
+
+def q_doc_token_ids(spark, sf_dir):
+    from .pipeline.text import build_vocab, encode_documents
+    docs = _docs(spark, sf_dir)
+    return encode_documents(docs, build_vocab(docs, size=1000))
+
+
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup CLUSTERS: MinHash-LSH pairs fed into fixed-iteration
+    connected components — every doc in a near-dup group labeled with the
+    group's minimum doc_id (operator composition #2)."""
+    from pyspark.sql import functions as F
+    from .graph import DST, SRC
+    from .operators import connected_components_fixed
+    from .pipeline import minhash_lsh_pairs
+    pairs = minhash_lsh_pairs(_docs(spark, sf_dir))
+    edges = pairs.select(F.col("id_a").alias(SRC), F.col("id_b").alias(DST))
+    cc = connected_components_fixed(edges, iterations=3)
+    return cc.select(F.col("node").alias("doc_id"),
+                     F.col("label").alias("cluster"))
+
+
 def build_pipeline_queries():
     return {
         "text_features": q_text_features,
@@ -343,9 +369,48 @@ def build_pipeline_queries():
         "knn_bruteforce": q_knn_bruteforce,
         "knn_ivf": q_knn_ivf,
         "embedding_near_dup": q_embedding_near_dup,
+        "doc_chunks": q_doc_chunks,
+        "doc_token_ids": q_doc_token_ids,
+        "dedup_clusters": q_dedup_clusters,
         "mm_image_meta": q_mm_image_meta,
         "mm_frame_sample": q_mm_frame_sample,
     }
+
+
+def _oracle_doc_chunks(chunk: int = 32, stride: int = 24) -> str:
+    return f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+s AS (SELECT doc_id, toks,
+      unnest(generate_series(0, len(toks) - 1, {stride})) AS st FROM t)
+SELECT doc_id, CAST(st // {stride} AS INTEGER) AS chunk_idx,
+  array_to_string(list_slice(toks, st + 1, st + {chunk}), ' ') AS chunk_text,
+  CAST(least({chunk}, len(toks) - st) AS BIGINT) AS chunk_n_tokens
+FROM s"""
+
+
+def _oracle_doc_token_ids(size: int = 1000) -> str:
+    return f"""
+WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+counts AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token),
+vocab AS (SELECT token,
+          CAST(row_number() OVER (ORDER BY cnt DESC, token) AS BIGINT)
+          AS token_id FROM counts QUALIFY token_id <= {size}),
+varr AS (SELECT list(token ORDER BY token_id) AS vl FROM vocab),
+t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+  array_to_string(list_transform(toks,
+    tk -> CAST(coalesce(list_position(vl, tk), 0) AS VARCHAR)), ',')
+  AS ids_csv
+FROM t, varr"""
+
+
+def _oracle_dedup_clusters() -> str:
+    from .operators import connected_components_oracle_sql
+    edges_sql = (f"SELECT id_a AS src, id_b AS dst "
+                 f"FROM ({_oracle_minhash_lsh()})")
+    sql = connected_components_oracle_sql(edges_sql, iterations=3)
+    return sql.replace("SELECT node, label FROM l3",
+                       "SELECT node AS doc_id, label AS cluster FROM l3")
 
 
 def build_pipeline_oracles():
@@ -363,6 +428,9 @@ def build_pipeline_oracles():
         "knn_bruteforce": _oracle_knn_bruteforce(),
         "knn_ivf": _oracle_knn_ivf(),
         "embedding_near_dup": _oracle_embedding_near_dup(),
+        "doc_chunks": _oracle_doc_chunks(),
+        "doc_token_ids": _oracle_doc_token_ids(),
+        "dedup_clusters": _oracle_dedup_clusters(),
         "mm_image_meta": _oracle_mm_image_meta(),
         "mm_frame_sample": _oracle_mm_frame_sample(),
     }
