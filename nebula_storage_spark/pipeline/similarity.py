@@ -123,6 +123,60 @@ def knn_ivf(emb: DataFrame, query_ids, k: int = 5, id_col: str = "vec_id",
             .select("q_id", "n_id", F.round("cos", 6).alias("cos")))
 
 
+def build_ivf_index(emb: DataFrame, path: str, id_col: str = "vec_id",
+                    vec_col: str = "embedding",
+                    cell_col: str = "label") -> None:
+    """Persist an IVF index: quantized vectors partitioned BY CELL on disk
+    (`partitionBy(cell)`) plus the exact centroid component sums. A query
+    that probes one cell then reads exactly one partition directory —
+    partition pruning does the candidate selection, which is the entire
+    point of IVF at 100 TB (corpus I/O per query drops ~n_cells×)."""
+    q = quantize_embeddings(emb, vec_col)
+    (q.select(cell_col, id_col, "qvec", "qnorm2")
+     .write.mode("overwrite").partitionBy(cell_col).parquet(f"{path}/cells"))
+    comp = (q.select(cell_col, F.posexplode("qvec").alias("pos", "v"))
+            .groupBy(cell_col, "pos").agg(F.sum("v").alias("cs")))
+    comp.write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def search_ivf_index(spark, path: str, queries: DataFrame, k: int = 5,
+                     id_col: str = "vec_id",
+                     cell_col: str = "label") -> DataFrame:
+    """Probe the persisted IVF index (nprobe=1): assign each query vector
+    to its max-affinity centroid, then scan only that cell's partition.
+    `queries` needs (id_col, embedding)."""
+    q = quantize_embeddings(queries)
+    qs = q.select(F.col(id_col).alias("q_id"), F.col("qvec").alias("qv"),
+                  F.col("qnorm2").alias("_n2a"))
+    comp = spark.read.parquet(f"{path}/centroids")
+    cnorm = (comp.groupBy(cell_col)
+             .agg(F.sum(F.col("cs").cast("decimal(19,0)")
+                        * F.col("cs").cast("decimal(19,0)")).alias("cn2")))
+    qcomp = qs.select("q_id", F.posexplode("qv").alias("pos", "qval"))
+    aff = (qcomp.join(F.broadcast(comp), "pos")
+           .groupBy("q_id", cell_col)
+           .agg(F.sum(F.col("qval") * F.col("cs")).alias("qc_dot"))
+           .join(F.broadcast(cnorm), cell_col)
+           .withColumn("rank_val", F.expr(
+               "CAST(qc_dot AS DOUBLE) / sqrt(CAST(cn2 AS DOUBLE))")))
+    wcell = W.partitionBy("q_id").orderBy(F.col("rank_val").desc(),
+                                          F.col(cell_col))
+    assign = (aff.withColumn("_rn", F.row_number().over(wcell))
+              .filter(F.col("_rn") == 1).select("q_id", cell_col))
+    cells = spark.read.parquet(f"{path}/cells")
+    corpus = cells.select(cell_col, F.col(id_col).alias("n_id"),
+                          F.col("qvec").alias("cv"),
+                          F.col("qnorm2").alias("_n2b"))
+    pairs = (F.broadcast(qs.join(assign, "q_id")).join(corpus, cell_col)
+             .filter(F.col("q_id") != F.col("n_id"))
+             .withColumn("_dot", _dot("qv", "cv"))
+             .withColumn("cos", F.expr(_COS)))
+    w = W.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id"))
+    return (pairs.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= k)
+            .select("q_id", "n_id", F.round("cos", 6).alias("cos")))
+
+
 def embedding_near_dup(emb: DataFrame, min_cos: float = 0.4,
                        id_col: str = "vec_id",
                        vec_col: str = "embedding") -> DataFrame:

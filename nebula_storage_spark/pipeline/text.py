@@ -160,6 +160,17 @@ def encode_documents(docs: DataFrame, vocab: DataFrame,
                  .alias("ids_csv")))
 
 
+def normalize_text(docs: DataFrame, text_col: str = "text",
+                   out_col: str = "norm_text") -> DataFrame:
+    """Canonical text normalization for dedup/hashing: lowercase, strip
+    non-alphanumerics to spaces, collapse whitespace runs, trim. One
+    codegen'd expression — runs inside the scan stage."""
+    c = F.lower(F.col(text_col))
+    c = F.regexp_replace(c, "[^a-z0-9 ]", " ")
+    c = F.regexp_replace(c, " +", " ")
+    return docs.withColumn(out_col, F.trim(c))
+
+
 def doc_fingerprints(docs: DataFrame, text_col: str = "text",
                      id_col: str = "doc_id", window: int = 8) -> DataFrame:
     """Two fingerprints per document:

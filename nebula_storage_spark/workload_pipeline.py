@@ -330,6 +330,25 @@ SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
 FROM fr WHERE i % 5 = 0"""
 
 
+def q_text_normalize(spark, sf_dir):
+    from .pipeline.text import normalize_text
+    return (normalize_text(_docs(spark, sf_dir))
+            .select("doc_id", "norm_text"))
+
+
+def q_knn_ivf_persisted(spark, sf_dir):
+    """IVF index lifecycle: build (partitioned-by-cell on disk) once, then
+    probe — identical results to the in-memory knn_ivf (same algorithm,
+    same nprobe), so it shares that oracle."""
+    import os
+    from .pipeline.similarity import build_ivf_index, search_ivf_index
+    emb = _emb(spark, sf_dir)
+    path = f"/tmp/nebula_spark_ivf/{os.path.basename(sf_dir.rstrip('/'))}"
+    build_ivf_index(emb, path)
+    queries = emb.filter(F.col("vec_id").isin(KNN_QUERY_IDS))
+    return search_ivf_index(spark, path, queries, k=5)
+
+
 def q_doc_chunks(spark, sf_dir):
     from .pipeline.text import chunk_documents
     return chunk_documents(_docs(spark, sf_dir), chunk_tokens=32, overlap=8)
@@ -369,6 +388,8 @@ def build_pipeline_queries():
         "knn_bruteforce": q_knn_bruteforce,
         "knn_ivf": q_knn_ivf,
         "embedding_near_dup": q_embedding_near_dup,
+        "text_normalize": q_text_normalize,
+        "knn_ivf_persisted": q_knn_ivf_persisted,
         "doc_chunks": q_doc_chunks,
         "doc_token_ids": q_doc_token_ids,
         "dedup_clusters": q_dedup_clusters,
@@ -428,6 +449,11 @@ def build_pipeline_oracles():
         "knn_bruteforce": _oracle_knn_bruteforce(),
         "knn_ivf": _oracle_knn_ivf(),
         "embedding_near_dup": _oracle_embedding_near_dup(),
+        "text_normalize":
+            "SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text), "
+            "'[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm_text "
+            "FROM documents",
+        "knn_ivf_persisted": _oracle_knn_ivf(),
         "doc_chunks": _oracle_doc_chunks(),
         "doc_token_ids": _oracle_doc_token_ids(),
         "dedup_clusters": _oracle_dedup_clusters(),

@@ -141,3 +141,28 @@ def test_edge_ttl_visibility(spark):
                                "_src bigint, _dst bigint, ts bigint")
     g.add_edges_df("e", df)
     assert {r._dst for r in g.edge_df("e").collect()} == {2}
+
+
+def test_store_roundtrip_preserves_ttl_and_reverse(spark, tmp_path):
+    from nebula_storage_spark.catalog import Catalog, EdgeDef, FieldDef, TagDef
+    from nebula_storage_spark.graph import GraphStore
+    from nebula_storage_spark.store_io import load_store, save_store
+    cat = Catalog()
+    cat.add_tag(TagDef("ev", (FieldDef("ts", "bigint"),),
+                       ttl_col="ts", ttl_duration=100))
+    cat.add_edge(EdgeDef("e", ()))
+    g = GraphStore(catalog=cat, now=1000)
+    g.add_vertices_df("ev", spark.createDataFrame(
+        [(1, 950), (2, 850)], "_vid bigint, ts bigint"))
+    g.add_edges_df("e", spark.createDataFrame(
+        [(1, 2)], "_src bigint, _dst bigint"))
+    g.build_reverse_projection("e", num_partitions=2)
+    root = str(tmp_path / "store")
+    save_store(g, root, num_partitions=2)
+    g2 = load_store(spark, root, resident=False)
+    # TTL visibility survives the round trip (catalog.json carries it)
+    assert {r._vid for r in g2.tag_df("ev").collect()} == {1}
+    assert g2.now == 1000
+    # reverse projection reloaded
+    assert "e" in g2.reverse_edges
+    assert g2.reverse_edge_df("e").count() == 1
