@@ -93,6 +93,8 @@ def get_neighbors(store: GraphStore, vids, over: Sequence[str] | str,
     per-type prop-list columns, MultiEdgeIterator StorageIterator.h:121-174).
     """
     spark = next(iter(store.edges.values())).sparkSession
+    if direction not in ("out", "in", "both"):
+        raise ValueError(f"direction must be out/in/both, got {direction!r}")
     if isinstance(over, str):
         over = [over]
     dirs = ["out", "in"] if direction == "both" else [direction]

@@ -74,6 +74,51 @@ def image_meta(docs_with_payload: DataFrame,
             .mapInPandas(fn, IMAGE_META_SCHEMA))
 
 
+RESIZE_SCHEMA = ("doc_id bigint, width int, height int, "
+                 "out_width int, out_height int")
+AUDIO_SCHEMA = ("doc_id bigint, n_samples bigint, duration_ms bigint, "
+                "rms_x1000 bigint")
+
+
+def resize_plan(meta: DataFrame, max_side: int = 256) -> DataFrame:
+    """Aspect-preserving resize planning over decoded image metadata:
+    out = dims scaled so max(side) == max_side (integer arithmetic — the
+    actual pixel resample is the PIL step stubbed in decode_image).
+    Input needs (doc_id, width, height)."""
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            w, h = pdf["width"], pdf["height"]
+            long_side = w.where(w >= h, h)
+            ow = (w * max_side // long_side).astype("int32")
+            oh = (h * max_side // long_side).astype("int32")
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "width": w,
+                                "height": h, "out_width": ow,
+                                "out_height": oh})
+    return meta.select("doc_id", "width", "height").mapInPandas(
+        fn, RESIZE_SCHEMA)
+
+
+def audio_stats(docs_with_payload: DataFrame, sample_rate: int = 16000,
+                payload_col: str = "payload") -> DataFrame:
+    """Fake-decode audio stats from the payload: treat bytes as 16-bit PCM
+    (n_samples = n_bytes DIV 2), duration at `sample_rate`, and an RMS
+    stand-in from the byte sum (a real decoder reads frames — same
+    Arrow-batched plumbing)."""
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = pdf[payload_col].map(len)
+            samples = n // 2
+            byte_sum = pdf[payload_col].map(lambda b: sum(b))
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "n_samples": samples,
+                "duration_ms": samples * 1000 // sample_rate,
+                "rms_x1000": byte_sum * 1000 // n.where(n > 0, 1),
+            })
+    return (docs_with_payload.select("doc_id", payload_col)
+            .mapInPandas(fn, AUDIO_SCHEMA))
+
+
 def frame_sample(docs_with_payload: DataFrame, stride: int = 5,
                  payload_col: str = "payload") -> DataFrame:
     """Treat the payload as a fake video of (n_bytes % 30 + 1) frames and

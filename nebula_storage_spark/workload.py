@@ -767,6 +767,17 @@ def q_stream_cdc_upsert(spark, sf_dir):
     return stream_cdc_latest_per_user(spark, sf_dir)
 
 
+def q_rollup_revenue(spark, sf_dir):
+    """ROLLUP aggregation (beyond the reference surface — SURVEY notes the
+    reference has no grouping sets; a user migrating analytics here gets
+    them natively)."""
+    g = tpch_graph(spark, sf_dir)
+    li = g.edge_df("contains")
+    return (li.rollup("l_returnflag", "l_linestatus")
+            .agg(F.count(F.lit(1)).alias("cnt"),
+                 F.round(_dsum("l_quantity"), 2).alias("sum_qty")))
+
+
 def q_events_props_json(spark, sf_dir):
     """Semi-structured property access (runtime Value containers, §1.2):
     JSON props parsed and aggregated engine-side."""
@@ -953,6 +964,10 @@ ORACLE_EXT["go_stats_with_limit"] = (
     "row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS _rn "
     "FROM orders WHERE o_custkey < 120 AND o_totalprice > 50000) "
     "WHERE _rn <= 2")
+ORACLE_EXT["rollup_revenue"] = (
+    "SELECT l_returnflag, l_linestatus, count(*) AS cnt, "
+    "round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) "
+    "AS sum_qty FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)")
 ORACLE_EXT["go_two_hop"] = (
     "SELECT DISTINCT o_custkey AS start_vid, l_partkey AS end_vid "
     "FROM orders JOIN lineitem ON l_orderkey = o_orderkey "
@@ -1177,6 +1192,7 @@ def _core_queries() -> dict[str, Query]:
         "corpus_curation": q_corpus_curation,
         "connected_components": q_connected_components,
         "events_props_json": q_events_props_json,
+        "rollup_revenue": q_rollup_revenue,
         "go_two_hop": q_go_two_hop,
         "stream_cdc_upsert": q_stream_cdc_upsert,
         "go_expr": q_go_expr,

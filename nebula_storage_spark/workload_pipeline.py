@@ -301,6 +301,17 @@ WHERE c >= 0.4"""
 # multimodal plumbing
 # ---------------------------------------------------------------------------
 
+def q_mm_resize(spark, sf_dir):
+    from .pipeline.multimodal import resize_plan
+    meta = image_meta(with_binary_payload(_docs(spark, sf_dir)))
+    return resize_plan(meta, max_side=256)
+
+
+def q_mm_audio_stats(spark, sf_dir):
+    from .pipeline.multimodal import audio_stats
+    return audio_stats(with_binary_payload(_docs(spark, sf_dir)))
+
+
 def q_mm_image_meta(spark, sf_dir):
     return image_meta(with_binary_payload(_docs(spark, sf_dir)))
 
@@ -394,6 +405,8 @@ def build_pipeline_queries():
         "doc_token_ids": q_doc_token_ids,
         "dedup_clusters": q_dedup_clusters,
         "mm_image_meta": q_mm_image_meta,
+        "mm_resize": q_mm_resize,
+        "mm_audio_stats": q_mm_audio_stats,
         "mm_frame_sample": q_mm_frame_sample,
     }
 
@@ -458,5 +471,24 @@ def build_pipeline_oracles():
         "doc_token_ids": _oracle_doc_token_ids(),
         "dedup_clusters": _oracle_dedup_clusters(),
         "mm_image_meta": _oracle_mm_image_meta(),
+        "mm_resize": """
+WITH m AS (SELECT doc_id,
+  CAST(octet_length(encode(text)) % 640 + 1 AS INTEGER) AS width,
+  CAST((octet_length(encode(text)) * 7) % 480 + 1 AS INTEGER) AS height
+  FROM documents)
+SELECT doc_id, width, height,
+  CAST(width * 256 // greatest(width, height) AS INTEGER) AS out_width,
+  CAST(height * 256 // greatest(width, height) AS INTEGER) AS out_height
+FROM m""",
+        "mm_audio_stats": """
+WITH b AS (SELECT doc_id, octet_length(encode(text)) AS n,
+  list_sum(list_transform(string_split(text, ''),
+                          c -> CAST(ascii(c) AS BIGINT))) AS bsum
+  FROM documents)
+SELECT doc_id, n // 2 AS n_samples,
+  (n // 2) * 1000 // 16000 AS duration_ms,
+  CAST(bsum * 1000 // (CASE WHEN n > 0 THEN n ELSE 1 END) AS BIGINT)
+  AS rms_x1000
+FROM b""",
         "mm_frame_sample": _oracle_mm_frame_sample(),
     }

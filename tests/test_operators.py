@@ -166,3 +166,11 @@ def test_store_roundtrip_preserves_ttl_and_reverse(spark, tmp_path):
     # reverse projection reloaded
     assert "e" in g2.reverse_edges
     assert g2.reverse_edge_df("e").count() == 1
+
+
+def test_get_neighbors_rejects_bad_direction(spark, sf_dir):
+    from nebula_storage_spark.graph import tpch_graph
+    from nebula_storage_spark.operators import get_neighbors
+    g = tpch_graph(spark, sf_dir)
+    with pytest.raises(ValueError):
+        get_neighbors(g, [1], "placed", direction="sideways")
