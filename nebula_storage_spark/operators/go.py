@@ -154,6 +154,34 @@ def get_neighbors(store: GraphStore, vids, over: Sequence[str] | str,
     return out
 
 
+def go_n_hops(store: GraphStore, vids, over: Sequence[str],
+              directions: Sequence[str] | None = None) -> DataFrame:
+    """GO n STEPS by composition: hop k's destination frontier seeds hop
+    k+1 (graphd builds multi-hop GO from repeated single-hop GetNeighbors
+    requests — same decomposition, but each hop here is one distributed
+    plan over the whole frontier, not a per-vertex RPC).
+
+    `over[k]` is the edge type of hop k (+ optional per-hop direction).
+    Returns distinct (start_vid, end_vid) pairs after the last hop.
+    Frontiers stay DataFrames end-to-end — no driver-side collect, so a
+    frontier of 10⁹ vertices is fine.
+    """
+    dirs = list(directions) if directions else ["out"] * len(over)
+    spark = next(iter(store.edges.values())).sparkSession
+    seeds = _seed_df(store, spark, vids)
+    pairs = seeds.select(F.col(VID).alias("start_vid"),
+                         F.col(VID).alias("_frontier"))
+    for etype, d in zip(over, dirs):
+        hop = get_neighbors(store, pairs.select(F.col("_frontier").alias(VID))
+                            .distinct(), etype, direction=d, edge_props=[])
+        nxt = hop.select(F.col(VID).alias("_frontier"),
+                         F.col(DST if d == "out" else SRC).alias("_next"))
+        pairs = (pairs.join(nxt, "_frontier")
+                 .select("start_vid", F.col("_next").alias("_frontier"))
+                 .distinct())
+    return pairs.select("start_vid", F.col("_frontier").alias("end_vid"))
+
+
 def go_stats(store: GraphStore, vids, over: Sequence[str] | str,
              stat_props: dict[str, tuple[str, str]],
              direction: str = "out",

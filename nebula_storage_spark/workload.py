@@ -752,12 +752,8 @@ def q_go_two_hop(spark, sf_dir):
     repeated single-hop GetNeighbors; so do we — the frontier of hop k
     seeds hop k+1). Output: distinct (start_vid, end_vid) 2-hop pairs."""
     g = tpch_graph(spark, sf_dir)
-    hop1 = (get_neighbors(g, _seeds(spark, 20), "placed", edge_props=[])
-            .select(F.col(VID).alias("start_vid"), F.col(DST).alias("mid")))
-    frontier = hop1.select(F.col("mid").alias(VID)).distinct()
-    hop2 = (get_neighbors(g, frontier, "contains", edge_props=[])
-            .select(F.col(VID).alias("mid"), F.col(DST).alias("end_vid")))
-    return hop1.join(hop2, "mid").select("start_vid", "end_vid").distinct()
+    from .operators import go_n_hops
+    return go_n_hops(g, _seeds(spark, 20), ["placed", "contains"])
 
 
 def q_stream_cdc_upsert(spark, sf_dir):
