@@ -182,6 +182,49 @@ def go_n_hops(store: GraphStore, vids, over: Sequence[str],
     return pairs.select("start_vid", F.col("_frontier").alias("end_vid"))
 
 
+def go_stats_salted(store: GraphStore, vids, over: Sequence[str] | str,
+                    stat_props: dict[str, tuple[str, str]],
+                    salt_buckets: int = 8,
+                    direction: str = "out",
+                    edge_filter: Column | str | None = None) -> DataFrame:
+    """go_stats for super-node skew: two-phase aggregation through a
+    deterministic salt (hash of the edge key), so one hub vertex's edges
+    partial-aggregate across `salt_buckets` reducers before the final
+    per-vertex merge. Results are identical to go_stats (only decomposable
+    stats: sum/dsum/count/min/max — avg composes from sum+count).
+
+    Note Spark's map-side partial aggregation already bounds most skew;
+    explicit salting is the escape hatch when a single vertex's edges
+    exceed one executor's partial-agg hash table.
+    """
+    edges = get_neighbors(store, vids, over, direction=direction,
+                          edge_filter=edge_filter)
+    salt = F.pmod(F.xxhash64(SRC, TYPE, RANK, DST), F.lit(salt_buckets))
+    partial_aggs, final_aggs = [], []
+    for out_name, (agg, prop) in stat_props.items():
+        p = f"_p_{out_name}"
+        if agg == "dsum":
+            partial_aggs.append(F.sum(F.col(prop).cast("decimal(18,2)")).alias(p))
+            final_aggs.append(F.sum(p).cast("double").alias(out_name))
+        elif agg == "sum":
+            partial_aggs.append(F.sum(prop).alias(p))
+            final_aggs.append(F.sum(p).alias(out_name))
+        elif agg == "count":
+            partial_aggs.append(F.count(prop).alias(p))
+            final_aggs.append(F.sum(p).alias(out_name))
+        elif agg == "min":
+            partial_aggs.append(F.min(prop).alias(p))
+            final_aggs.append(F.min(p).alias(out_name))
+        elif agg == "max":
+            partial_aggs.append(F.max(prop).alias(p))
+            final_aggs.append(F.max(p).alias(out_name))
+        else:
+            raise ValueError(f"non-decomposable stat {agg!r} for salted agg")
+    partial = (edges.withColumn("_salt", salt)
+               .groupBy(VID, "_salt").agg(*partial_aggs))
+    return partial.groupBy(VID).agg(*final_aggs)
+
+
 def go_stats(store: GraphStore, vids, over: Sequence[str] | str,
              stat_props: dict[str, tuple[str, str]],
              direction: str = "out",

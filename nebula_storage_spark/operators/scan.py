@@ -42,12 +42,22 @@ def scan_vertex(store: GraphStore, tag: str,
 
 def scan_edge(store: GraphStore, etype: str,
               props: Sequence[str] | None = None,
-              limit: int | None = None) -> DataFrame:
+              limit: int | None = None,
+              cursor: tuple | None = None) -> DataFrame:
+    """`cursor` = (src, rank, dst) of the last edge of the previous page
+    (exclusive) — composite-key resume in storage key order, the edge
+    analog of ScanEdgeProcessor's paging (ScanEdgeProcessor.cpp:27-104)."""
     df = store.edge_df(etype)
     keys = [SRC, DST, RANK]
     cols = keys + (list(props) if props is not None
                    else [c for c in df.columns if c not in keys])
     out = df.select(*cols)
+    if cursor is not None:
+        cs, cr, cd = cursor
+        out = out.filter(
+            (F.col(SRC) > cs)
+            | ((F.col(SRC) == cs) & (F.col(RANK) > cr))
+            | ((F.col(SRC) == cs) & (F.col(RANK) == cr) & (F.col(DST) > cd)))
     if limit is not None:
         out = out.orderBy(SRC, RANK, DST).limit(limit)
     return out

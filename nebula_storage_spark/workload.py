@@ -763,6 +763,54 @@ def q_stream_cdc_upsert(spark, sf_dir):
     return stream_cdc_latest_per_user(spark, sf_dir)
 
 
+def q_go_stats_salted(spark, sf_dir):
+    """Super-node skew path: salted two-phase per-vertex stats — identical
+    results to go_stats, shuffle split across salt buckets."""
+    from .operators import go_stats_salted
+    g = tpch_graph(spark, sf_dir)
+    s = go_stats_salted(g, _seeds(spark, 250), "placed",
+                        {"cnt": ("count", "o_totalprice"),
+                         "sum_price": ("dsum", "o_totalprice"),
+                         "max_price": ("max", "o_totalprice")})
+    return s.select(VID, "cnt", F.round("sum_price", 2).alias("sum_price"),
+                    "max_price")
+
+
+def q_scan_edge_page(spark, sf_dir):
+    """Composite-key resume cursor for edge scans (row 8): page after
+    (src=10, rank=3, dst=0) in storage key order."""
+    g = tpch_graph(spark, sf_dir)
+    return scan_edge(g, "contains", props=["l_quantity"], limit=80,
+                     cursor=(10, 3, 0))
+
+
+def q_source_csv_roundtrip(spark, sf_dir):
+    """CSV source/sink adapter: export a tag table, re-read with explicit
+    schema, scan — values identical to the parquet original."""
+    import os
+    from .sources import read_table, write_table
+    g = tpch_graph(spark, sf_dir)
+    path = f"/tmp/nebula_spark_src/{os.path.basename(sf_dir.rstrip('/'))}/nation_csv"
+    write_table(g.vertices["nation"], path, fmt="csv")
+    back = read_table(spark, path, fmt="csv",
+                      schema="_vid bigint, n_name string, n_regionkey int")
+    return back
+
+
+def q_source_json_roundtrip(spark, sf_dir):
+    """JSON source/sink adapter round trip (doubles + strings)."""
+    import os
+    from .sources import read_table, write_table
+    g = tpch_graph(spark, sf_dir)
+    path = f"/tmp/nebula_spark_src/{os.path.basename(sf_dir.rstrip('/'))}/supplier_json"
+    write_table(g.vertices["supplier"], path, fmt="json")
+    back = read_table(
+        spark, path, fmt="json",
+        schema="_vid bigint, s_name string, s_nationkey int, s_acctbal double")
+    return back.select("_vid", "s_name", "s_nationkey",
+                       F.round("s_acctbal", 2).alias("s_acctbal"))
+
+
 def q_rollup_revenue(spark, sf_dir):
     """ROLLUP aggregation (beyond the reference surface — SURVEY notes the
     reference has no grouping sets; a user migrating analytics here gets
@@ -960,6 +1008,21 @@ ORACLE_EXT["go_stats_with_limit"] = (
     "row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS _rn "
     "FROM orders WHERE o_custkey < 120 AND o_totalprice > 50000) "
     "WHERE _rn <= 2")
+ORACLE_EXT["go_stats_salted"] = (
+    "SELECT o_custkey AS _vid, count(o_totalprice) AS cnt, "
+    "round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) "
+    "AS sum_price, max(o_totalprice) AS max_price "
+    "FROM orders WHERE o_custkey < 250 GROUP BY o_custkey")
+ORACLE_EXT["scan_edge_page"] = (
+    "SELECT l_orderkey AS _src, l_partkey AS _dst, "
+    "CAST(l_linenumber AS BIGINT) AS _rank, l_quantity FROM lineitem "
+    "WHERE l_orderkey > 10 OR (l_orderkey = 10 AND l_linenumber > 3) "
+    "ORDER BY _src, _rank, _dst LIMIT 80")
+ORACLE_EXT["source_csv_roundtrip"] = (
+    "SELECT n_nationkey AS _vid, n_name, n_regionkey FROM nation")
+ORACLE_EXT["source_json_roundtrip"] = (
+    "SELECT s_suppkey AS _vid, s_name, s_nationkey, "
+    "round(s_acctbal, 2) AS s_acctbal FROM supplier")
 ORACLE_EXT["rollup_revenue"] = (
     "SELECT l_returnflag, l_linestatus, count(*) AS cnt, "
     "round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) "
@@ -1189,6 +1252,10 @@ def _core_queries() -> dict[str, Query]:
         "connected_components": q_connected_components,
         "events_props_json": q_events_props_json,
         "rollup_revenue": q_rollup_revenue,
+        "go_stats_salted": q_go_stats_salted,
+        "scan_edge_page": q_scan_edge_page,
+        "source_csv_roundtrip": q_source_csv_roundtrip,
+        "source_json_roundtrip": q_source_json_roundtrip,
         "go_two_hop": q_go_two_hop,
         "stream_cdc_upsert": q_stream_cdc_upsert,
         "go_expr": q_go_expr,
