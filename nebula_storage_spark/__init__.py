@@ -15,8 +15,10 @@ Layout:
                ref: src/storage/exec/*, src/storage/query/*
   mutate     — write-side semantics (add/ifNotExists/delete/upsert/TTL purge),
                ref: src/storage/mutate/*, src/storage/exec/UpdateNode.h
-  functions  — expression-surface helpers (null/default semantics,
-               pseudo-props), ref: src/storage/query/QueryBaseProcessor.inl
+  functions  — shared determinism/expression helpers (decimal sums,
+               md5 permutation, quantized vectors)
+  sources    — format adapters (parquet/orc/csv/json)
+  store_io   — engine-owned warehouse layout save/load
   pipeline   — LLM-data-pipeline extensions (dedup, similarity search,
                text analysis, multimodal) — beyond the reference surface,
                per the north star in BASELINE.json

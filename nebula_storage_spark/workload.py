@@ -40,12 +40,7 @@ def _seeds(spark: SparkSession, n: int) -> DataFrame:
     return spark.range(0, n).select(F.col("id").alias(VID))
 
 
-def _dsum(col: str):
-    """Order-independent exact sum of a 2-dp money column: accumulate in
-    DECIMAL (exact), surface as rounded double. Double summation order
-    differs between engines ⇒ last-bit drift ⇒ rounding-boundary flakes;
-    decimal accumulation is exact in both Spark and DuckDB."""
-    return F.sum(F.col(col).cast("decimal(18,2)")).cast("double")
+from .functions import dsum as _dsum  # noqa: E402 (shared determinism helper)
 
 
 # money revenue term: exact decimal product extendedprice * (1 - discount)
