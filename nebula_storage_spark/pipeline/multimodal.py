@@ -119,6 +119,32 @@ def audio_stats(docs_with_payload: DataFrame, sample_rate: int = 16000,
             .mapInPandas(fn, AUDIO_SCHEMA))
 
 
+EMBED_SCHEMA = "doc_id bigint, dim int, vec_csv string"
+
+
+def embed_documents_stub(docs: DataFrame, dim: int = 8,
+                         text_col: str = "text") -> DataFrame:
+    """Batch-inference harness shape (model.apply over Arrow batches):
+    'embed' each document. The model is a deterministic stub — component i
+    = int(md5(text)[4i:4i+4], 16) — a real deployment swaps the lambda for
+    a torch/onnx call over the same mapInPandas plumbing; the vector is
+    surfaced as a csv string for engine-portable comparison."""
+    assert dim * 4 <= 32
+    import hashlib
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            vecs = []
+            for t in pdf[text_col]:
+                h = hashlib.md5(t.encode()).hexdigest()
+                vecs.append(",".join(str(int(h[4 * i:4 * i + 4], 16))
+                                     for i in range(dim)))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                "dim": dim,
+                                "vec_csv": vecs})
+    return docs.select("doc_id", text_col).mapInPandas(fn, EMBED_SCHEMA)
+
+
 def frame_sample(docs_with_payload: DataFrame, stride: int = 5,
                  payload_col: str = "payload") -> DataFrame:
     """Treat the payload as a fake video of (n_bytes % 30 + 1) frames and

@@ -160,6 +160,43 @@ def encode_documents(docs: DataFrame, vocab: DataFrame,
                  .alias("ids_csv")))
 
 
+def split_assign(docs: DataFrame, train_pct: int = 80,
+                 id_col: str = "doc_id", seed: str = "split1") -> DataFrame:
+    """Deterministic train/test assignment: bucket = first 8 md5 hex chars
+    of (seed, id) mod 100 — stable across engines, runs, and data order
+    (the property a random() split lacks). Output: (id, bucket, split)."""
+    bucket = F.expr(
+        f"CAST(conv(substr(md5(concat('{seed}#', CAST({id_col} AS STRING))),"
+        f" 1, 8), 16, 10) AS BIGINT) % 100")
+    return (docs.select(id_col)
+            .withColumn("bucket", bucket)
+            .withColumn("split", F.when(F.col("bucket") < train_pct, "train")
+                        .otherwise("test")))
+
+
+def redact_text(docs: DataFrame, text_col: str = "text",
+                out_col: str = "redacted") -> DataFrame:
+    """Pattern scrubbing (the PII-redaction shape): digit runs → <NUM>,
+    email-ish tokens → <EMAIL>. One codegen'd regexp chain."""
+    c = F.regexp_replace(F.col(text_col),
+                         "[a-z0-9.]+@[a-z0-9.]+", "<EMAIL>")
+    c = F.regexp_replace(c, "[0-9]+", "<NUM>")
+    return docs.withColumn(out_col, c)
+
+
+def corpus_stats(docs: DataFrame, group_col: str = "source",
+                 text_col: str = "text") -> DataFrame:
+    """Per-source corpus report: docs, token volume, mean doc length (x100
+    integer) — the bookkeeping query every curation run ends with."""
+    toks = F.size(tokenize(text_col))
+    return (docs.select(group_col, toks.alias("_n"))
+            .groupBy(group_col)
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("_n").cast("long").alias("n_tokens"),
+                 F.expr("(CAST(sum(_n) AS BIGINT) * 100) DIV count(*)")
+                 .alias("avg_tokens_x100")))
+
+
 def normalize_text(docs: DataFrame, text_col: str = "text",
                    out_col: str = "norm_text") -> DataFrame:
     """Canonical text normalization for dedup/hashing: lowercase, strip

@@ -360,6 +360,26 @@ def q_knn_ivf_persisted(spark, sf_dir):
     return search_ivf_index(spark, path, queries, k=5)
 
 
+def q_split_assign(spark, sf_dir):
+    from .pipeline.text import split_assign
+    return split_assign(_docs(spark, sf_dir), train_pct=80)
+
+
+def q_text_redact(spark, sf_dir):
+    from .pipeline.text import redact_text
+    return redact_text(_docs(spark, sf_dir)).select("doc_id", "redacted")
+
+
+def q_corpus_stats(spark, sf_dir):
+    from .pipeline.text import corpus_stats
+    return corpus_stats(_docs(spark, sf_dir))
+
+
+def q_embed_stub(spark, sf_dir):
+    from .pipeline.multimodal import embed_documents_stub
+    return embed_documents_stub(_docs(spark, sf_dir), dim=8)
+
+
 def q_doc_chunks(spark, sf_dir):
     from .pipeline.text import chunk_documents
     return chunk_documents(_docs(spark, sf_dir), chunk_tokens=32, overlap=8)
@@ -401,6 +421,10 @@ def build_pipeline_queries():
         "embedding_near_dup": q_embedding_near_dup,
         "text_normalize": q_text_normalize,
         "knn_ivf_persisted": q_knn_ivf_persisted,
+        "split_assign": q_split_assign,
+        "text_redact": q_text_redact,
+        "corpus_stats": q_corpus_stats,
+        "embed_stub": q_embed_stub,
         "doc_chunks": q_doc_chunks,
         "doc_token_ids": q_doc_token_ids,
         "dedup_clusters": q_dedup_clusters,
@@ -467,6 +491,17 @@ def build_pipeline_oracles():
             "'[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm_text "
             "FROM documents",
         "knn_ivf_persisted": _oracle_knn_ivf(),
+        "split_assign": """SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(substr(md5('split1#' || CAST(doc_id AS VARCHAR)), 1, 8), ''), c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))), (a, b) -> a * 16 + b) % 100 AS bucket, CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(substr(md5('split1#' || CAST(doc_id AS VARCHAR)), 1, 8), ''), c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))), (a, b) -> a * 16 + b) % 100 < 80 THEN 'train' ELSE 'test' END AS split FROM documents""",
+        "text_redact":
+            "SELECT doc_id, regexp_replace(regexp_replace(text, "
+            "'[a-z0-9.]+@[a-z0-9.]+', '<EMAIL>', 'g'), '[0-9]+', '<NUM>', "
+            "'g') AS redacted FROM documents",
+        "corpus_stats":
+            "SELECT source, count(*) AS n_docs, "
+            "CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens, "
+            "(CAST(sum(len(string_split(text, ' '))) AS BIGINT) * 100) "
+            "// count(*) AS avg_tokens_x100 FROM documents GROUP BY source",
+        "embed_stub": """SELECT doc_id, CAST(8 AS INTEGER) AS dim, array_to_string(list_transform(generate_series(0, 7), i -> CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(substr(md5(text), i * 4 + 1, 4), ''), c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))), (a, b) -> a * 16 + b) AS VARCHAR)), ',') AS vec_csv FROM documents""",
         "doc_chunks": _oracle_doc_chunks(),
         "doc_token_ids": _oracle_doc_token_ids(),
         "dedup_clusters": _oracle_dedup_clusters(),
