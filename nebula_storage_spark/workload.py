@@ -314,6 +314,30 @@ def q_upsert_insert(spark, sf_dir):
     return post.select(VID, "s_name", F.round("s_acctbal", 2).alias("s_acctbal"))
 
 
+def q_upsert_edge(spark, sf_dir):
+    """UpdateEdge parity (UpdateEdgeTest.cpp scenarios): conditional upsert
+    keyed by the full edge key (src, dst, rank)."""
+    g = tpch_graph(spark, sf_dir)
+    table = g.edges["contains"]
+    batch = (table.filter(F.col(SRC) < 40).select(SRC, DST, RANK))
+    post = upsert(table, batch, [SRC, DST, RANK],
+                  {"l_quantity": "t.l_quantity + 1"},
+                  condition="t.l_quantity < 25", insertable=False)
+    return (post.filter(F.col(SRC) < 80)
+            .select(SRC, DST, RANK,
+                    F.round("l_quantity", 2).alias("l_quantity")))
+
+
+def q_ttl_lookup(spark, sf_dir):
+    """IndexWithTTLTest parity: TTL visibility holds on the index/lookup
+    path too — one choke point at load covers every access path (SURVEY §4
+    custom-rule 1)."""
+    g = _events_store(spark, sf_dir)
+    return lookup(g.tag_df("event"),
+                  [Hint.prefix("event_type", "click")],
+                  yield_cols=[VID, "ts_epoch", "event_type"])
+
+
 def q_delete_vertices_cascade(spark, sf_dir):
     g = tpch_graph(spark, sf_dir)
     g2 = delete_vertices(g, _seeds(spark, 50))
@@ -350,6 +374,17 @@ ORACLE_MUTATE = {
         "UNION ALL SELECT CAST(x AS BIGINT), NULL, 50.0 "
         "FROM (VALUES (0), (1), (100), (101)) t(x) "
         "WHERE x NOT IN (SELECT s_suppkey FROM supplier)",
+    "upsert_edge":
+        "SELECT l_orderkey AS _src, l_partkey AS _dst, "
+        "CAST(l_linenumber AS BIGINT) AS _rank, "
+        "round(CASE WHEN l_orderkey < 40 AND l_quantity < 25 "
+        "THEN l_quantity + 1 ELSE l_quantity END, 2) AS l_quantity "
+        "FROM lineitem WHERE l_orderkey < 80",
+    "ttl_lookup":
+        "SELECT event_id AS _vid, CAST(floor(epoch(ts)) AS BIGINT) "
+        "AS ts_epoch, event_type FROM events "
+        "WHERE event_type = 'click' AND "
+        f"floor(epoch(ts)) + {TTL_DURATION} > {TTL_NOW}",
     "delete_vertices_cascade":
         "SELECT o_custkey AS _src, o_orderkey AS _dst, CAST(0 AS BIGINT) AS _rank "
         "FROM orders WHERE o_custkey >= 50 AND o_orderkey >= 50 AND o_custkey < 100",
@@ -1216,7 +1251,20 @@ def _core_queries() -> dict[str, Query]:
         "add_edges_overwrite": q_add_edges_overwrite,
         "upsert_update_cond": q_upsert_update_cond,
         "upsert_insert": q_upsert_insert,
-        "delete_vertices_cascade": q_delete_vertices_cascade,
+        "upsert_edge":
+        "SELECT l_orderkey AS _src, l_partkey AS _dst, "
+        "CAST(l_linenumber AS BIGINT) AS _rank, "
+        "round(CASE WHEN l_orderkey < 40 AND l_quantity < 25 "
+        "THEN l_quantity + 1 ELSE l_quantity END, 2) AS l_quantity "
+        "FROM lineitem WHERE l_orderkey < 80",
+    "ttl_lookup":
+        "SELECT event_id AS _vid, CAST(floor(epoch(ts)) AS BIGINT) "
+        "AS ts_epoch, event_type FROM events "
+        "WHERE event_type = 'click' AND "
+        f"floor(epoch(ts)) + {TTL_DURATION} > {TTL_NOW}",
+    "delete_vertices_cascade": q_delete_vertices_cascade,
+        "upsert_edge": q_upsert_edge,
+        "ttl_lookup": q_ttl_lookup,
         "delete_edges": q_delete_edges,
         "ttl_visibility": q_ttl_visibility,
         "tpch_q1": q_tpch_q1,
