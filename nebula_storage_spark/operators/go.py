@@ -182,6 +182,36 @@ def go_n_hops(store: GraphStore, vids, over: Sequence[str],
     return pairs.select("start_vid", F.col("_frontier").alias("end_vid"))
 
 
+def go_1_to_n(store: GraphStore, vids, over: Sequence[str],
+              directions: Sequence[str] | None = None) -> DataFrame:
+    """GO 1 TO n STEPS: the union of every hop-depth prefix of the walk
+    (graphd's `GO 1 TO n` issues GetNeighbors per step and unions the
+    yields; we compose the same frontiers and union the per-depth pair
+    sets). Output: distinct (start_vid, end_vid, hop) with hop in [1, n].
+
+    Each hop is one distributed plan over the whole frontier; the union is
+    a zero-shuffle unionByName of already-distinct per-depth frames.
+    """
+    dirs = list(directions) if directions else ["out"] * len(over)
+    spark = next(iter(store.edges.values())).sparkSession
+    seeds = _seed_df(store, spark, vids)
+    pairs = seeds.select(F.col(VID).alias("start_vid"),
+                         F.col(VID).alias("_frontier"))
+    out = None
+    for depth, (etype, d) in enumerate(zip(over, dirs), start=1):
+        hop = get_neighbors(store, pairs.select(F.col("_frontier").alias(VID))
+                            .distinct(), etype, direction=d, edge_props=[])
+        nxt = hop.select(F.col(VID).alias("_frontier"),
+                         F.col(DST if d == "out" else SRC).alias("_next"))
+        pairs = (pairs.join(nxt, "_frontier")
+                 .select("start_vid", F.col("_next").alias("_frontier"))
+                 .distinct())
+        level = pairs.select("start_vid", F.col("_frontier").alias("end_vid"),
+                             F.lit(depth).cast("int").alias("hop"))
+        out = level if out is None else out.unionByName(level)
+    return out
+
+
 def go_stats_salted(store: GraphStore, vids, over: Sequence[str] | str,
                     stat_props: dict[str, tuple[str, str]],
                     salt_buckets: int = 8,

@@ -22,7 +22,8 @@ from .text import doc_fingerprints, lang_id, text_features, tokenize
 from .dedup import (doc_shingles, exact_dedup, minhash_signature,
                     minhash_lsh_pairs, lsh_candidate_pairs,
                     ngram_jaccard_pairs, simhash, simhash_pairs)
-from .similarity import (embedding_near_dup, knn_bruteforce, knn_ivf,
+from .similarity import (embedding_near_dup, hyperplane_lsh_topk,
+                         hyperplanes, knn_bruteforce, knn_ivf,
                          quantize_embeddings)
 from .multimodal import frame_sample, image_meta, with_binary_payload
 

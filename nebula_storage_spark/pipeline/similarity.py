@@ -177,6 +177,83 @@ def search_ivf_index(spark, path: str, queries: DataFrame, k: int = 5,
             .select("q_id", "n_id", F.round("cos", 6).alias("cos")))
 
 
+def hyperplanes(n_planes: int, dim: int, seed: int = 42) -> list[list[int]]:
+    """Deterministic ±1 random-hyperplane family (seeded LCG, no engine
+    RNG): plane p, dim d → +1 if lcg(p*dim+d) is even else -1. Pure
+    integer arithmetic so the SAME literal planes embed in the Spark plan
+    and the SQL oracle."""
+    planes = []
+    state = seed & 0x7FFFFFFF
+    for _ in range(n_planes):
+        row = []
+        for _ in range(dim):
+            state = (1103515245 * state + 12345) % (1 << 31)
+            row.append(1 if (state >> 16) % 2 == 0 else -1)
+        planes.append(row)
+    return planes
+
+
+def hyperplane_lsh_topk(emb: DataFrame, query_ids, k: int = 5,
+                        n_planes: int = 8, band_planes: int = 2,
+                        dim: int = 64, id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> DataFrame:
+    """ANN top-k via random-hyperplane (SimHash-for-cosine) LSH: the
+    LSH-bucketed scale path next to knn_bruteforce (exact) and knn_ivf
+    (cell-probed).
+
+    Signature bit_p = [dot(qvec, plane_p) >= 0] — exact int64 (±1 planes,
+    quantized vectors), so bucketing is engine-deterministic. Bits are
+    grouped into bands of `band_planes`; two vectors are CANDIDATES iff
+    they share any (band, band_key) bucket — the standard OR-of-ANDs LSH
+    amplification. Candidates then get the exact integer cosine and a
+    per-query top-k (ties broken by n_id), so the output is a deterministic
+    subset of knn_bruteforce's answer.
+
+    Scale: the bucket join replaces the all-pairs cross join — corpus
+    work per query drops to the occupancy of its ~n_planes/band_planes
+    buckets; band frames shuffle on (band, key) which AQE coalesces.
+    """
+    planes = hyperplanes(n_planes, dim)
+    n_bands = n_planes // band_planes
+    q = quantize_embeddings(emb, vec_col)
+
+    def plane_dot(p: list[int]):
+        lit = F.array(*[F.lit(v).cast("long") for v in p])
+        return _dot(F.col("qvec"), lit)
+
+    band_keys = []
+    for b in range(n_bands):
+        key = F.lit(0).cast("long")
+        for i in range(band_planes):
+            bit = (plane_dot(planes[b * band_planes + i]) >= 0).cast("long")
+            key = key + bit * F.lit(1 << i)
+        band_keys.append(key)
+    sig = q.select(F.col(id_col), "qvec", "qnorm2",
+                   F.posexplode(F.array(*band_keys)).alias("band", "bkey"))
+    qb = (sig.filter(F.col(id_col).isin(list(query_ids)))
+          .select(F.col(id_col).alias("q_id"), "band", "bkey"))
+    cand = (F.broadcast(qb)
+            .join(sig.select(F.col(id_col).alias("n_id"), "band", "bkey"),
+                  ["band", "bkey"])
+            .filter(F.col("q_id") != F.col("n_id"))
+            .select("q_id", "n_id").distinct())
+    vecs = q.select(F.col(id_col), "qvec", "qnorm2")
+    pairs = (cand
+             .join(F.broadcast(vecs.select(F.col(id_col).alias("q_id"),
+                                           F.col("qvec").alias("qv"),
+                                           F.col("qnorm2").alias("_n2a"))),
+                   "q_id")
+             .join(vecs.select(F.col(id_col).alias("n_id"),
+                               F.col("qvec").alias("cv"),
+                               F.col("qnorm2").alias("_n2b")), "n_id")
+             .withColumn("_dot", _dot("qv", "cv"))
+             .withColumn("cos", F.expr(_COS)))
+    w = W.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id"))
+    return (pairs.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= k)
+            .select("q_id", "n_id", F.round("cos", 6).alias("cos")))
+
+
 def embedding_near_dup(emb: DataFrame, min_cos: float = 0.4,
                        id_col: str = "vec_id",
                        vec_col: str = "embedding") -> DataFrame:

@@ -786,6 +786,69 @@ def q_go_two_hop(spark, sf_dir):
     return go_n_hops(g, _seeds(spark, 20), ["placed", "contains"])
 
 
+def q_go_1_to_n(spark, sf_dir):
+    """GO 1 TO 2 STEPS: union of the 1-hop and 2-hop destination sets
+    (graphd unions every step's yield in `GO 1 TO n`); output
+    (start_vid, end_vid, hop)."""
+    g = tpch_graph(spark, sf_dir)
+    from .operators import go_1_to_n
+    return go_1_to_n(g, _seeds(spark, 20), ["placed", "contains"])
+
+
+def q_lookup_edge_index(spark, sf_dir):
+    """Edge-index lookup (LookupIndexTest edge TESTs: index scan over edge
+    props returning src/dst/rank + yield columns): equality prefix on
+    o_orderstatus + trailing range on o_totalprice over the `placed`
+    edge set."""
+    g = tpch_graph(spark, sf_dir)
+    return lookup(g.edges["placed"],
+                  [Hint.prefix("o_orderstatus", "F"),
+                   Hint.range("o_totalprice", 200000.0, 300000.0)],
+                  yield_cols=[SRC, DST, RANK, "o_totalprice"],
+                  dedup_cols=[SRC, DST, RANK])
+
+
+def q_tpch_q4_semi(spark, sf_dir):
+    """TPC-H Q4-shaped EXISTS semi-join: orders in a half-year window
+    having at least one returned line item, counted by priority. The
+    probe side stays a left-semi hash join — no row duplication, no
+    post-join dedup."""
+    g = tpch_graph(spark, sf_dir)
+    o = g.vertices["order"].filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp")))
+    returned = (g.edges["contains"].filter(F.col("l_returnflag") == "R")
+                .select(F.col(SRC).alias(VID)))
+    return (o.join(returned, VID, "left_semi")
+            .groupBy("o_orderpriority").agg(F.count("*").alias("order_count"))
+            .orderBy("o_orderpriority"))
+
+
+def q_anti_join_no_urgent(spark, sf_dir):
+    """NOT-EXISTS anti-join: customers with no URGENT order (graphd's
+    `MINUS` / NOT-EXISTS shape), counted by market segment. Left-anti
+    hash join — the build side is only the filtered edge keys."""
+    g = tpch_graph(spark, sf_dir)
+    c = g.vertices["customer"]
+    urgent = (g.edges["placed"]
+              .filter(F.col("o_orderpriority") == "1-URGENT")
+              .select(F.col(SRC).alias(VID)))
+    return (c.join(urgent, VID, "left_anti")
+            .groupBy("c_mktsegment").agg(F.count("*").alias("cust_count"))
+            .orderBy("c_mktsegment"))
+
+
+def q_source_orc_roundtrip(spark, sf_dir):
+    """ORC source/sink adapter round trip (int + double + string columns;
+    ORC preserves the schema, so the read-back needs no explicit DDL)."""
+    import os
+    from .sources import read_table, write_table
+    g = tpch_graph(spark, sf_dir)
+    path = f"/tmp/nebula_spark_src/{os.path.basename(sf_dir.rstrip('/'))}/part_orc"
+    write_table(g.vertices["part"], path, fmt="orc")
+    return read_table(spark, path, fmt="orc")
+
+
 def q_stream_cdc_upsert(spark, sf_dir):
     """CDC sink (Listener parity): foreachBatch last-write-wins merge of
     the events change stream into a maintained user-state table."""
@@ -1061,6 +1124,33 @@ ORACLE_EXT["go_two_hop"] = (
     "SELECT DISTINCT o_custkey AS start_vid, l_partkey AS end_vid "
     "FROM orders JOIN lineitem ON l_orderkey = o_orderkey "
     "WHERE o_custkey < 20")
+ORACLE_EXT["go_1_to_n"] = (
+    "SELECT DISTINCT o_custkey AS start_vid, o_orderkey AS end_vid, "
+    "1 AS hop FROM orders WHERE o_custkey < 20 "
+    "UNION ALL "
+    "SELECT DISTINCT o_custkey AS start_vid, l_partkey AS end_vid, 2 AS hop "
+    "FROM orders JOIN lineitem ON l_orderkey = o_orderkey "
+    "WHERE o_custkey < 20")
+ORACLE_EXT["lookup_edge_index"] = (
+    "SELECT o_custkey AS _src, o_orderkey AS _dst, "
+    "CAST(0 AS BIGINT) AS _rank, o_totalprice FROM orders "
+    "WHERE o_orderstatus = 'F' "
+    "AND o_totalprice >= 200000 AND o_totalprice < 300000")
+ORACLE_EXT["tpch_q4_semi"] = (
+    "SELECT o_orderpriority, count(*) AS order_count FROM orders o "
+    "WHERE o_orderdate >= TIMESTAMP '1996-01-01' "
+    "AND o_orderdate < TIMESTAMP '1996-07-01' "
+    "AND EXISTS (SELECT 1 FROM lineitem l "
+    "WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R') "
+    "GROUP BY o_orderpriority")
+ORACLE_EXT["anti_join_no_urgent"] = (
+    "SELECT c_mktsegment, count(*) AS cust_count FROM customer c "
+    "WHERE NOT EXISTS (SELECT 1 FROM orders o "
+    "WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT') "
+    "GROUP BY c_mktsegment")
+ORACLE_EXT["source_orc_roundtrip"] = (
+    "SELECT p_partkey AS _vid, p_name, p_brand, p_type, p_size, "
+    "p_retailprice FROM part")
 ORACLE_EXT["stream_cdc_upsert"] = (
     "SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch, "
     "event_type AS last_event_type, round(CAST(value AS DOUBLE), 2) "
@@ -1300,6 +1390,11 @@ def _core_queries() -> dict[str, Query]:
         "source_csv_roundtrip": q_source_csv_roundtrip,
         "source_json_roundtrip": q_source_json_roundtrip,
         "go_two_hop": q_go_two_hop,
+        "go_1_to_n": q_go_1_to_n,
+        "lookup_edge_index": q_lookup_edge_index,
+        "tpch_q4_semi": q_tpch_q4_semi,
+        "anti_join_no_urgent": q_anti_join_no_urgent,
+        "source_orc_roundtrip": q_source_orc_roundtrip,
         "stream_cdc_upsert": q_stream_cdc_upsert,
         "go_expr": q_go_expr,
         "go_stats_with_limit": q_go_stats_with_limit,

@@ -239,6 +239,49 @@ def q_embedding_near_dup(spark, sf_dir):
     return embedding_near_dup(_emb(spark, sf_dir), min_cos=0.4)
 
 
+def q_knn_hyperplane_lsh(spark, sf_dir):
+    """LSH-bucketed ANN (random ±1 hyperplanes, banded SimHash-for-cosine):
+    candidates share an (band, band-key) bucket, exact cosine re-ranks."""
+    from .pipeline import hyperplane_lsh_topk
+    return hyperplane_lsh_topk(_emb(spark, sf_dir), KNN_QUERY_IDS, k=5,
+                               dim=EMB_DIM)
+
+
+def _oracle_knn_hyperplane_lsh() -> str:
+    from .pipeline import hyperplanes
+    planes = hyperplanes(8, EMB_DIM)
+    band_planes, n_bands = 2, 4
+
+    def lit(p):
+        return "[" + ", ".join(str(v) for v in p) + "]"
+
+    bands = []
+    for b in range(n_bands):
+        terms = []
+        for i in range(band_planes):
+            dot = f"list_dot_product(v, {lit(planes[b * band_planes + i])})"
+            terms.append(f"(CASE WHEN {dot} >= 0 THEN 1 ELSE 0 END) * {1 << i}")
+        bands.append(" + ".join(terms) + f" AS band{b}")
+    band_cols = ",\n  ".join(bands)
+    bb = " UNION ALL ".join(
+        f"SELECT vec_id, {b} AS band, band{b} AS bkey FROM sig"
+        for b in range(n_bands))
+    return f"""
+WITH {_QVEC_CTE},
+sig AS (SELECT vec_id,
+  {band_cols}
+FROM nn),
+bb AS ({bb}),
+cand AS (SELECT DISTINCT qb.vec_id AS q_id, cb.vec_id AS n_id
+         FROM bb qb JOIN bb cb ON qb.band = cb.band AND qb.bkey = cb.bkey
+         WHERE qb.vec_id IN {_QIDS} AND qb.vec_id != cb.vec_id),
+p AS (SELECT cand.q_id, cand.n_id, {_PAIR_COS} AS c
+      FROM cand JOIN nn a ON a.vec_id = cand.q_id
+      JOIN nn b ON b.vec_id = cand.n_id)
+SELECT q_id, n_id, round(c, 6) AS cos FROM p
+QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY c DESC, n_id) <= 5"""
+
+
 _QVEC_CTE = """n AS (
   SELECT vec_id, label,
     list_transform(embedding,
@@ -418,6 +461,7 @@ def build_pipeline_queries():
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "knn_bruteforce": q_knn_bruteforce,
         "knn_ivf": q_knn_ivf,
+        "knn_hyperplane_lsh": q_knn_hyperplane_lsh,
         "embedding_near_dup": q_embedding_near_dup,
         "text_normalize": q_text_normalize,
         "knn_ivf_persisted": q_knn_ivf_persisted,
@@ -485,6 +529,7 @@ def build_pipeline_oracles():
         "dedup_simhash_pairs": _oracle_simhash_pairs(),
         "knn_bruteforce": _oracle_knn_bruteforce(),
         "knn_ivf": _oracle_knn_ivf(),
+        "knn_hyperplane_lsh": _oracle_knn_hyperplane_lsh(),
         "embedding_near_dup": _oracle_embedding_near_dup(),
         "text_normalize":
             "SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text), "

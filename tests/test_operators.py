@@ -174,3 +174,45 @@ def test_get_neighbors_rejects_bad_direction(spark, sf_dir):
     g = tpch_graph(spark, sf_dir)
     with pytest.raises(ValueError):
         get_neighbors(g, [1], "placed", direction="sideways")
+
+
+def test_go_1_to_n_unions_hop_depths(spark, sf_dir):
+    from nebula_storage_spark.graph import tpch_graph
+    from nebula_storage_spark.operators import go_1_to_n, go_n_hops
+    g = tpch_graph(spark, sf_dir)
+    out = go_1_to_n(g, list(range(5)), ["placed", "contains"])
+    rows = out.collect()
+    hops = {r.hop for r in rows}
+    assert hops <= {1, 2} and 1 in hops
+    # hop-2 slice must equal the plain 2-hop composition
+    two = {(r.start_vid, r.end_vid)
+           for r in go_n_hops(g, list(range(5)), ["placed", "contains"]).collect()}
+    assert {(r.start_vid, r.end_vid) for r in rows if r.hop == 2} == two
+
+
+def test_hyperplane_lsh_subset_of_bruteforce_ranking(spark):
+    from nebula_storage_spark.pipeline.similarity import (
+        hyperplane_lsh_topk, knn_bruteforce)
+    import math
+    # 8-dim ring: neighbors at small angular offsets
+    emb = spark.createDataFrame(
+        [(i, [math.cos(0.15 * i), math.sin(0.15 * i)] + [0.1 * j for j in range(6)])
+         for i in range(20)],
+        "vec_id bigint, embedding array<float>")
+    lsh = hyperplane_lsh_topk(emb, [0, 1], k=3, dim=8)
+    bf = knn_bruteforce(emb, [0, 1], k=20)
+    bf_cos = {(r.q_id, r.n_id): r.cos for r in bf.collect()}
+    got = lsh.collect()
+    assert len(got) > 0
+    # every LSH answer carries the exact cosine the brute-force path computes
+    for r in got:
+        assert abs(bf_cos[(r.q_id, r.n_id)] - r.cos) < 1e-9
+
+
+def test_hyperplanes_deterministic_pm1(spark):
+    from nebula_storage_spark.pipeline.similarity import hyperplanes
+    a, b = hyperplanes(8, 64), hyperplanes(8, 64)
+    assert a == b
+    assert all(v in (-1, 1) for row in a for v in row)
+    # not degenerate: both signs present in every plane
+    assert all(len(set(row)) == 2 for row in a)
