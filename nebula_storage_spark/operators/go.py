@@ -212,6 +212,69 @@ def go_1_to_n(store: GraphStore, vids, over: Sequence[str],
     return out
 
 
+def get_subgraph(store: GraphStore, vids, over: Sequence[str],
+                 directions: Sequence[str] | None = None) -> DataFrame:
+    """GET SUBGRAPH k STEPS: the edge set discovered hop by hop from the
+    seeds (graphd's GetSubgraph executor drives repeated GetNeighbors
+    calls and accumulates each step's edges; same decomposition here —
+    hop k's frontier is hop k-1's destination set). Output: distinct
+    (hop, _type, _src, _dst, _rank) per discovered edge.
+
+    Each hop is one distributed GetNeighbors plan over the whole
+    frontier; output frames union without a shuffle.
+    """
+    dirs = list(directions) if directions else ["out"] * len(over)
+    spark = next(iter(store.edges.values())).sparkSession
+    frontier = _seed_df(store, spark, vids).select(VID).distinct()
+    out = None
+    for depth, (etype, d) in enumerate(zip(over, dirs), start=1):
+        hop = get_neighbors(store, frontier, etype, direction=d,
+                            edge_props=[])
+        edges = hop.select(F.lit(depth).cast("int").alias("hop"),
+                           F.col(TYPE).alias("_etype"),
+                           SRC, DST, RANK).distinct()
+        out = edges if out is None else out.unionByName(edges)
+        frontier = hop.select(
+            F.col(DST if d == "out" else SRC).alias(VID)).distinct()
+    return out
+
+
+def bfs_min_hop(store: GraphStore, vids, over: Sequence[str],
+                directions: Sequence[str] | None = None) -> DataFrame:
+    """BFS distances: for each (start_vid, end_vid) reachable within
+    len(over) hops, the MINIMUM hop count at which end_vid is first
+    reached. Proper frontier BFS — each round's frontier is anti-joined
+    against the vertices already seen for that start, so a vertex is
+    expanded at most once per start (the property that keeps iteration
+    work bounded on graphs with cycles).
+    """
+    dirs = list(directions) if directions else ["out"] * len(over)
+    spark = next(iter(store.edges.values())).sparkSession
+    seeds = _seed_df(store, spark, vids)
+    frontier = seeds.select(F.col(VID).alias("start_vid"),
+                            F.col(VID).alias("_frontier"))
+    visited = frontier.select("start_vid",
+                              F.col("_frontier").alias("end_vid"))
+    out = None
+    for depth, (etype, d) in enumerate(zip(over, dirs), start=1):
+        hop = get_neighbors(store, frontier.select(
+            F.col("_frontier").alias(VID)).distinct(), etype,
+            direction=d, edge_props=[])
+        nxt = hop.select(F.col(VID).alias("_frontier"),
+                         F.col(DST if d == "out" else SRC).alias("_next"))
+        reached = (frontier.join(nxt, "_frontier")
+                   .select("start_vid", F.col("_next").alias("end_vid"))
+                   .distinct())
+        fresh = reached.join(visited, ["start_vid", "end_vid"], "left_anti")
+        level = fresh.select("start_vid", "end_vid",
+                             F.lit(depth).cast("int").alias("dist"))
+        out = level if out is None else out.unionByName(level)
+        visited = visited.unionByName(fresh)
+        frontier = fresh.select("start_vid",
+                                F.col("end_vid").alias("_frontier"))
+    return out
+
+
 def go_stats_salted(store: GraphStore, vids, over: Sequence[str] | str,
                     stat_props: dict[str, tuple[str, str]],
                     salt_buckets: int = 8,

@@ -849,6 +849,74 @@ def q_source_orc_roundtrip(spark, sf_dir):
     return read_table(spark, path, fmt="orc")
 
 
+def q_subgraph(spark, sf_dir):
+    """GET SUBGRAPH 2 STEPS: the discovered edge set per hop (graphd's
+    GetSubgraph accumulates each step's GetNeighbors edges)."""
+    g = tpch_graph(spark, sf_dir)
+    from .operators import get_subgraph
+    return get_subgraph(g, _seeds(spark, 10), ["placed", "contains"])
+
+
+def q_bfs_distances(spark, sf_dir):
+    """BFS min-hop distances: first-reach depth per (start, end) with a
+    per-round anti-join against the visited set (vertices expand once)."""
+    g = tpch_graph(spark, sf_dir)
+    from .operators import bfs_min_hop
+    return bfs_min_hop(g, _seeds(spark, 20), ["placed", "contains"])
+
+
+def q_stats_variance(spark, sf_dir):
+    """Exact population variance/stddev per group (AggregateNode stat
+    family beyond sum/avg/min/max): quantity as exact integer units, then
+    varp = (n·Σx² − (Σx)²) div n² — pure int64 until one final IEEE
+    sqrt/round. At extreme scale the two sums promote to DECIMAL(38,0)
+    (same formula); int64 here covers ≥ sf10."""
+    g = tpch_graph(spark, sf_dir)
+    li = g.edges["contains"]
+    x = F.col("l_quantity").cast("decimal(18,2)").cast("bigint")
+    agg = (li.groupBy("l_returnflag")
+           .agg(F.count("*").alias("n"),
+                F.sum(x).alias("s1"),
+                F.sum(x * x).alias("s2")))
+    return agg.select(
+        "l_returnflag", "n",
+        F.expr("(n * s2 - s1 * s1) DIV (n * n)").alias("varp_units"),
+        F.round(F.expr(
+            "sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE) / CAST(n * n AS DOUBLE))"),
+            6).alias("stddev"))
+
+
+def q_running_total(spark, sf_dir):
+    """Cursor-style running total: per-customer cumulative order value in
+    exact cents, ordered by (o_orderdate, dst) — the deterministic window
+    frame ROWS UNBOUNDED PRECEDING."""
+    g = tpch_graph(spark, sf_dir)
+    e = g.edges["placed"].filter(F.col(SRC) < 100)
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
+    w = (W.partitionBy(SRC).orderBy("o_orderdate", DST)
+         .rowsBetween(W.unboundedPreceding, W.currentRow))
+    return e.select(SRC, DST, F.sum(cents).over(w).alias("cum_cents"))
+
+
+def q_degree_quantiles(spark, sf_dir):
+    """Discrete quantiles (p50/p90/p99) of the out-degree distribution —
+    value at rank ceil(p·n/100) in (degree, vid) order: integer-rank
+    selection, so engine-portable with no interpolation. The global sort
+    window is over the per-vertex degree frame (|V| rows, not |E|); at
+    cluster scale the same selection runs as range-partitioned rank."""
+    g = tpch_graph(spark, sf_dir)
+    deg = (g.edges["placed"].groupBy(SRC)
+           .agg(F.count("*").alias("deg")))
+    r = deg.select(
+        "deg",
+        F.row_number().over(W.orderBy("deg", SRC)).alias("rn"),
+        F.count("*").over(W.partitionBy()).alias("n"))
+    picks = [F.max(F.when(F.col("rn") == F.expr(f"(n * {p} + 99) DIV 100"),
+                          F.col("deg"))).alias(f"p{p}")
+             for p in (50, 90, 99)]
+    return r.agg(*picks)
+
+
 def q_stream_cdc_upsert(spark, sf_dir):
     """CDC sink (Listener parity): foreachBatch last-write-wins merge of
     the events change stream into a maintained user-state table."""
@@ -1151,6 +1219,48 @@ ORACLE_EXT["anti_join_no_urgent"] = (
 ORACLE_EXT["source_orc_roundtrip"] = (
     "SELECT p_partkey AS _vid, p_name, p_brand, p_type, p_size, "
     "p_retailprice FROM part")
+ORACLE_EXT["subgraph"] = (
+    "SELECT DISTINCT 1 AS hop, '+placed' AS _etype, o_custkey AS _src, "
+    "o_orderkey AS _dst, CAST(0 AS BIGINT) AS _rank "
+    "FROM orders WHERE o_custkey < 10 "
+    "UNION ALL "
+    "SELECT DISTINCT 2 AS hop, '+contains' AS _etype, l_orderkey AS _src, "
+    "l_partkey AS _dst, CAST(l_linenumber AS BIGINT) AS _rank "
+    "FROM lineitem WHERE l_orderkey IN "
+    "(SELECT DISTINCT o_orderkey FROM orders WHERE o_custkey < 10)")
+ORACLE_EXT["bfs_distances"] = (
+    "WITH f1 AS (SELECT DISTINCT o_custkey AS s, o_orderkey AS e "
+    "FROM orders WHERE o_custkey < 20 AND o_orderkey != o_custkey), "
+    "h2 AS (SELECT DISTINCT f1.s, l.l_partkey AS e "
+    "FROM f1 JOIN lineitem l ON l.l_orderkey = f1.e) "
+    "SELECT s AS start_vid, e AS end_vid, 1 AS dist FROM f1 "
+    "UNION ALL "
+    "SELECT s AS start_vid, e AS end_vid, 2 AS dist FROM h2 "
+    "WHERE e != s AND NOT EXISTS (SELECT 1 FROM f1 "
+    "WHERE f1.s = h2.s AND f1.e = h2.e)")
+ORACLE_EXT["stats_variance"] = (
+    "WITH a AS (SELECT l_returnflag, count(*) AS n, "
+    "sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) AS BIGINT)) AS s1, "
+    "sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) AS BIGINT) * "
+    "CAST(CAST(l_quantity AS DECIMAL(18,2)) AS BIGINT)) AS s2 "
+    "FROM lineitem GROUP BY l_returnflag) "
+    "SELECT l_returnflag, n, (n * s2 - s1 * s1) // (n * n) AS varp_units, "
+    "round(sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE) / CAST(n * n AS DOUBLE)), 6) "
+    "AS stddev FROM a")
+ORACLE_EXT["running_total"] = (
+    "SELECT o_custkey AS _src, o_orderkey AS _dst, "
+    "CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) "
+    "OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) "
+    "AS cum_cents FROM orders WHERE o_custkey < 100")
+ORACLE_EXT["degree_quantiles"] = (
+    "WITH deg AS (SELECT o_custkey, count(*) AS deg FROM orders "
+    "GROUP BY o_custkey), "
+    "r AS (SELECT deg, row_number() OVER (ORDER BY deg, o_custkey) AS rn, "
+    "count(*) OVER () AS n FROM deg) "
+    "SELECT max(CASE WHEN rn = (n * 50 + 99) // 100 THEN deg END) AS p50, "
+    "max(CASE WHEN rn = (n * 90 + 99) // 100 THEN deg END) AS p90, "
+    "max(CASE WHEN rn = (n * 99 + 99) // 100 THEN deg END) AS p99 FROM r")
 ORACLE_EXT["stream_cdc_upsert"] = (
     "SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch, "
     "event_type AS last_event_type, round(CAST(value AS DOUBLE), 2) "
@@ -1391,6 +1501,11 @@ def _core_queries() -> dict[str, Query]:
         "source_json_roundtrip": q_source_json_roundtrip,
         "go_two_hop": q_go_two_hop,
         "go_1_to_n": q_go_1_to_n,
+        "subgraph": q_subgraph,
+        "bfs_distances": q_bfs_distances,
+        "stats_variance": q_stats_variance,
+        "running_total": q_running_total,
+        "degree_quantiles": q_degree_quantiles,
         "lookup_edge_index": q_lookup_edge_index,
         "tpch_q4_semi": q_tpch_q4_semi,
         "anti_join_no_urgent": q_anti_join_no_urgent,

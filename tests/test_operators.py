@@ -216,3 +216,31 @@ def test_hyperplanes_deterministic_pm1(spark):
     assert all(v in (-1, 1) for row in a for v in row)
     # not degenerate: both signs present in every plane
     assert all(len(set(row)) == 2 for row in a)
+
+
+def test_bfs_min_hop_expands_once(spark):
+    from nebula_storage_spark.graph import GraphStore
+    from nebula_storage_spark.catalog import Catalog, EdgeDef
+    from nebula_storage_spark.operators import bfs_min_hop
+    cat = Catalog(vid_type="bigint")
+    cat.add_edge(EdgeDef("e", ()))
+    g = GraphStore(catalog=cat)
+    # 0 -> 1 -> 2, plus a shortcut 0 -> 2: dist(2) must be 1, not 2
+    g.add_edges_df("e", spark.createDataFrame(
+        [(0, 1, 0), (1, 2, 0), (0, 2, 0)],
+        "_src bigint, _dst bigint, _rank bigint"))
+    out = {(r.start_vid, r.end_vid): r.dist
+           for r in bfs_min_hop(g, [0], ["e", "e"]).collect()}
+    assert out == {(0, 1): 1, (0, 2): 1}
+
+
+def test_subgraph_accumulates_hop_edges(spark, sf_dir):
+    from nebula_storage_spark.graph import tpch_graph
+    from nebula_storage_spark.operators import get_subgraph
+    g = tpch_graph(spark, sf_dir)
+    out = get_subgraph(g, [1, 2], ["placed", "contains"]).collect()
+    hops = {r.hop for r in out}
+    types = {r._etype for r in out}
+    assert hops == {1, 2} and types == {"+placed", "+contains"}
+    # hop-1 sources can only be the seeds
+    assert {r._src for r in out if r.hop == 1} <= {1, 2}
