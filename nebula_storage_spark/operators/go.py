@@ -275,6 +275,29 @@ def bfs_min_hop(store: GraphStore, vids, over: Sequence[str],
     return out
 
 
+def common_neighbors(store: GraphStore, pairs: Sequence[tuple[int, int]],
+                     over: Sequence[str],
+                     directions: Sequence[str] | None = None) -> DataFrame:
+    """|N(a) ∩ N(b)| per requested vertex pair, where N(·) is the
+    destination set of the `over` walk (1 hop or composed). The classic
+    co-occurrence / link-prediction primitive. One shared neighbor frame
+    serves every pair — the walk runs once over the union of pair
+    endpoints, then the (tiny, broadcast) pair list joins it twice on the
+    shared end-vertex. Pairs with an empty intersection are omitted.
+    """
+    spark = next(iter(store.edges.values())).sparkSession
+    seeds = sorted({v for ab in pairs for v in ab})
+    nbrs = go_n_hops(store, seeds, over, directions)
+    pdf = spark.createDataFrame(list(pairs), "vid_a bigint, vid_b bigint")
+    a = nbrs.select(F.col("start_vid").alias("vid_a"),
+                    F.col("end_vid").alias("__n"))
+    b = nbrs.select(F.col("start_vid").alias("vid_b"),
+                    F.col("end_vid").alias("__n"))
+    return (F.broadcast(pdf).join(a, "vid_a").join(b, ["vid_b", "__n"])
+            .groupBy("vid_a", "vid_b")
+            .agg(F.count("*").alias("n_common")))
+
+
 def go_stats_salted(store: GraphStore, vids, over: Sequence[str] | str,
                     stat_props: dict[str, tuple[str, str]],
                     salt_buckets: int = 8,

@@ -14,7 +14,7 @@ stage (check WholeStageCodegen spans in .explain).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window as W, functions as F
 
 # small marker vocabularies for the n-gram/stopword language heuristic —
 # deliberately tiny: the operator contract is "deterministic argmax of
@@ -228,3 +228,80 @@ def doc_fingerprints(docs: DataFrame, text_col: str = "text",
         id_col,
         poly.alias("poly_hash"),
         F.when(F.length(text_col) >= window, win).alias("min_window_md5"))
+
+
+def token_ngrams(docs: DataFrame, n: int = 4, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Distinct token n-grams per document: (id, gram). Guarded for short
+    docs (Spark's sequence(1,0) DESCENDS, unlike an empty range — filter
+    first). HOF-only: split/sequence/transform/slice stay in codegen."""
+    toks = tokenize(F.col(text_col))
+    return (docs.select(F.col(id_col), toks.alias("__t"))
+            .filter(F.size("__t") >= n)
+            .select(id_col, F.explode(F.transform(
+                F.sequence(F.lit(1), F.size("__t") - (n - 1)),
+                lambda i: F.concat_ws(" ", F.slice("__t", i, n))))
+                .alias("gram"))
+            .distinct())
+
+
+def decontaminate(docs: DataFrame, bench_max_id: int = 20, n: int = 4,
+                  text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Benchmark decontamination: flag training docs (id >= bench_max_id)
+    sharing any token n-gram with the benchmark slice (id < bench_max_id)
+    — the n-gram-overlap test used to scrub eval sets out of pretraining
+    corpora. Output (doc_id, contaminated_by = min overlapping bench doc,
+    n_shared_grams), contaminated docs only.
+
+    Scale: bench grams are DISTINCT and broadcast (eval sets are tiny
+    next to the corpus); the corpus side streams through one hash join —
+    no shuffle of the corpus grams."""
+    grams = token_ngrams(docs, n, text_col, id_col)
+    bench = (grams.filter(F.col(id_col) < bench_max_id)
+             .select(F.col(id_col).alias("__bid"), "gram"))
+    train = grams.filter(F.col(id_col) >= bench_max_id)
+    return (train.join(F.broadcast(bench), "gram")
+            .groupBy(id_col)
+            .agg(F.min("__bid").alias("contaminated_by"),
+                 F.countDistinct("gram").alias("n_shared_grams")))
+
+
+def repetition_stats(docs: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Gopher-style repetition signals per doc: most-common-token count,
+    its share of all tokens, and the distinct-token ratio (boilerplate and
+    degenerate repetition push top_ratio up / distinct_ratio down).
+    Integer x100 ratios with truncating DIV — engine-portable."""
+    toks = (docs.select(id_col, F.explode(tokenize(F.col(text_col)))
+                        .alias("tok"))
+            .groupBy(id_col, "tok").agg(F.count("*").alias("cnt")))
+    return (toks.groupBy(id_col)
+            .agg(F.sum("cnt").alias("n_tokens"),
+                 F.max("cnt").alias("top_tok_cnt"),
+                 F.count("*").alias("n_distinct"))
+            .select(id_col,
+                    F.col("n_tokens"),
+                    F.col("top_tok_cnt"),
+                    F.expr("(top_tok_cnt * 100) DIV n_tokens")
+                    .alias("top_ratio_x100"),
+                    F.expr("(n_distinct * 100) DIV n_tokens")
+                    .alias("distinct_ratio_x100")))
+
+
+def tfidf_top_terms(docs: DataFrame, k: int = 3, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Top-k characteristic terms per doc by an integer tf-idf surrogate:
+    score = (tf * 1_000_000) DIV df (monotone in tf and 1/df; integer, so
+    cross-engine exact — a float idf log would hit libm divergence).
+    Ties break (score desc, term asc). df is one broadcastable aggregate
+    over the exploded token frame."""
+    tf = (docs.select(id_col, F.explode(tokenize(F.col(text_col)))
+                      .alias("term"))
+          .groupBy(id_col, "term").agg(F.count("*").alias("tf")))
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    scored = (tf.join(F.broadcast(df_), "term")
+              .withColumn("score", F.expr("(tf * 1000000) DIV df")))
+    w = W.partitionBy(id_col).orderBy(F.col("score").desc(), F.col("term"))
+    return (scored.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= k)
+            .select(id_col, "term", "score"))

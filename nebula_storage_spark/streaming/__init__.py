@@ -1,3 +1,3 @@
-from .window import stream_events_windowed
+from .window import stream_distinct_keys, stream_events_windowed
 
-__all__ = ["stream_events_windowed"]
+__all__ = ["stream_distinct_keys", "stream_events_windowed"]

@@ -57,3 +57,31 @@ def stream_events_windowed(spark: SparkSession, sf_dir: str,
     return (spark.table(name)
             .select(F.col("w.start").alias("hour"), "event_type", "cnt",
                     F.round("sum_value", 2).alias("sum_value")))
+
+
+def stream_distinct_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exactly-once dedup: dropDuplicates over the change
+    stream's natural key (user_id, event_type) — the idempotent-consumer
+    pattern for at-least-once sources. State is one entry per distinct
+    key; with a watermark + dropDuplicatesWithinWatermark the state stays
+    bounded on continuous feeds (AvailableNow here drains one snapshot).
+    Output: the distinct key set, append-mode."""
+    import os
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = f"{sf_dir}/events.parquet"
+    stream_dir = f"/tmp/nebula_stream/{os.path.basename(sf_dir.rstrip('/'))}/events"
+    os.makedirs(stream_dir, exist_ok=True)
+    link = f"{stream_dir}/events.parquet"
+    if not os.path.islink(link):
+        os.symlink(path, link)
+    schema = spark.read.parquet(path).schema
+    raw = spark.readStream.schema(schema).parquet(stream_dir)
+    ev = raw.select(F.expr("timestamp_micros(ts div 1000)").alias("ts"),
+                    "user_id", "event_type")
+    dd = (ev.withWatermark("ts", "1 hour")
+          .dropDuplicates(["user_id", "event_type"]))
+    name = f"stream_dedup_{next(_COUNTER)}"
+    q = (dd.writeStream.format("memory").queryName(name)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.table(name).select("user_id", "event_type")

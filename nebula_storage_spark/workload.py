@@ -917,6 +917,23 @@ def q_degree_quantiles(spark, sf_dir):
     return r.agg(*picks)
 
 
+def q_common_neighbors(spark, sf_dir):
+    """Common-neighbor counts for 30 customer pairs over the 2-hop
+    (placed, contains) walk — the co-purchase / link-prediction
+    primitive; one shared neighbor frame, pair list broadcast."""
+    g = tpch_graph(spark, sf_dir)
+    from .operators import common_neighbors
+    return common_neighbors(g, [(2 * i, 2 * i + 1) for i in range(30)],
+                            ["placed", "contains"])
+
+
+def q_stream_dedup(spark, sf_dir):
+    """Streaming exactly-once dedup: dropDuplicates over the change
+    stream's natural key, append-mode."""
+    from .streaming import stream_distinct_keys
+    return stream_distinct_keys(spark, sf_dir)
+
+
 def q_stream_cdc_upsert(spark, sf_dir):
     """CDC sink (Listener parity): foreachBatch last-write-wins merge of
     the events change stream into a maintained user-state table."""
@@ -1261,6 +1278,18 @@ ORACLE_EXT["degree_quantiles"] = (
     "SELECT max(CASE WHEN rn = (n * 50 + 99) // 100 THEN deg END) AS p50, "
     "max(CASE WHEN rn = (n * 90 + 99) // 100 THEN deg END) AS p90, "
     "max(CASE WHEN rn = (n * 99 + 99) // 100 THEN deg END) AS p99 FROM r")
+ORACLE_EXT["common_neighbors"] = (
+    "WITH n2 AS (SELECT DISTINCT o_custkey AS c, l_partkey AS p "
+    "FROM orders JOIN lineitem ON l_orderkey = o_orderkey "
+    "WHERE o_custkey < 60), "
+    "pairs AS (SELECT CAST(i * 2 AS BIGINT) AS vid_a, "
+    "CAST(i * 2 + 1 AS BIGINT) AS vid_b FROM range(30) t(i)) "
+    "SELECT vid_a, vid_b, count(*) AS n_common "
+    "FROM pairs JOIN n2 a ON a.c = vid_a "
+    "JOIN n2 b ON b.c = vid_b AND b.p = a.p "
+    "GROUP BY vid_a, vid_b")
+ORACLE_EXT["stream_dedup"] = (
+    "SELECT DISTINCT user_id, event_type FROM events")
 ORACLE_EXT["stream_cdc_upsert"] = (
     "SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch, "
     "event_type AS last_event_type, round(CAST(value AS DOUBLE), 2) "
@@ -1506,6 +1535,8 @@ def _core_queries() -> dict[str, Query]:
         "stats_variance": q_stats_variance,
         "running_total": q_running_total,
         "degree_quantiles": q_degree_quantiles,
+        "common_neighbors": q_common_neighbors,
+        "stream_dedup": q_stream_dedup,
         "lookup_edge_index": q_lookup_edge_index,
         "tpch_q4_semi": q_tpch_q4_semi,
         "anti_join_no_urgent": q_anti_join_no_urgent,

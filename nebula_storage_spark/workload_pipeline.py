@@ -239,6 +239,70 @@ def q_embedding_near_dup(spark, sf_dir):
     return embedding_near_dup(_emb(spark, sf_dir), min_cos=0.4)
 
 
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: training docs sharing any token 4-gram
+    with the benchmark slice (doc_id < 20) — broadcast bench grams, one
+    hash join over the corpus gram stream."""
+    from .pipeline.text import decontaminate
+    return decontaminate(_docs(spark, sf_dir), bench_max_id=20, n=4)
+
+
+def q_repetition_stats(spark, sf_dir):
+    """Gopher-style repetition quality signals (top-token share,
+    distinct-token ratio) as integer x100 ratios."""
+    from .pipeline.text import repetition_stats
+    return repetition_stats(_docs(spark, sf_dir))
+
+
+def q_tfidf_top_terms(spark, sf_dir):
+    """Per-doc top-3 characteristic terms by integer tf-idf surrogate
+    (tf*1e6 DIV df) — no float idf, so cross-engine exact."""
+    from .pipeline.text import tfidf_top_terms
+    return tfidf_top_terms(_docs(spark, sf_dir), k=3)
+
+
+_GRAMS4_CTE = """toks AS (SELECT doc_id, string_split(text, ' ') AS t
+  FROM documents),
+g AS (SELECT DISTINCT doc_id, gram FROM (
+  SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 3),
+    i -> array_to_string(list_slice(t, i, i + 3), ' '))) AS gram
+  FROM toks WHERE len(t) >= 4))"""
+
+
+def _oracle_decontaminate() -> str:
+    return f"""
+WITH {_GRAMS4_CTE},
+bench AS (SELECT doc_id AS bid, gram FROM g WHERE doc_id < 20),
+train AS (SELECT doc_id, gram FROM g WHERE doc_id >= 20)
+SELECT doc_id, min(bid) AS contaminated_by,
+       count(DISTINCT gram) AS n_shared_grams
+FROM train JOIN bench USING (gram) GROUP BY doc_id"""
+
+
+def _oracle_repetition_stats() -> str:
+    return """
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+  FROM documents),
+c AS (SELECT doc_id, tok, count(*) AS cnt FROM tok GROUP BY doc_id, tok)
+SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+  max(cnt) AS top_tok_cnt,
+  CAST((max(cnt) * 100) // sum(cnt) AS BIGINT) AS top_ratio_x100,
+  CAST((count(*) * 100) // sum(cnt) AS BIGINT) AS distinct_ratio_x100
+FROM c GROUP BY doc_id"""
+
+
+def _oracle_tfidf_top_terms() -> str:
+    return """
+WITH tf AS (SELECT doc_id, term, count(*) AS tf FROM
+  (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+  GROUP BY doc_id, term),
+dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+s AS (SELECT doc_id, term, (tf * 1000000) // df AS score
+      FROM tf JOIN dfq USING (term))
+SELECT doc_id, term, score FROM s
+QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) <= 3"""
+
+
 def q_knn_hyperplane_lsh(spark, sf_dir):
     """LSH-bucketed ANN (random ±1 hyperplanes, banded SimHash-for-cosine):
     candidates share an (band, band-key) bucket, exact cosine re-ranks."""
@@ -462,6 +526,9 @@ def build_pipeline_queries():
         "knn_bruteforce": q_knn_bruteforce,
         "knn_ivf": q_knn_ivf,
         "knn_hyperplane_lsh": q_knn_hyperplane_lsh,
+        "decontaminate": q_decontaminate,
+        "repetition_stats": q_repetition_stats,
+        "tfidf_top_terms": q_tfidf_top_terms,
         "embedding_near_dup": q_embedding_near_dup,
         "text_normalize": q_text_normalize,
         "knn_ivf_persisted": q_knn_ivf_persisted,
@@ -530,6 +597,9 @@ def build_pipeline_oracles():
         "knn_bruteforce": _oracle_knn_bruteforce(),
         "knn_ivf": _oracle_knn_ivf(),
         "knn_hyperplane_lsh": _oracle_knn_hyperplane_lsh(),
+        "decontaminate": _oracle_decontaminate(),
+        "repetition_stats": _oracle_repetition_stats(),
+        "tfidf_top_terms": _oracle_tfidf_top_terms(),
         "embedding_near_dup": _oracle_embedding_near_dup(),
         "text_normalize":
             "SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text), "

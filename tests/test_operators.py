@@ -244,3 +244,51 @@ def test_subgraph_accumulates_hop_edges(spark, sf_dir):
     assert hops == {1, 2} and types == {"+placed", "+contains"}
     # hop-1 sources can only be the seeds
     assert {r._src for r in out if r.hop == 1} <= {1, 2}
+
+
+def test_decontaminate_flags_exact_overlap(spark):
+    from nebula_storage_spark.pipeline.text import decontaminate
+    docs = spark.createDataFrame(
+        [(0, "alpha beta gamma delta epsilon"),      # benchmark
+         (10, "alpha beta gamma delta zeta"),        # shares 4-gram w/ 0
+         (11, "one two three four five")],           # clean
+        "doc_id bigint, text string")
+    out = {r.doc_id: (r.contaminated_by, r.n_shared_grams)
+           for r in decontaminate(docs, bench_max_id=5, n=4).collect()}
+    assert out == {10: (0, 1)}
+
+
+def test_repetition_stats_degenerate_doc(spark):
+    from nebula_storage_spark.pipeline.text import repetition_stats
+    docs = spark.createDataFrame(
+        [(1, "spam spam spam spam"), (2, "a b c d")],
+        "doc_id bigint, text string")
+    out = {r.doc_id: r for r in repetition_stats(docs).collect()}
+    assert out[1].top_ratio_x100 == 100 and out[1].distinct_ratio_x100 == 25
+    assert out[2].top_ratio_x100 == 25 and out[2].distinct_ratio_x100 == 100
+
+
+def test_tfidf_surrogate_prefers_rare_terms(spark):
+    from nebula_storage_spark.pipeline.text import tfidf_top_terms
+    docs = spark.createDataFrame(
+        [(1, "common rare1 common"), (2, "common rare2"), (3, "common x")],
+        "doc_id bigint, text string")
+    top1 = {r.doc_id: r.term
+            for r in tfidf_top_terms(docs, k=1).collect()}
+    # 'common' has df=3; each doc's unique term (df=1) must outrank it
+    assert top1 == {1: "rare1", 2: "rare2", 3: "x"}
+
+
+def test_common_neighbors_counts_intersection(spark):
+    from nebula_storage_spark.graph import GraphStore
+    from nebula_storage_spark.catalog import Catalog, EdgeDef
+    from nebula_storage_spark.operators import common_neighbors
+    cat = Catalog(vid_type="bigint")
+    cat.add_edge(EdgeDef("e", ()))
+    g = GraphStore(catalog=cat)
+    g.add_edges_df("e", spark.createDataFrame(
+        [(1, 10, 0), (1, 11, 0), (2, 10, 0), (2, 12, 0), (3, 13, 0)],
+        "_src bigint, _dst bigint, _rank bigint"))
+    out = {(r.vid_a, r.vid_b): r.n_common
+           for r in common_neighbors(g, [(1, 2), (1, 3)], ["e"]).collect()}
+    assert out == {(1, 2): 1}  # share {10}; (1,3) empty -> omitted
