@@ -42,6 +42,8 @@ HEADLINERS = [
     "tpch_q6",            # pushed-filter scan + single agg
     "corpus_curation",    # end-to-end pipeline composition
     "pagerank",           # iterative analytics (5 rounds)
+    "decontaminate",      # pipeline: benchmark n-gram scrub (broadcast join)
+    "knn_hyperplane_lsh",  # pipeline: LSH-bucketed ANN (vs brute force)
 ]
 
 

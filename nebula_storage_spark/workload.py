@@ -1000,6 +1000,16 @@ def q_rollup_revenue(spark, sf_dir):
                  F.round(_dsum("l_quantity"), 2).alias("sum_qty")))
 
 
+def q_cube_revenue(spark, sf_dir):
+    """CUBE grouping sets: all 2^k subtotal combinations in one pass
+    (Spark expands to a single shuffle over the grouping-set union)."""
+    g = tpch_graph(spark, sf_dir)
+    li = g.edge_df("contains")
+    return (li.cube("l_returnflag", "l_linestatus")
+            .agg(F.count(F.lit(1)).alias("cnt"),
+                 F.round(_dsum("l_quantity"), 2).alias("sum_qty")))
+
+
 def q_events_props_json(spark, sf_dir):
     """Semi-structured property access (runtime Value containers, §1.2):
     JSON props parsed and aggregated engine-side."""
@@ -1209,6 +1219,10 @@ ORACLE_EXT["go_two_hop"] = (
     "SELECT DISTINCT o_custkey AS start_vid, l_partkey AS end_vid "
     "FROM orders JOIN lineitem ON l_orderkey = o_orderkey "
     "WHERE o_custkey < 20")
+ORACLE_EXT["cube_revenue"] = (
+    "SELECT l_returnflag, l_linestatus, count(*) AS cnt, "
+    "round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) "
+    "AS sum_qty FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)")
 ORACLE_EXT["go_1_to_n"] = (
     "SELECT DISTINCT o_custkey AS start_vid, o_orderkey AS end_vid, "
     "1 AS hop FROM orders WHERE o_custkey < 20 "
@@ -1537,6 +1551,7 @@ def _core_queries() -> dict[str, Query]:
         "degree_quantiles": q_degree_quantiles,
         "common_neighbors": q_common_neighbors,
         "stream_dedup": q_stream_dedup,
+        "cube_revenue": q_cube_revenue,
         "lookup_edge_index": q_lookup_edge_index,
         "tpch_q4_semi": q_tpch_q4_semi,
         "anti_join_no_urgent": q_anti_join_no_urgent,
