@@ -459,6 +459,61 @@ def q_index_rebuild(spark, sf_dir):
                   yield_cols=[VID, "p_name", "p_size"], dedup_cols=[VID])
 
 
+def q_index_rebuild_edge(spark, sf_dir):
+    """RebuildEdgeIndexTask parity (row 26's edge variant): rewrite the
+    `contains` edge set as an (l_shipdate, _src) sorted projection —
+    range predicates on ship date then prune row groups the way the
+    reference's order-preserving edge-index keys prune RocksDB ranges."""
+    import os
+    from .operators import rebuild_index
+    g = tpch_graph(spark, sf_dir)
+    path = ("/tmp/nebula_spark_index/"
+            f"contains_shipdate_{os.path.basename(sf_dir.rstrip('/'))}")
+    idx = rebuild_index(g.edges["contains"], ["l_shipdate", SRC], path,
+                        include_cols=[DST, RANK, "l_quantity"])
+    return lookup(idx, [Hint.range("l_shipdate", "1996-03-01", "1996-03-08")],
+                  yield_cols=["l_shipdate", SRC, DST, RANK, "l_quantity"])
+
+
+def q_datetime_surface(spark, sf_dir):
+    """Temporal expression surface (§2.3 date/time/datetime families):
+    extract fields, truncation, interval arithmetic, epoch days, dayofweek
+    — all JVM built-ins, all engine-portable integer/timestamp outputs."""
+    g = tpch_graph(spark, sf_dir)
+    o = g.vertices["order"].filter(F.col(VID) < 500)
+    return o.select(
+        VID,
+        F.year("o_orderdate").alias("yr"),
+        F.quarter("o_orderdate").alias("qtr"),
+        F.month("o_orderdate").alias("mon"),
+        F.dayofmonth("o_orderdate").alias("dom"),
+        F.expr("CAST(dayofweek(o_orderdate) AS INT)").alias("dow"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        F.expr("CAST(o_orderdate + INTERVAL 90 DAYS AS TIMESTAMP)")
+        .alias("due_ts"),
+        F.expr("CAST(datediff(DATE '1998-12-01', CAST(o_orderdate AS DATE)) "
+               "AS BIGINT)").alias("age_days"))
+
+
+def q_string_surface(spark, sf_dir):
+    """String expression surface (§2.3 string family): substr, concat,
+    case mapping, trim/pad, split element access, reverse, translate,
+    length — deterministic ASCII-only inputs."""
+    g = tpch_graph(spark, sf_dir)
+    p = g.tag_df("part").filter(F.col(VID) < 500)
+    return p.select(
+        VID,
+        F.expr("substr(p_name, 1, 5)").alias("head5"),
+        F.expr("upper(p_brand)").alias("brand_uc"),
+        F.expr("concat(p_brand, ':', p_type)").alias("brand_type"),
+        F.expr("lpad(CAST(p_size AS STRING), 4, '0')").alias("size_pad"),
+        F.expr("trim(p_name)").alias("trimmed"),
+        F.expr("element_at(split(p_name, ' '), 1)").alias("first_word"),
+        F.expr("reverse(p_brand)").alias("brand_rev"),
+        F.expr("translate(p_brand, '#', '-')").alias("brand_dash"),
+        F.expr("CAST(length(p_name) AS BIGINT)").alias("name_len"))
+
+
 def q_scan_vertex_page(spark, sf_dir):
     """Resume-cursor paging parity (row 7): page after vid 100, size 50."""
     g = tpch_graph(spark, sf_dir)
@@ -1219,6 +1274,33 @@ ORACLE_EXT["go_two_hop"] = (
     "SELECT DISTINCT o_custkey AS start_vid, l_partkey AS end_vid "
     "FROM orders JOIN lineitem ON l_orderkey = o_orderkey "
     "WHERE o_custkey < 20")
+ORACLE_EXT["index_rebuild_edge"] = (
+    "SELECT l_shipdate, l_orderkey AS _src, l_partkey AS _dst, "
+    "CAST(l_linenumber AS BIGINT) AS _rank, l_quantity FROM lineitem "
+    "WHERE l_shipdate >= TIMESTAMP '1996-03-01' "
+    "AND l_shipdate < TIMESTAMP '1996-03-08'")
+ORACLE_EXT["datetime_surface"] = (
+    "SELECT o_orderkey AS _vid, "
+    "CAST(year(o_orderdate) AS INT) AS yr, "
+    "CAST(quarter(o_orderdate) AS INT) AS qtr, "
+    "CAST(month(o_orderdate) AS INT) AS mon, "
+    "CAST(day(o_orderdate) AS INT) AS dom, "
+    "CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow, "
+    "CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start, "
+    "CAST(o_orderdate + INTERVAL '90 days' AS TIMESTAMP) AS due_ts, "
+    "date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-12-01') "
+    "AS age_days FROM orders WHERE o_orderkey < 500")
+ORACLE_EXT["string_surface"] = (
+    "SELECT p_partkey AS _vid, "
+    "substr(p_name, 1, 5) AS head5, "
+    "upper(p_brand) AS brand_uc, "
+    "concat(p_brand, ':', p_type) AS brand_type, "
+    "lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_pad, "
+    "trim(p_name) AS trimmed, "
+    "string_split(p_name, ' ')[1] AS first_word, "
+    "reverse(p_brand) AS brand_rev, "
+    "translate(p_brand, '#', '-') AS brand_dash, "
+    "length(p_name) AS name_len FROM part WHERE p_partkey < 500")
 ORACLE_EXT["cube_revenue"] = (
     "SELECT l_returnflag, l_linestatus, count(*) AS cnt, "
     "round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) "
@@ -1552,6 +1634,9 @@ def _core_queries() -> dict[str, Query]:
         "common_neighbors": q_common_neighbors,
         "stream_dedup": q_stream_dedup,
         "cube_revenue": q_cube_revenue,
+        "index_rebuild_edge": q_index_rebuild_edge,
+        "datetime_surface": q_datetime_surface,
+        "string_surface": q_string_surface,
         "lookup_edge_index": q_lookup_edge_index,
         "tpch_q4_semi": q_tpch_q4_semi,
         "anti_join_no_urgent": q_anti_join_no_urgent,
