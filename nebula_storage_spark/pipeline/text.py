@@ -305,3 +305,46 @@ def tfidf_top_terms(docs: DataFrame, k: int = 3, text_col: str = "text",
     return (scored.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") <= k)
             .select(id_col, "term", "score"))
+
+
+def stratified_sample(docs: DataFrame, group_col: str = "lang",
+                      n_per_group: int = 20,
+                      id_col: str = "doc_id") -> DataFrame:
+    """Deterministic stratified sampling: the first `n_per_group` docs of
+    each group in md5-permutation order — how corpus mixing ratios are
+    enforced (N docs per language/source) without an engine RNG. The
+    md5 key is a fixed pseudo-random permutation, so any engine draws
+    the identical sample. One shuffle on group_col; with Spark ≥3.5 the
+    rank filter runs as WindowGroupLimit (map-side partial top-k)."""
+    from ..functions import md5_permutation
+    w = W.partitionBy(group_col).orderBy(md5_permutation(id_col), id_col)
+    return (docs.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= n_per_group)
+            .select(id_col, group_col))
+
+
+def pack_sequences(docs: DataFrame, budget: int = 256,
+                   text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Concat-then-split sequence packing: documents are laid out in
+    id order as one token stream, cut into fixed `budget`-token training
+    sequences; each doc reports the sequence ids its tokens land in
+    (seq_first..seq_last) plus its offset in the stream — the standard
+    pretraining batch-packing layout (no padding, docs may straddle a
+    boundary). All integer window arithmetic.
+
+    Scale: the global running offset is a prefix sum — here one window;
+    on a cluster the identical result comes from per-partition subtotals
+    + a broadcast scan of partition offsets (two passes, no single-node
+    sort)."""
+    toks = docs.select(id_col,
+                       F.size(tokenize(F.col(text_col))).alias("n_tokens"))
+    w = (W.orderBy(id_col)
+         .rowsBetween(W.unboundedPreceding, W.currentRow))
+    return (toks
+            .withColumn("end_off", F.sum("n_tokens").over(w))
+            .withColumn("start_off", F.col("end_off") - F.col("n_tokens"))
+            .select(id_col, F.col("n_tokens").cast("long").alias("n_tokens"),
+                    "start_off",
+                    F.expr(f"start_off DIV {budget}").alias("seq_first"),
+                    F.expr(f"(end_off - 1) DIV {budget}").alias("seq_last")))

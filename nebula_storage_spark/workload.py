@@ -514,6 +514,37 @@ def q_string_surface(spark, sf_dir):
         F.expr("CAST(length(p_name) AS BIGINT)").alias("name_len"))
 
 
+def q_bucketed_join(spark, sf_dir):
+    """Co-located join via bucketed tables — the cluster-scale form of the
+    part-by-vid layout: both sides written `bucketBy(8, key)` +
+    `sortBy(key)` into the session catalog, so the MERGE join reads
+    bucket-aligned files and needs NO Exchange above either scan (see
+    PLANS.md). At 100 TB this is how repeated vid-joins amortize their
+    shuffle to zero; the only exchange left is the small post-join agg."""
+    import os
+    g = tpch_graph(spark, sf_dir)
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    cust_t, ord_t = f"cust_bkt_{tag}", f"ord_bkt_{tag}"
+    if not (spark.catalog.tableExists(cust_t)
+            and spark.catalog.tableExists(ord_t)):
+        # the warehouse dir outlives the in-memory catalog: a fresh session
+        # sees no table but the managed location may remain — clear it
+        import shutil
+        wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+        for t in (cust_t, ord_t):
+            shutil.rmtree(f"{wh}/{t}", ignore_errors=True)
+        (g.vertices["customer"].write.bucketBy(8, VID).sortBy(VID)
+         .mode("overwrite").saveAsTable(cust_t))
+        (g.edges["placed"].write.bucketBy(8, SRC).sortBy(SRC)
+         .mode("overwrite").saveAsTable(ord_t))
+    c = spark.table(cust_t).hint("merge")
+    o = spark.table(ord_t).hint("merge")
+    return (c.join(o, c[VID] == o[SRC])
+            .groupBy("c_mktsegment")
+            .agg(F.count(F.lit(1)).alias("cnt"),
+                 F.round(_dsum("o_totalprice"), 2).alias("rev")))
+
+
 def q_scan_vertex_page(spark, sf_dir):
     """Resume-cursor paging parity (row 7): page after vid 100, size 50."""
     g = tpch_graph(spark, sf_dir)
@@ -1274,6 +1305,11 @@ ORACLE_EXT["go_two_hop"] = (
     "SELECT DISTINCT o_custkey AS start_vid, l_partkey AS end_vid "
     "FROM orders JOIN lineitem ON l_orderkey = o_orderkey "
     "WHERE o_custkey < 20")
+ORACLE_EXT["bucketed_join"] = (
+    "SELECT c_mktsegment, count(*) AS cnt, "
+    "round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) "
+    "AS rev FROM customer JOIN orders ON o_custkey = c_custkey "
+    "GROUP BY c_mktsegment")
 ORACLE_EXT["index_rebuild_edge"] = (
     "SELECT l_shipdate, l_orderkey AS _src, l_partkey AS _dst, "
     "CAST(l_linenumber AS BIGINT) AS _rank, l_quantity FROM lineitem "
@@ -1637,6 +1673,7 @@ def _core_queries() -> dict[str, Query]:
         "index_rebuild_edge": q_index_rebuild_edge,
         "datetime_surface": q_datetime_surface,
         "string_surface": q_string_surface,
+        "bucketed_join": q_bucketed_join,
         "lookup_edge_index": q_lookup_edge_index,
         "tpch_q4_semi": q_tpch_q4_semi,
         "anti_join_no_urgent": q_anti_join_no_urgent,

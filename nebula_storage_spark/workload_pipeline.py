@@ -303,6 +303,42 @@ SELECT doc_id, term, score FROM s
 QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) <= 3"""
 
 
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic stratified sample: first 20 docs per language in
+    md5-permutation order (corpus mixing-ratio enforcement)."""
+    from .pipeline.text import stratified_sample
+    return stratified_sample(_docs(spark, sf_dir), group_col="lang",
+                             n_per_group=20)
+
+
+def q_pack_sequences(spark, sf_dir):
+    """Concat-then-split sequence packing into 256-token training
+    sequences: per-doc stream offset + first/last sequence id."""
+    from .pipeline.text import pack_sequences
+    return pack_sequences(_docs(spark, sf_dir), budget=256)
+
+
+def _oracle_stratified_sample() -> str:
+    return """
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
+    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+  FROM documents) WHERE rn <= 20"""
+
+
+def _oracle_pack_sequences() -> str:
+    return """
+WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+  FROM documents),
+c AS (SELECT doc_id, n_tokens,
+  CAST(sum(n_tokens) OVER (ORDER BY doc_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS end_off
+  FROM t)
+SELECT doc_id, n_tokens, end_off - n_tokens AS start_off,
+  (end_off - n_tokens) // 256 AS seq_first,
+  (end_off - 1) // 256 AS seq_last FROM c"""
+
+
 def q_knn_hyperplane_lsh(spark, sf_dir):
     """LSH-bucketed ANN (random ±1 hyperplanes, banded SimHash-for-cosine):
     candidates share an (band, band-key) bucket, exact cosine re-ranks."""
@@ -529,6 +565,8 @@ def build_pipeline_queries():
         "decontaminate": q_decontaminate,
         "repetition_stats": q_repetition_stats,
         "tfidf_top_terms": q_tfidf_top_terms,
+        "stratified_sample": q_stratified_sample,
+        "pack_sequences": q_pack_sequences,
         "embedding_near_dup": q_embedding_near_dup,
         "text_normalize": q_text_normalize,
         "knn_ivf_persisted": q_knn_ivf_persisted,
@@ -600,6 +638,8 @@ def build_pipeline_oracles():
         "decontaminate": _oracle_decontaminate(),
         "repetition_stats": _oracle_repetition_stats(),
         "tfidf_top_terms": _oracle_tfidf_top_terms(),
+        "stratified_sample": _oracle_stratified_sample(),
+        "pack_sequences": _oracle_pack_sequences(),
         "embedding_near_dup": _oracle_embedding_near_dup(),
         "text_normalize":
             "SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text), "

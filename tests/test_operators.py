@@ -292,3 +292,39 @@ def test_common_neighbors_counts_intersection(spark):
     out = {(r.vid_a, r.vid_b): r.n_common
            for r in common_neighbors(g, [(1, 2), (1, 3)], ["e"]).collect()}
     assert out == {(1, 2): 1}  # share {10}; (1,3) empty -> omitted
+
+
+def test_bucketed_join_has_no_exchange_above_scans(spark, sf_dir):
+    from nebula_storage_spark.workload import build_queries
+    df = build_queries()["bucketed_join"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    join_idx = plan.index("SortMergeJoin")
+    # below the join (the scan side of the plan string) there must be no
+    # shuffle: bucketing replaced it
+    assert "Exchange" not in plan[join_idx:]
+    assert plan.count("FileScan") == 2
+
+
+def test_pack_sequences_offsets_contiguous(spark):
+    from nebula_storage_spark.pipeline.text import pack_sequences
+    docs = spark.createDataFrame(
+        [(1, " ".join(["a"] * 10)), (2, " ".join(["b"] * 250)),
+         (3, " ".join(["c"] * 5))],
+        "doc_id bigint, text string")
+    rows = {r.doc_id: r for r in pack_sequences(docs, budget=256).collect()}
+    assert rows[1].start_off == 0 and rows[1].seq_first == 0
+    assert rows[2].start_off == 10 and rows[2].seq_last == 1  # straddles
+    assert rows[3].start_off == 260 and rows[3].seq_first == 1
+
+
+def test_stratified_sample_exact_group_sizes(spark):
+    from nebula_storage_spark.pipeline.text import stratified_sample
+    docs = spark.createDataFrame(
+        [(i, "x", "en" if i % 2 == 0 else "de") for i in range(50)],
+        "doc_id bigint, text string, lang string")
+    out = stratified_sample(docs, group_col="lang", n_per_group=5).collect()
+    from collections import Counter
+    assert Counter(r.lang for r in out) == {"en": 5, "de": 5}
+    # deterministic: same sample on re-run
+    again = stratified_sample(docs, group_col="lang", n_per_group=5).collect()
+    assert {r.doc_id for r in out} == {r.doc_id for r in again}

@@ -72,6 +72,22 @@ SHOWCASE = {
         "`dynamicpruningexpression` PartitionFilter — Spark reads ONLY the "
         "assigned cell's files. At 100 TB this is the difference between "
         "scanning the corpus and scanning corpus/n_cells per query."),
+    "bucketed_join": (
+        ("SortMergeJoin", "Exchange", "FileScan"),
+        "Co-located join over bucketed tables (the cluster-scale form of "
+        "the part-by-vid layout): both sides written bucketBy(8, key) + "
+        "sortBy(key), so the SortMergeJoin sits DIRECTLY on the two "
+        "bucket-aligned FileScans — no Exchange above either side. The "
+        "only exchange left is the 5-group post-join aggregate. At 100 TB "
+        "every repeated vid-join against these tables amortizes its "
+        "shuffle to zero."),
+    "decontaminate": (
+        ("BroadcastHashJoin", "Generate", "HashAggregate"),
+        "Benchmark decontamination: the benchmark's distinct 4-grams are "
+        "broadcast (eval sets are tiny next to the corpus); the corpus "
+        "gram stream (Generate = the HOF explode) probes the broadcast "
+        "hash table inside the scan stage — the 100 TB corpus is never "
+        "shuffled."),
     "tpch_q1": (
         ("HashAggregate", "Exchange", "Scan parquet", "InMemory"),
         "Full-scan pricing summary: scan→partial agg fused in one "
