@@ -64,6 +64,71 @@ def pagerank_fixed(edges: DataFrame, iterations: int = 5,
     return ranks
 
 
+def personalized_pagerank(edges: DataFrame, seeds: list[int],
+                          iterations: int = 5, scale: int = 10 ** 9,
+                          damping_pct: int = 85) -> DataFrame:
+    """Personalized PageRank: the restart mass returns to the SEED set
+    instead of every node — r0(v) = scale·[v∈S], jump(v) = jump·[v∈S].
+    Same integer fixed-point loop as pagerank_fixed (broadcast rank
+    frame per round, persisted edge frame never re-shuffles), so ranks
+    stay engine-portable bigints. Nodes with rank 0 are dropped (mass
+    never reached them)."""
+    jump = ((100 - damping_pct) * scale) // 100
+    nodes = (edges.select(F.col(SRC).alias("node"))
+             .union(edges.select(F.col(DST).alias("node")))
+             .distinct().persist())
+    deg = edges.groupBy(SRC).agg(F.count(F.lit(1)).alias("_deg"))
+    e = edges.select(SRC, DST).join(deg, SRC).persist()
+    in_seed = F.col("node").isin(seeds)
+    ranks = nodes.select(
+        "node", F.when(in_seed, F.lit(scale)).otherwise(F.lit(0))
+        .cast("long").alias("rank"))
+    for i in range(iterations):
+        contribs = (e.join(F.broadcast(ranks), e[SRC] == ranks["node"])
+                    .select(F.col(DST).alias("node"),
+                            F.expr("rank DIV _deg").alias("_c")))
+        summed = contribs.groupBy("node").agg(F.sum("_c").alias("_s"))
+        ranks = (nodes.join(F.broadcast(summed), "node", "left")
+                 .select("node",
+                         (F.when(in_seed, F.lit(jump)).otherwise(F.lit(0))
+                          + F.expr(
+                              f"({damping_pct} * coalesce(_s, CAST(0 AS "
+                              "BIGINT))) DIV 100")).cast("long")
+                         .alias("rank")))
+        if i < iterations - 1:
+            ranks = ranks.persist()
+            ranks.count()
+    return ranks.filter(F.col("rank") > 0)
+
+
+def personalized_pagerank_oracle_sql(edges_sql: str, seeds: list[int],
+                                     iterations: int = 5,
+                                     scale: int = 10 ** 9,
+                                     damping_pct: int = 85) -> str:
+    """DuckDB oracle for personalized_pagerank: same steps unrolled."""
+    jump = ((100 - damping_pct) * scale) // 100
+    sl = "(" + ", ".join(str(s) for s in seeds) + ")"
+    parts = [
+        f"e AS ({edges_sql})",
+        "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e)",
+        "deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src)",
+        f"r0 AS (SELECT node, CAST(CASE WHEN node IN {sl} THEN {scale} "
+        "ELSE 0 END AS BIGINT) AS rank FROM nodes)",
+    ]
+    for t in range(1, iterations + 1):
+        parts.append(
+            f"c{t} AS (SELECT e.dst AS node, sum(r.rank // d.deg) AS s "
+            f"FROM e JOIN deg d USING (src) JOIN r{t-1} r ON r.node = e.src "
+            f"GROUP BY e.dst)")
+        parts.append(
+            f"r{t} AS (SELECT n.node, CAST("
+            f"(CASE WHEN n.node IN {sl} THEN {jump} ELSE 0 END) + "
+            f"({damping_pct} * coalesce(c.s, 0)) // 100 AS BIGINT) AS rank "
+            f"FROM nodes n LEFT JOIN c{t} c USING (node))")
+    return ("WITH " + ",\n".join(parts)
+            + f"\nSELECT node, rank FROM r{iterations} WHERE rank > 0")
+
+
 def connected_components_fixed(edges: DataFrame,
                                iterations: int = 3) -> DataFrame:
     """K rounds of synchronous min-label propagation over the

@@ -1139,6 +1139,28 @@ def _oracle_pagerank() -> str:
     return pagerank_oracle_sql(edges_sql, iterations=5)
 
 
+def q_personalized_pagerank(spark, sf_dir):
+    """Personalized PageRank: restart mass pinned to 5 seed customers —
+    the 'similar to these' relevance primitive, same fixed-point loop."""
+    from .operators.analytics import personalized_pagerank
+    g = tpch_graph(spark, sf_dir)
+    placed = g.edges["placed"].select(SRC, DST)
+    fwd = placed.select(F.col(SRC).alias(SRC),
+                        (F.col(DST) + 10_000_000).alias(DST))
+    edges = fwd.union(fwd.select(F.col(DST).alias(SRC), F.col(SRC).alias(DST)))
+    return personalized_pagerank(edges, seeds=[0, 1, 2, 3, 4], iterations=5)
+
+
+def _oracle_personalized_pagerank() -> str:
+    from .operators.analytics import personalized_pagerank_oracle_sql
+    edges_sql = (
+        "SELECT o_custkey AS src, o_orderkey + 10000000 AS dst FROM orders "
+        "UNION ALL "
+        "SELECT o_orderkey + 10000000 AS src, o_custkey AS dst FROM orders")
+    return personalized_pagerank_oracle_sql(edges_sql, seeds=[0, 1, 2, 3, 4],
+                                            iterations=5)
+
+
 ORACLE_EXT = {
     "lookup_multi_index":
         "SELECT DISTINCT p_partkey AS _vid, p_name, p_size FROM part "
@@ -1227,6 +1249,7 @@ FROM s GROUP BY user_id, session_idx""",
         "AS sum_value FROM events GROUP BY date_trunc('hour', ts), event_type",
 }
 ORACLE_EXT["pagerank"] = _oracle_pagerank()
+ORACLE_EXT["personalized_pagerank"] = _oracle_personalized_pagerank()
 ORACLE_EXT["go_grouped"] = (
     "SELECT o_custkey AS _vid, count(*) AS degree, "
     "string_agg(CAST(o_orderkey AS VARCHAR) || ':' || "
@@ -1646,6 +1669,7 @@ def _core_queries() -> dict[str, Query]:
         "fulltext_search": q_fulltext_search,
         "degree_stats": q_degree_stats,
         "pagerank": q_pagerank,
+        "personalized_pagerank": q_personalized_pagerank,
         "go_grouped": q_go_grouped,
         "schema_evolution": q_schema_evolution,
         "fetch_string_vids": q_fetch_string_vids,

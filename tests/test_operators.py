@@ -328,3 +328,14 @@ def test_stratified_sample_exact_group_sizes(spark):
     # deterministic: same sample on re-run
     again = stratified_sample(docs, group_col="lang", n_per_group=5).collect()
     assert {r.doc_id for r in out} == {r.doc_id for r in again}
+
+
+def test_personalized_pagerank_mass_stays_near_seeds(spark):
+    from nebula_storage_spark.operators.analytics import personalized_pagerank
+    # two disconnected 2-cycles; seed only in the first
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (10, 11), (11, 10)], "_src bigint, _dst bigint")
+    out = {r.node: r.rank
+           for r in personalized_pagerank(edges, [1], iterations=4).collect()}
+    assert out[1] > 0 and out[2] > 0
+    assert 10 not in out and 11 not in out  # unreachable from seed
