@@ -43,3 +43,21 @@ def fetch_edges(store: GraphStore, etype: str, keys,
     cols = kcols + (list(props) if props is not None
                     else [c for c in df.columns if c not in kcols])
     return df.join(F.broadcast(keys.select(*kcols)), kcols, "left_semi").select(*cols)
+
+
+def fetch_vertices_multi_tag(store: GraphStore, vids,
+                             tags: dict[str, Sequence[str]]) -> DataFrame:
+    """GetProp over MULTIPLE tags at once (GetPropTest's multi-tag TESTs:
+    one response row per vertex, NULL for tags the vertex doesn't have —
+    QueryBaseProcessor builds a TagNode per requested tag and left-joins
+    their rows). Spark shape: the broadcast seed frame left-joins each
+    tag table; a vid missing from a tag yields NULLs for that tag's
+    props, mirroring the reference's left-outer HashJoinNode flavor."""
+    spark = store.tag_df(next(iter(tags))).sparkSession
+    if not isinstance(vids, DataFrame):
+        vids = spark.createDataFrame([(v,) for v in vids],
+                                     f"{VID} {store.catalog.vid_type}")
+    out = vids.select(VID)
+    for tag, props in tags.items():
+        out = out.join(store.tag_df(tag).select(VID, *props), VID, "left")
+    return out

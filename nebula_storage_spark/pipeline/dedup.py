@@ -201,3 +201,33 @@ def simhash_pairs(docs: DataFrame, bits: int = 16, max_hamming: int = 3,
             .withColumn("hamming", ham.cast("int"))
             .filter(F.col("hamming") <= max_hamming)
             .select("id_a", "id_b", "hamming"))
+
+
+def containment_pairs(docs: DataFrame, n: int = 3,
+                      threshold_x10000: int = 6000,
+                      id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """Asymmetric near-duplication: shingle CONTAINMENT |A∩B| / |A| —
+    catches quotes/subsets that symmetric Jaccard under-scores (a short
+    doc fully embedded in a long one has high containment, low Jaccard).
+    Ordered output (id_a, id_b, containment_x10000): the share of A's
+    shingles also present in B, both directions emitted independently.
+    Candidates come from the same inverted-index join as Jaccard dedup —
+    never O(n²)."""
+    sh = doc_shingles(docs, n=n, id_col=id_col, text_col=text_col).persist()
+    inv = sh.select(F.col(id_col).alias("_id"),
+                    F.explode("shingles").alias("g"))
+    und = (inv.alias("a").join(inv.alias("b"), "g")
+           .filter(F.col("a._id") < F.col("b._id"))
+           .select(F.col("a._id").alias("id_a"),
+                   F.col("b._id").alias("id_b"))
+           .distinct())
+    cand = und.union(und.select(F.col("id_b").alias("id_a"),
+                                F.col("id_a").alias("id_b")))
+    av = sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sa"))
+    bv = sh.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sb"))
+    cx = F.expr("(CAST(size(array_intersect(sa, sb)) AS BIGINT) * 10000) "
+                "DIV size(sa)")
+    return (cand.join(av, "id_a").join(bv, "id_b")
+            .select("id_a", "id_b", cx.alias("containment_x10000"))
+            .filter(F.col("containment_x10000") >= threshold_x10000))

@@ -935,6 +935,30 @@ def q_source_orc_roundtrip(spark, sf_dir):
     return read_table(spark, path, fmt="orc")
 
 
+def q_fetch_multi_tag(spark, sf_dir):
+    """GetProp across two tags in one request (GetPropTest multi-tag):
+    one row per seed vid, NULL props where the tag row is absent —
+    the vid domains overlap numerically in this graph, so vids < 1000
+    usually carry BOTH tags; the 4000000 probe carries neither."""
+    g = tpch_graph(spark, sf_dir)
+    from .operators.fetch import fetch_vertices_multi_tag
+    return fetch_vertices_multi_tag(
+        g, [1, 5, 7, 11, 4000000],
+        {"customer": ["c_name", "c_mktsegment"],
+         "order": ["o_orderstatus", "o_totalprice"]})
+
+
+def q_lookup_null(spark, sf_dir):
+    """NULL-value index semantics (IndexKeyUtils encodes NULL as 0xFF-fill
+    so IS NULL is an index range like any other): derive a nullable
+    column, look up IS NULL rows, count per brand."""
+    g = tpch_graph(spark, sf_dir)
+    p = g.tag_df("part").withColumn("size_or_null",
+                                    F.expr("nullif(p_size, 25)"))
+    return (p.filter(F.col("size_or_null").isNull())
+            .groupBy("p_brand").agg(F.count(F.lit(1)).alias("cnt")))
+
+
 def q_subgraph(spark, sf_dir):
     """GET SUBGRAPH 2 STEPS: the discovered edge set per hop (graphd's
     GetSubgraph accumulates each step's GetNeighbors edges)."""
@@ -1391,6 +1415,16 @@ ORACLE_EXT["anti_join_no_urgent"] = (
 ORACLE_EXT["source_orc_roundtrip"] = (
     "SELECT p_partkey AS _vid, p_name, p_brand, p_type, p_size, "
     "p_retailprice FROM part")
+ORACLE_EXT["fetch_multi_tag"] = (
+    "WITH seeds AS (SELECT CAST(unnest([1, 5, 7, 11, 4000000]) AS BIGINT) "
+    "AS _vid) "
+    "SELECT s._vid, c.c_name, c.c_mktsegment, o.o_orderstatus, "
+    "o.o_totalprice FROM seeds s "
+    "LEFT JOIN customer c ON c.c_custkey = s._vid "
+    "LEFT JOIN orders o ON o.o_orderkey = s._vid")
+ORACLE_EXT["lookup_null"] = (
+    "SELECT p_brand, count(*) AS cnt FROM part "
+    "WHERE nullif(p_size, 25) IS NULL GROUP BY p_brand")
 ORACLE_EXT["subgraph"] = (
     "SELECT DISTINCT 1 AS hop, '+placed' AS _etype, o_custkey AS _src, "
     "o_orderkey AS _dst, CAST(0 AS BIGINT) AS _rank "
@@ -1698,6 +1732,8 @@ def _core_queries() -> dict[str, Query]:
         "datetime_surface": q_datetime_surface,
         "string_surface": q_string_surface,
         "bucketed_join": q_bucketed_join,
+        "fetch_multi_tag": q_fetch_multi_tag,
+        "lookup_null": q_lookup_null,
         "lookup_edge_index": q_lookup_edge_index,
         "tpch_q4_semi": q_tpch_q4_semi,
         "anti_join_no_urgent": q_anti_join_no_urgent,

@@ -339,6 +339,29 @@ SELECT doc_id, n_tokens, end_off - n_tokens AS start_off,
   (end_off - 1) // 256 AS seq_last FROM c"""
 
 
+def q_dedup_containment(spark, sf_dir):
+    """Asymmetric shingle-containment near-dup pairs (|A∩B| / |A|) —
+    subset/quote detection the symmetric Jaccard misses."""
+    from .pipeline.dedup import containment_pairs
+    return containment_pairs(_docs(spark, sf_dir), threshold_x10000=6000)
+
+
+def _oracle_dedup_containment() -> str:
+    return f"""
+WITH {_SHINGLES_CTE},
+inv AS (SELECT doc_id, unnest(s) AS g FROM sh),
+und AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM inv a JOIN inv b USING (g) WHERE a.doc_id < b.doc_id),
+cand AS (SELECT id_a, id_b FROM und
+         UNION ALL SELECT id_b AS id_a, id_a AS id_b FROM und)
+SELECT * FROM (
+  SELECT id_a, id_b,
+    (CAST(len(list_intersect(x.s, y.s)) AS BIGINT) * 10000) // len(x.s)
+      AS containment_x10000
+  FROM cand JOIN sh x ON x.doc_id = id_a JOIN sh y ON y.doc_id = id_b)
+WHERE containment_x10000 >= 6000"""
+
+
 def q_knn_hyperplane_lsh(spark, sf_dir):
     """LSH-bucketed ANN (random ±1 hyperplanes, banded SimHash-for-cosine):
     candidates share an (band, band-key) bucket, exact cosine re-ranks."""
@@ -567,6 +590,7 @@ def build_pipeline_queries():
         "tfidf_top_terms": q_tfidf_top_terms,
         "stratified_sample": q_stratified_sample,
         "pack_sequences": q_pack_sequences,
+        "dedup_containment": q_dedup_containment,
         "embedding_near_dup": q_embedding_near_dup,
         "text_normalize": q_text_normalize,
         "knn_ivf_persisted": q_knn_ivf_persisted,
@@ -640,6 +664,7 @@ def build_pipeline_oracles():
         "tfidf_top_terms": _oracle_tfidf_top_terms(),
         "stratified_sample": _oracle_stratified_sample(),
         "pack_sequences": _oracle_pack_sequences(),
+        "dedup_containment": _oracle_dedup_containment(),
         "embedding_near_dup": _oracle_embedding_near_dup(),
         "text_normalize":
             "SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text), "

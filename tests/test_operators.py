@@ -339,3 +339,26 @@ def test_personalized_pagerank_mass_stays_near_seeds(spark):
            for r in personalized_pagerank(edges, [1], iterations=4).collect()}
     assert out[1] > 0 and out[2] > 0
     assert 10 not in out and 11 not in out  # unreachable from seed
+
+
+def test_containment_asymmetric_subset(spark):
+    from nebula_storage_spark.pipeline.dedup import containment_pairs
+    big = " ".join(f"w{i}" for i in range(30))
+    sub = " ".join(f"w{i}" for i in range(10))  # fully contained prefix
+    docs = spark.createDataFrame(
+        [(1, big), (2, sub)], "doc_id bigint, text string")
+    out = {(r.id_a, r.id_b): r.containment_x10000
+           for r in containment_pairs(docs, threshold_x10000=5000).collect()}
+    assert out[(2, 1)] == 10000      # all of 2's shingles are in 1
+    assert (1, 2) not in out         # 1 in 2 is only 8/28 — below threshold
+
+
+def test_fetch_multi_tag_null_for_missing_tag(spark, sf_dir):
+    from nebula_storage_spark.graph import tpch_graph
+    from nebula_storage_spark.operators.fetch import fetch_vertices_multi_tag
+    g = tpch_graph(spark, sf_dir)
+    rows = {r._vid: r for r in fetch_vertices_multi_tag(
+        g, [1, 4000000],
+        {"customer": ["c_name"], "order": ["o_orderstatus"]}).collect()}
+    assert rows[1].c_name is not None
+    assert rows[4000000].c_name is None and rows[4000000].o_orderstatus is None
