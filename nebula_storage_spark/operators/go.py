@@ -298,6 +298,36 @@ def common_neighbors(store: GraphStore, pairs: Sequence[tuple[int, int]],
             .agg(F.count("*").alias("n_common")))
 
 
+def neighbor_jaccard(store: GraphStore, pairs: Sequence[tuple[int, int]],
+                     over: Sequence[str],
+                     directions: Sequence[str] | None = None) -> DataFrame:
+    """Neighborhood Jaccard |N(a)∩N(b)| / |N(a)∪N(b)| per vertex pair as
+    an x10000 integer — common_neighbors' normalized companion (the other
+    standard link-prediction score). Same single shared walk; per-endpoint
+    set sizes come from one aggregate over it. Pairs with an empty
+    intersection are omitted (their score is 0)."""
+    spark = next(iter(store.edges.values())).sparkSession
+    seeds = sorted({v for ab in pairs for v in ab})
+    nbrs = go_n_hops(store, seeds, over, directions)
+    sizes = nbrs.groupBy("start_vid").agg(F.count("*").alias("_n"))
+    pdf = spark.createDataFrame(list(pairs), "vid_a bigint, vid_b bigint")
+    a = nbrs.select(F.col("start_vid").alias("vid_a"),
+                    F.col("end_vid").alias("__n"))
+    b = nbrs.select(F.col("start_vid").alias("vid_b"),
+                    F.col("end_vid").alias("__n"))
+    inter = (F.broadcast(pdf).join(a, "vid_a").join(b, ["vid_b", "__n"])
+             .groupBy("vid_a", "vid_b")
+             .agg(F.count("*").alias("_i")))
+    return (inter
+            .join(F.broadcast(sizes.withColumnRenamed("start_vid", "vid_a")
+                              .withColumnRenamed("_n", "_na")), "vid_a")
+            .join(F.broadcast(sizes.withColumnRenamed("start_vid", "vid_b")
+                              .withColumnRenamed("_n", "_nb")), "vid_b")
+            .select("vid_a", "vid_b",
+                    F.expr("(_i * 10000) DIV (_na + _nb - _i)")
+                    .alias("jaccard_x10000")))
+
+
 def go_stats_salted(store: GraphStore, vids, over: Sequence[str] | str,
                     stat_props: dict[str, tuple[str, str]],
                     salt_buckets: int = 8,

@@ -1037,6 +1037,15 @@ def q_common_neighbors(spark, sf_dir):
                             ["placed", "contains"])
 
 
+def q_neighbor_jaccard(spark, sf_dir):
+    """Neighborhood-Jaccard link-prediction scores for the same 30
+    customer pairs (x10000 integer)."""
+    g = tpch_graph(spark, sf_dir)
+    from .operators.go import neighbor_jaccard
+    return neighbor_jaccard(g, [(2 * i, 2 * i + 1) for i in range(30)],
+                            ["placed", "contains"])
+
+
 def q_stream_dedup(spark, sf_dir):
     """Streaming exactly-once dedup: dropDuplicates over the change
     stream's natural key, append-mode."""
@@ -1477,6 +1486,19 @@ ORACLE_EXT["common_neighbors"] = (
     "FROM pairs JOIN n2 a ON a.c = vid_a "
     "JOIN n2 b ON b.c = vid_b AND b.p = a.p "
     "GROUP BY vid_a, vid_b")
+ORACLE_EXT["neighbor_jaccard"] = (
+    "WITH n2 AS (SELECT DISTINCT o_custkey AS c, l_partkey AS p "
+    "FROM orders JOIN lineitem ON l_orderkey = o_orderkey "
+    "WHERE o_custkey < 60), "
+    "sz AS (SELECT c, count(*) AS n FROM n2 GROUP BY c), "
+    "pairs AS (SELECT CAST(i * 2 AS BIGINT) AS vid_a, "
+    "CAST(i * 2 + 1 AS BIGINT) AS vid_b FROM range(30) t(i)), "
+    "inter AS (SELECT vid_a, vid_b, count(*) AS i "
+    "FROM pairs JOIN n2 a ON a.c = vid_a "
+    "JOIN n2 b ON b.c = vid_b AND b.p = a.p GROUP BY vid_a, vid_b) "
+    "SELECT vid_a, vid_b, "
+    "(i * 10000) // (sa.n + sb.n - i) AS jaccard_x10000 "
+    "FROM inter JOIN sz sa ON sa.c = vid_a JOIN sz sb ON sb.c = vid_b")
 ORACLE_EXT["stream_dedup"] = (
     "SELECT DISTINCT user_id, event_type FROM events")
 ORACLE_EXT["stream_cdc_upsert"] = (
@@ -1604,6 +1626,17 @@ def q_events_window(spark, sf_dir):
                  F.round(_dsum("value"), 2).alias("sum_value")))
 
 
+def q_events_hopping_window(spark, sf_dir):
+    """Hopping (sliding) windows: 1-hour windows every 30 minutes — each
+    event lands in size/slide = 2 overlapping windows (F.window with a
+    slide emits the per-event window fan-out before the aggregate)."""
+    ev = load_events(spark, sf_dir)
+    return (ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"),
+                       "event_type")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .select(F.col("w.start").alias("w_start"), "event_type", "cnt"))
+
+
 ORACLE_ANALYTIC = {
     "tpch_q1":
         "SELECT l_returnflag, l_linestatus, "
@@ -1636,6 +1669,13 @@ ORACLE_ANALYTIC = {
         "SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS cnt, "
         "round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value "
         "FROM events GROUP BY date_trunc('hour', ts), event_type",
+    "events_hopping_window":
+        "WITH slots AS (SELECT event_type, unnest([ "
+        "to_timestamp(CAST(floor(epoch(ts) / 1800) AS BIGINT) * 1800 - 1800), "
+        "to_timestamp(CAST(floor(epoch(ts) / 1800) AS BIGINT) * 1800)]) "
+        "AS w_start FROM events) "
+        "SELECT CAST(w_start AS TIMESTAMP) AS w_start, event_type, "
+        "count(*) AS cnt FROM slots GROUP BY 1, 2",
 }
 
 
@@ -1689,6 +1729,7 @@ def _core_queries() -> dict[str, Query]:
         "tpch_q3_top10": q_tpch_q3_top10,
         "region_revenue": q_region_revenue,
         "events_window": q_events_window,
+        "events_hopping_window": q_events_hopping_window,
         "kv_ops": q_kv_ops,
         "index_rebuild": q_index_rebuild,
         "scan_vertex_page": q_scan_vertex_page,
@@ -1726,6 +1767,7 @@ def _core_queries() -> dict[str, Query]:
         "running_total": q_running_total,
         "degree_quantiles": q_degree_quantiles,
         "common_neighbors": q_common_neighbors,
+        "neighbor_jaccard": q_neighbor_jaccard,
         "stream_dedup": q_stream_dedup,
         "cube_revenue": q_cube_revenue,
         "index_rebuild_edge": q_index_rebuild_edge,
