@@ -1046,6 +1046,42 @@ def q_neighbor_jaccard(spark, sf_dir):
                             ["placed", "contains"])
 
 
+def q_resource_allocation(spark, sf_dir):
+    """Resource-allocation link-prediction index: Σ_z 1/deg(z) over the
+    shared 1-hop neighbors z (here: shared order-parts weighted by how
+    many customers bought them) — as an x10000 integer sum, so no float
+    log/div drift. Third member of the common-neighbors family."""
+    g = tpch_graph(spark, sf_dir)
+    from .operators import go_n_hops
+    pairs = [(2 * i, 2 * i + 1) for i in range(30)]
+    seeds = sorted({v for ab in pairs for v in ab})
+    nbrs = go_n_hops(g, seeds, ["placed", "contains"])
+    # deg(z): how many of the 60 endpoint customers reach part z — the
+    # degree within the sampled bipartite projection
+    deg = nbrs.groupBy("end_vid").agg(F.count("*").alias("_dz"))
+    pdf = spark.createDataFrame(pairs, "vid_a bigint, vid_b bigint")
+    a = nbrs.select(F.col("start_vid").alias("vid_a"),
+                    F.col("end_vid").alias("__n"))
+    b = nbrs.select(F.col("start_vid").alias("vid_b"),
+                    F.col("end_vid").alias("__n"))
+    return (F.broadcast(pdf).join(a, "vid_a").join(b, ["vid_b", "__n"])
+            .join(deg.withColumnRenamed("end_vid", "__n"), "__n")
+            .groupBy("vid_a", "vid_b")
+            .agg(F.sum(F.expr("10000 DIV _dz")).alias("ra_x10000")))
+
+
+def q_lang_confusion(spark, sf_dir):
+    """Language-ID confusion matrix: labeled lang × predicted lang counts
+    — the corpus-QA readout for the lang_id operator."""
+    from .pipeline.text import lang_id
+    from .graph import read_parquet
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    pred = lang_id(docs)
+    return (docs.select("doc_id", "lang").join(pred, "doc_id")
+            .groupBy("lang", "pred_lang")
+            .agg(F.count(F.lit(1)).alias("cnt")))
+
+
 def q_stream_dedup(spark, sf_dir):
     """Streaming exactly-once dedup: dropDuplicates over the change
     stream's natural key, append-mode."""
@@ -1486,6 +1522,27 @@ ORACLE_EXT["common_neighbors"] = (
     "FROM pairs JOIN n2 a ON a.c = vid_a "
     "JOIN n2 b ON b.c = vid_b AND b.p = a.p "
     "GROUP BY vid_a, vid_b")
+ORACLE_EXT["resource_allocation"] = (
+    "WITH n2 AS (SELECT DISTINCT o_custkey AS c, l_partkey AS p "
+    "FROM orders JOIN lineitem ON l_orderkey = o_orderkey "
+    "WHERE o_custkey < 60), "
+    "deg AS (SELECT p, count(*) AS dz FROM n2 GROUP BY p), "
+    "pairs AS (SELECT CAST(i * 2 AS BIGINT) AS vid_a, "
+    "CAST(i * 2 + 1 AS BIGINT) AS vid_b FROM range(30) t(i)) "
+    "SELECT vid_a, vid_b, CAST(sum(10000 // dz) AS BIGINT) AS ra_x10000 "
+    "FROM pairs JOIN n2 a ON a.c = vid_a "
+    "JOIN n2 b ON b.c = vid_b AND b.p = a.p "
+    "JOIN deg ON deg.p = a.p GROUP BY vid_a, vid_b")
+
+
+def _oracle_lang_confusion() -> str:
+    from .workload_pipeline import _oracle_lang_id
+    return (f"SELECT d.lang, p.pred_lang, count(*) AS cnt "
+            f"FROM documents d JOIN ({_oracle_lang_id()}) p USING (doc_id) "
+            f"GROUP BY d.lang, p.pred_lang")
+
+
+ORACLE_EXT["lang_confusion"] = _oracle_lang_confusion()
 ORACLE_EXT["neighbor_jaccard"] = (
     "WITH n2 AS (SELECT DISTINCT o_custkey AS c, l_partkey AS p "
     "FROM orders JOIN lineitem ON l_orderkey = o_orderkey "
@@ -1768,6 +1825,8 @@ def _core_queries() -> dict[str, Query]:
         "degree_quantiles": q_degree_quantiles,
         "common_neighbors": q_common_neighbors,
         "neighbor_jaccard": q_neighbor_jaccard,
+        "resource_allocation": q_resource_allocation,
+        "lang_confusion": q_lang_confusion,
         "stream_dedup": q_stream_dedup,
         "cube_revenue": q_cube_revenue,
         "index_rebuild_edge": q_index_rebuild_edge,

@@ -362,3 +362,28 @@ def test_fetch_multi_tag_null_for_missing_tag(spark, sf_dir):
         {"customer": ["c_name"], "order": ["o_orderstatus"]}).collect()}
     assert rows[1].c_name is not None
     assert rows[4000000].c_name is None and rows[4000000].o_orderstatus is None
+
+
+def test_traversal_empty_seed_set_returns_empty(spark, sf_dir):
+    from nebula_storage_spark.graph import tpch_graph
+    from nebula_storage_spark.operators import get_neighbors, go_n_hops
+    g = tpch_graph(spark, sf_dir)
+    assert get_neighbors(g, [], "placed").count() == 0
+    assert go_n_hops(g, [], ["placed", "contains"]).count() == 0
+
+
+def test_lookup_no_hints_is_full_scan(spark, sf_dir):
+    from nebula_storage_spark.graph import tpch_graph
+    from nebula_storage_spark.operators import lookup
+    g = tpch_graph(spark, sf_dir)
+    part = g.tag_df("part")
+    assert lookup(part).count() == part.count()
+
+
+def test_delete_nonexistent_keys_is_noop(spark, sf_dir):
+    from nebula_storage_spark.graph import tpch_graph
+    from nebula_storage_spark.mutate import delete_vertices
+    g = tpch_graph(spark, sf_dir)
+    before = g.tag_df("customer").count()
+    out = delete_vertices(g, [99999999, 88888888])
+    assert out.tag_df("customer").count() == before
