@@ -572,6 +572,25 @@ def q_dedup_clusters(spark, sf_dir):
                      F.col("label").alias("cluster"))
 
 
+def q_dedup_apply(spark, sf_dir):
+    """Apply the dedup: drop every near-dup cluster member except the
+    representative (minimum doc_id = the cluster label) — the step that
+    actually shrinks the corpus. Survivors = all docs anti-joined against
+    the non-representative member set (operator composition #3)."""
+    from pyspark.sql import functions as F
+    docs = _docs(spark, sf_dir)
+    cc = q_dedup_clusters(spark, sf_dir)
+    drop = cc.filter(F.col("doc_id") != F.col("cluster")).select("doc_id")
+    return (docs.join(drop, "doc_id", "left_anti")
+            .select("doc_id", "lang"))
+
+
+def _oracle_dedup_apply() -> str:
+    return (f"SELECT d.doc_id, d.lang FROM documents d "
+            f"WHERE d.doc_id NOT IN (SELECT doc_id "
+            f"FROM ({_oracle_dedup_clusters()}) WHERE doc_id != cluster)")
+
+
 def build_pipeline_queries():
     return {
         "text_features": q_text_features,
@@ -591,6 +610,7 @@ def build_pipeline_queries():
         "stratified_sample": q_stratified_sample,
         "pack_sequences": q_pack_sequences,
         "dedup_containment": q_dedup_containment,
+        "dedup_apply": q_dedup_apply,
         "embedding_near_dup": q_embedding_near_dup,
         "text_normalize": q_text_normalize,
         "knn_ivf_persisted": q_knn_ivf_persisted,
@@ -665,6 +685,7 @@ def build_pipeline_oracles():
         "stratified_sample": _oracle_stratified_sample(),
         "pack_sequences": _oracle_pack_sequences(),
         "dedup_containment": _oracle_dedup_containment(),
+        "dedup_apply": _oracle_dedup_apply(),
         "embedding_near_dup": _oracle_embedding_near_dup(),
         "text_normalize":
             "SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text), "
