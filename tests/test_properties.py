@@ -1,0 +1,93 @@
+"""Property-based tests (hypothesis) — beyond the reference's test
+strategy (SURVEY §5: the reference has golden-value gtests only). Each
+property pins an algebraic invariant the oracle-hash gate can't express:
+determinism across re-evaluation, per-group bounds, partition laws.
+
+Spark sessions are expensive — properties generate SMALL inputs and
+reuse the session fixture; deadline disabled accordingly.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+SET = settings(max_examples=15, deadline=None,
+               suppress_health_check=[HealthCheck.function_scoped_fixture])
+
+
+@given(st.lists(st.integers(min_value=0, max_value=50), min_size=1,
+                max_size=30, unique=True),
+       st.integers(min_value=1, max_value=5))
+@SET
+def test_go_limit_per_vertex_bound_and_prefix(spark, sf_dir, vids, k):
+    """go() with per-vertex limit: ≤ k edges per seed, and the kept rows
+    are exactly the first k in (rank, dst) storage order."""
+    from nebula_storage_spark.graph import tpch_graph
+    from nebula_storage_spark.operators import get_neighbors
+    g = tpch_graph(spark, sf_dir)
+    full = get_neighbors(g, vids, "placed", edge_props=[]).collect()
+    lim = get_neighbors(g, vids, "placed", edge_props=[], limit=k).collect()
+    from collections import defaultdict
+    by_v = defaultdict(list)
+    for r in full:
+        by_v[r._vid].append((r._rank, r._dst))
+    got = defaultdict(list)
+    for r in lim:
+        got[r._vid].append((r._rank, r._dst))
+    for v, rows in got.items():
+        assert len(rows) <= k
+        assert sorted(rows) == sorted(by_v[v])[:len(rows)]
+
+
+@given(st.lists(st.tuples(st.integers(0, 20), st.integers(0, 20)),
+                min_size=1, max_size=25))
+@SET
+def test_connected_components_labels_are_fixpoint_consistent(spark, edges):
+    """CC invariant: every vertex's label equals the min label over itself
+    and its neighbors (after enough iterations on small graphs)."""
+    from nebula_storage_spark.operators import connected_components_fixed
+    df = spark.createDataFrame([(a, b, 0) for a, b in edges],
+                               "_src bigint, _dst bigint, _rank bigint")
+    out = {r.node: r.label
+           for r in connected_components_fixed(df, iterations=6).collect()}
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    for v, lbl in out.items():
+        nbr_lbls = [out[u] for u in adj.get(v, ())] + [lbl, v]
+        assert lbl == min(nbr_lbls)
+
+
+@given(st.lists(st.text(alphabet="abc ", min_size=1, max_size=40),
+                min_size=1, max_size=12),
+       st.integers(min_value=2, max_value=64))
+@SET
+def test_pack_sequences_partitions_the_token_stream(spark, texts, budget):
+    """Packing law: offsets are contiguous (doc k+1 starts where doc k
+    ended) and every doc's seq range covers exactly its offset span."""
+    from nebula_storage_spark.pipeline.text import pack_sequences
+    docs = spark.createDataFrame(list(enumerate(texts)),
+                                 "doc_id bigint, text string")
+    rows = sorted(pack_sequences(docs, budget=budget).collect(),
+                  key=lambda r: r.doc_id)
+    off = 0
+    for r in rows:
+        assert r.start_off == off
+        assert r.seq_first == r.start_off // budget
+        assert r.seq_last == (r.start_off + r.n_tokens - 1) // budget
+        off += r.n_tokens
+
+
+@given(st.lists(st.integers(0, 1000), min_size=1, max_size=50, unique=True))
+@SET
+def test_md5_permutation_is_deterministic_and_injective(spark, ids):
+    from nebula_storage_spark.functions import md5_permutation
+    from pyspark.sql import functions as F
+    df = spark.createDataFrame([(i,) for i in ids], "id bigint")
+    a = [r.k for r in df.select(md5_permutation("id").alias("k"))
+         .orderBy("id").collect()]
+    b = [r.k for r in df.select(md5_permutation("id").alias("k"))
+         .orderBy("id").collect()]
+    assert a == b
+    assert len(set(a)) == len(ids)
