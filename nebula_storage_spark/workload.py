@@ -1070,6 +1070,25 @@ def q_resource_allocation(spark, sf_dir):
             .agg(F.sum(F.expr("10000 DIV _dz")).alias("ra_x10000")))
 
 
+def q_preferential_attachment(spark, sf_dir):
+    """Preferential-attachment link-prediction score deg(a)·deg(b) for the
+    30 customer pairs (out-degree over `placed`) — completes the standard
+    quartet: common neighbors, Jaccard, resource allocation, PA. Pure
+    integer product; pairs where either endpoint has no edges drop out."""
+    g = tpch_graph(spark, sf_dir)
+    deg = (g.edges["placed"].groupBy(SRC)
+           .agg(F.count("*").alias("_d")))
+    pdf = spark.createDataFrame([(2 * i, 2 * i + 1) for i in range(30)],
+                                "vid_a bigint, vid_b bigint")
+    return (F.broadcast(pdf)
+            .join(deg.withColumnRenamed(SRC, "vid_a")
+                  .withColumnRenamed("_d", "_da"), "vid_a")
+            .join(deg.withColumnRenamed(SRC, "vid_b")
+                  .withColumnRenamed("_d", "_db"), "vid_b")
+            .select("vid_a", "vid_b",
+                    (F.col("_da") * F.col("_db")).alias("pa_score")))
+
+
 def q_lang_confusion(spark, sf_dir):
     """Language-ID confusion matrix: labeled lang × predicted lang counts
     — the corpus-QA readout for the lang_id operator."""
@@ -1522,6 +1541,13 @@ ORACLE_EXT["common_neighbors"] = (
     "FROM pairs JOIN n2 a ON a.c = vid_a "
     "JOIN n2 b ON b.c = vid_b AND b.p = a.p "
     "GROUP BY vid_a, vid_b")
+ORACLE_EXT["preferential_attachment"] = (
+    "WITH deg AS (SELECT o_custkey AS c, count(*) AS d FROM orders "
+    "GROUP BY o_custkey), "
+    "pairs AS (SELECT CAST(i * 2 AS BIGINT) AS vid_a, "
+    "CAST(i * 2 + 1 AS BIGINT) AS vid_b FROM range(30) t(i)) "
+    "SELECT vid_a, vid_b, da.d * db.d AS pa_score "
+    "FROM pairs JOIN deg da ON da.c = vid_a JOIN deg db ON db.c = vid_b")
 ORACLE_EXT["resource_allocation"] = (
     "WITH n2 AS (SELECT DISTINCT o_custkey AS c, l_partkey AS p "
     "FROM orders JOIN lineitem ON l_orderkey = o_orderkey "
@@ -1826,6 +1852,7 @@ def _core_queries() -> dict[str, Query]:
         "common_neighbors": q_common_neighbors,
         "neighbor_jaccard": q_neighbor_jaccard,
         "resource_allocation": q_resource_allocation,
+        "preferential_attachment": q_preferential_attachment,
         "lang_confusion": q_lang_confusion,
         "stream_dedup": q_stream_dedup,
         "cube_revenue": q_cube_revenue,
