@@ -362,6 +362,39 @@ SELECT * FROM (
 WHERE containment_x10000 >= 6000"""
 
 
+def q_top_docs_per_source(spark, sf_dir):
+    """Per-source quality selection: the top-10 docs of each source by the
+    integer quality score (ties → lower doc_id) — the 'keep the best N
+    per domain' corpus-curation step, WindowGroupLimit-shaped."""
+    from pyspark.sql import Window as W
+    from .pipeline import text_features
+    docs = _docs(spark, sf_dir)
+    feats = text_features(docs).select("doc_id", "quality")
+    scored = docs.select("doc_id", "source").join(feats, "doc_id")
+    w = W.partitionBy("source").orderBy(F.col("quality").desc(), "doc_id")
+    return (scored.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= 10)
+            .select("doc_id", "source",
+                    F.col("quality").cast("long").alias("quality")))
+
+
+def _oracle_top_docs_per_source() -> str:
+    # reuse the text_features quality expression verbatim
+    stop = _marker_count(STOPWORDS)
+    quality = (
+        f"least(len(string_split(text, ' ')), 40) "
+        f"+ CASE WHEN ({stop} * 100) // len(string_split(text, ' ')) "
+        f"BETWEEN 3 AND 40 THEN 30 ELSE 0 END "
+        f"+ CASE WHEN (length(replace(text, ' ', '')) * 100) "
+        f"// len(string_split(text, ' ')) BETWEEN 300 AND 800 "
+        f"THEN 30 ELSE 0 END")
+    return f"""
+WITH s AS (SELECT doc_id, source, {quality} AS quality FROM documents)
+SELECT doc_id, source, CAST(quality AS BIGINT) AS quality FROM s
+QUALIFY row_number() OVER (PARTITION BY source
+  ORDER BY quality DESC, doc_id) <= 10"""
+
+
 def q_knn_hyperplane_lsh(spark, sf_dir):
     """LSH-bucketed ANN (random ±1 hyperplanes, banded SimHash-for-cosine):
     candidates share an (band, band-key) bucket, exact cosine re-ranks."""
@@ -611,6 +644,7 @@ def build_pipeline_queries():
         "pack_sequences": q_pack_sequences,
         "dedup_containment": q_dedup_containment,
         "dedup_apply": q_dedup_apply,
+        "top_docs_per_source": q_top_docs_per_source,
         "embedding_near_dup": q_embedding_near_dup,
         "text_normalize": q_text_normalize,
         "knn_ivf_persisted": q_knn_ivf_persisted,
@@ -686,6 +720,7 @@ def build_pipeline_oracles():
         "pack_sequences": _oracle_pack_sequences(),
         "dedup_containment": _oracle_dedup_containment(),
         "dedup_apply": _oracle_dedup_apply(),
+        "top_docs_per_source": _oracle_top_docs_per_source(),
         "embedding_near_dup": _oracle_embedding_near_dup(),
         "text_normalize":
             "SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text), "
