@@ -21,9 +21,31 @@ from pyspark.sql import DataFrame, functions as F
 
 from ..graph import DST, SRC
 
+# Per-round rank/label frames are broadcast only below this vertex count.
+# ~5M rows of (long, long) ≈ 80 MB serialized — the usual ceiling for a
+# comfortable executor broadcast. Above it, the hint is DROPPED and the
+# round's join runs as a shuffled join in which the persisted edge frame
+# reuses its hash-partitioning on the join key (only the small per-round
+# frame moves). At 10⁹ vertices a hardcoded broadcast would OOM the
+# driver; this gate is the difference between "works at sf0.1" and
+# "works at 100 TB".
+BROADCAST_MAX_NODES = 5_000_000
+
+
+def _round_hint(n_nodes: int, broadcast_max_nodes: int | None):
+    """Size-gated broadcast hint for the per-iteration |V|-row frame:
+    F.broadcast below the cutoff, identity (Catalyst picks SMJ/shuffled
+    hash over the co-partitioned persisted edges) above it."""
+    limit = BROADCAST_MAX_NODES if broadcast_max_nodes is None \
+        else broadcast_max_nodes
+    if n_nodes <= limit:
+        return F.broadcast
+    return lambda df: df
+
 
 def pagerank_fixed(edges: DataFrame, iterations: int = 5,
-                   scale: int = 10 ** 9, damping_pct: int = 85) -> DataFrame:
+                   scale: int = 10 ** 9, damping_pct: int = 85,
+                   broadcast_max_nodes: int | None = None) -> DataFrame:
     """K synchronous PageRank iterations over directed (src, dst) edges.
 
     r0(v) = scale;  r_{t+1}(v) = ((100-d)·scale) DIV 100
@@ -39,18 +61,20 @@ def pagerank_fixed(edges: DataFrame, iterations: int = 5,
              .distinct().persist())
     deg = edges.groupBy(SRC).agg(F.count(F.lit(1)).alias("_deg"))
     e = edges.select(SRC, DST).join(deg, SRC).persist()
+    # |V| is needed anyway to size the per-round join strategy; nodes is
+    # persisted so this count is paid once
+    hint = _round_hint(nodes.count(), broadcast_max_nodes)
     ranks = nodes.select("node", F.lit(scale).cast("long").alias("rank"))
     for i in range(iterations):
-        # rank frame is |V| rows of (long, long) — broadcast it so the
-        # persisted edge frame never re-shuffles; only the contribution
-        # groupBy moves data. (At |V| beyond broadcast range, drop the
-        # hint: both frames are hash-partitioned on the key and Catalyst
-        # falls back to a co-located SMJ.)
-        contribs = (e.join(F.broadcast(ranks), e[SRC] == ranks["node"])
+        # rank frame is |V| rows of (long, long) — broadcast below the
+        # size gate so the persisted edge frame never re-shuffles; above
+        # it the hint is dropped and only the rank frame shuffles to the
+        # edges' existing hash-partitioning
+        contribs = (e.join(hint(ranks), e[SRC] == ranks["node"])
                     .select(F.col(DST).alias("node"),
                             F.expr("rank DIV _deg").alias("_c")))
         summed = contribs.groupBy("node").agg(F.sum("_c").alias("_s"))
-        ranks = (nodes.join(F.broadcast(summed), "node", "left")
+        ranks = (nodes.join(hint(summed), "node", "left")
                  .select("node",
                          (F.lit(jump) + F.expr(
                              f"({damping_pct} * coalesce(_s, CAST(0 AS BIGINT)))"
@@ -66,7 +90,8 @@ def pagerank_fixed(edges: DataFrame, iterations: int = 5,
 
 def personalized_pagerank(edges: DataFrame, seeds: list[int],
                           iterations: int = 5, scale: int = 10 ** 9,
-                          damping_pct: int = 85) -> DataFrame:
+                          damping_pct: int = 85,
+                          broadcast_max_nodes: int | None = None) -> DataFrame:
     """Personalized PageRank: the restart mass returns to the SEED set
     instead of every node — r0(v) = scale·[v∈S], jump(v) = jump·[v∈S].
     Same integer fixed-point loop as pagerank_fixed (broadcast rank
@@ -79,16 +104,17 @@ def personalized_pagerank(edges: DataFrame, seeds: list[int],
              .distinct().persist())
     deg = edges.groupBy(SRC).agg(F.count(F.lit(1)).alias("_deg"))
     e = edges.select(SRC, DST).join(deg, SRC).persist()
+    hint = _round_hint(nodes.count(), broadcast_max_nodes)
     in_seed = F.col("node").isin(seeds)
     ranks = nodes.select(
         "node", F.when(in_seed, F.lit(scale)).otherwise(F.lit(0))
         .cast("long").alias("rank"))
     for i in range(iterations):
-        contribs = (e.join(F.broadcast(ranks), e[SRC] == ranks["node"])
+        contribs = (e.join(hint(ranks), e[SRC] == ranks["node"])
                     .select(F.col(DST).alias("node"),
                             F.expr("rank DIV _deg").alias("_c")))
         summed = contribs.groupBy("node").agg(F.sum("_c").alias("_s"))
-        ranks = (nodes.join(F.broadcast(summed), "node", "left")
+        ranks = (nodes.join(hint(summed), "node", "left")
                  .select("node",
                          (F.when(in_seed, F.lit(jump)).otherwise(F.lit(0))
                           + F.expr(
@@ -129,8 +155,9 @@ def personalized_pagerank_oracle_sql(edges_sql: str, seeds: list[int],
             + f"\nSELECT node, rank FROM r{iterations} WHERE rank > 0")
 
 
-def connected_components_fixed(edges: DataFrame,
-                               iterations: int = 3) -> DataFrame:
+def connected_components_fixed(edges: DataFrame, iterations: int = 3,
+                               broadcast_max_nodes: int | None = None
+                               ) -> DataFrame:
     """K rounds of synchronous min-label propagation over the
     undirected-ized edge set. Labels are vertex ids (integers) and every
     step is an integer min — bit-deterministic, so a fixed iteration count
@@ -145,13 +172,14 @@ def connected_components_fixed(edges: DataFrame,
     und = (edges.select(SRC, DST)
            .union(edges.select(F.col(DST).alias(SRC), F.col(SRC).alias(DST)))
            .persist())
-    nodes = und.select(F.col(SRC).alias("node")).distinct()
+    nodes = und.select(F.col(SRC).alias("node")).distinct().persist()
+    hint = _round_hint(nodes.count(), broadcast_max_nodes)
     labels = nodes.select("node", F.col("node").alias("label"))
     for i in range(iterations):
-        # same shape as pagerank_fixed: broadcast the |V|-sized label
-        # frame against the persisted edges, shuffle only the min-groupBy;
-        # materialize each round to keep lineage O(|V|)
-        nbr = (und.join(F.broadcast(labels), und[DST] == labels["node"])
+        # same shape as pagerank_fixed: size-gated broadcast of the
+        # |V|-sized label frame against the persisted edges, shuffle only
+        # the min-groupBy; materialize each round to keep lineage O(|V|)
+        nbr = (und.join(hint(labels), und[DST] == labels["node"])
                .select(F.col(SRC).alias("node"), "label"))
         labels = (labels.union(nbr)
                   .groupBy("node").agg(F.min("label").alias("label")))

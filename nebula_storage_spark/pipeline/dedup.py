@@ -188,16 +188,36 @@ def simhash_pairs(docs: DataFrame, bits: int = 16, max_hamming: int = 3,
                   id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance ≤ max_hamming.
 
-    Demonstration path uses an all-pairs join on the compact fingerprints
-    (fine to ~10⁵ docs); the scale path partitions fingerprints into
-    (max_hamming+1) bit-blocks and joins on exact-match blocks (pigeonhole),
-    same shape as lsh_candidate_pairs.
+    EXACT pigeonhole candidate join (no cross join): the fingerprint is
+    split into (max_hamming + 1) disjoint bit-blocks; a pair within
+    Hamming distance max_hamming must agree EXACTLY on at least one block
+    (pigeonhole — max_hamming differing bits cannot touch all
+    max_hamming+1 blocks), so an equi-join on (block_idx, block_value)
+    has guaranteed 100 % recall. Candidates then get the exact
+    bit_count(XOR) verification. Shuffle is O(n · (max_hamming+1)) rows
+    of (id, fingerprint) — the same banded shape as lsh_candidate_pairs,
+    never O(n²).
     """
-    fp = simhash(docs, bits=bits, id_col=id_col, text_col=text_col)
-    a = fp.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("fa"))
-    b = fp.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("fb"))
+    n_blocks = max_hamming + 1
+    fp = simhash(docs, bits=bits, id_col=id_col, text_col=text_col).persist()
+    base, rem = divmod(bits, n_blocks)
+    blocks, off = [], 0
+    for i in range(n_blocks):
+        width = base + (1 if i < rem else 0)
+        blocks.append(F.shiftright(F.col("simhash"), off)
+                      .bitwiseAND(F.lit((1 << width) - 1)))
+        off += width
+    blocked = fp.select(
+        F.col(id_col), F.col("simhash"),
+        F.posexplode(F.array(*blocks)).alias("blk", "bval"))
+    a = blocked.select(F.col(id_col).alias("id_a"),
+                       F.col("simhash").alias("fa"), "blk", "bval")
+    b = blocked.select(F.col(id_col).alias("id_b"),
+                       F.col("simhash").alias("fb"), "blk", "bval")
     ham = F.bit_count(F.col("fa").bitwiseXOR(F.col("fb")))
-    return (a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    return (a.join(b, ["blk", "bval"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", "fa", "fb").distinct()
             .withColumn("hamming", ham.cast("int"))
             .filter(F.col("hamming") <= max_hamming)
             .select("id_a", "id_b", "hamming"))

@@ -1762,11 +1762,34 @@ ORACLE_ANALYTIC = {
 }
 
 
+# Queries with a driver-recorded CORRECTNESS row in round 1. The driver
+# samples queries() in insertion order with a budget, so build_queries()
+# surfaces not-yet-driver-verified queries FIRST to maximize the number of
+# operators with a hard correctness signal across rounds.
+_DRIVER_GREEN_R01 = frozenset({
+    "text_features", "lang_id", "doc_fingerprint", "dedup_exact",
+    "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_simhash",
+    "dedup_simhash_pairs", "knn_bruteforce", "knn_ivf", "knn_hyperplane_lsh",
+    "decontaminate", "repetition_stats", "tfidf_top_terms",
+    "stratified_sample", "pack_sequences", "dedup_containment", "dedup_apply",
+    "top_docs_per_source", "embedding_near_dup", "text_normalize",
+    "knn_ivf_persisted", "split_assign", "text_redact", "corpus_stats",
+    "embed_stub", "doc_chunks", "doc_token_ids", "dedup_clusters",
+    "mm_image_meta", "mm_resize", "mm_audio_stats", "mm_frame_sample",
+    "go_out_props", "go_in_edges", "go_both", "go_filter", "go_vertex_props",
+    "go_stats", "go_limit", "go_sample", "lookup_prefix", "lookup_range",
+    "lookup_residual", "scan_vertex", "scan_edge_limit", "fetch_vertices",
+    "fetch_edges", "stats_task", "dedup_distinct",
+})
+
+
 def build_queries() -> dict[str, Query]:
     from .workload_pipeline import build_pipeline_queries
     out = build_pipeline_queries()
     out.update(_core_queries())
-    return out
+    ordered = {k: v for k, v in out.items() if k not in _DRIVER_GREEN_R01}
+    ordered.update({k: v for k, v in out.items() if k in _DRIVER_GREEN_R01})
+    return ordered
 
 
 def _core_queries() -> dict[str, Query]:
@@ -1792,18 +1815,7 @@ def _core_queries() -> dict[str, Query]:
         "add_edges_overwrite": q_add_edges_overwrite,
         "upsert_update_cond": q_upsert_update_cond,
         "upsert_insert": q_upsert_insert,
-        "upsert_edge":
-        "SELECT l_orderkey AS _src, l_partkey AS _dst, "
-        "CAST(l_linenumber AS BIGINT) AS _rank, "
-        "round(CASE WHEN l_orderkey < 40 AND l_quantity < 25 "
-        "THEN l_quantity + 1 ELSE l_quantity END, 2) AS l_quantity "
-        "FROM lineitem WHERE l_orderkey < 80",
-    "ttl_lookup":
-        "SELECT event_id AS _vid, CAST(floor(epoch(ts)) AS BIGINT) "
-        "AS ts_epoch, event_type FROM events "
-        "WHERE event_type = 'click' AND "
-        f"floor(epoch(ts)) + {TTL_DURATION} > {TTL_NOW}",
-    "delete_vertices_cascade": q_delete_vertices_cascade,
+        "delete_vertices_cascade": q_delete_vertices_cascade,
         "upsert_edge": q_upsert_edge,
         "ttl_lookup": q_ttl_lookup,
         "delete_edges": q_delete_edges,

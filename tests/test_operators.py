@@ -80,6 +80,45 @@ def test_pagerank_deterministic_and_mass_bounded(spark):
     assert all(0 < v <= 3 * scale for v in r1.values())
 
 
+def test_analytics_no_broadcast_path_matches(spark):
+    """broadcast_max_nodes=0 forces the shuffled-join fallback (the 100 TB
+    path where |V| exceeds broadcast range); results must be bit-identical
+    to the broadcast plan and the per-round joins must not broadcast."""
+    from nebula_storage_spark.operators.analytics import (
+        connected_components_fixed, pagerank_fixed, personalized_pagerank)
+    e = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 1), (5, 6)], "_src bigint, _dst bigint")
+    saved = {k: spark.conf.get(k) for k in
+             ("spark.sql.autoBroadcastJoinThreshold",
+              "spark.sql.adaptive.autoBroadcastJoinThreshold")}
+    for fn, kw in ((pagerank_fixed, dict(iterations=3)),
+                   (personalized_pagerank, dict(seeds=[1], iterations=3)),
+                   (connected_components_fixed, dict(iterations=3))):
+        try:
+            # tiny test frames would be auto-broadcast by Catalyst anyway;
+            # disable the threshold so dropping the hint really yields the
+            # shuffled plan the 100 TB case would see. Run the no-broadcast
+            # variant FIRST on a clean cache: the CacheManager dedupes
+            # persisted subtrees by plan, so a prior broadcast-built cache
+            # entry would otherwise be reused verbatim.
+            spark.catalog.clearCache()
+            for k in saved:
+                spark.conf.set(k, "-1")
+            nobc = fn(e, broadcast_max_nodes=0, **kw)
+            nobc_rows = sorted(map(tuple, nobc.collect()))
+            plan = nobc._jdf.queryExecution().executedPlan().toString()
+            assert "BroadcastHashJoin" not in plan, fn.__name__
+            assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, \
+                fn.__name__
+        finally:
+            for k, v in saved.items():
+                spark.conf.unset(k) if v is None else spark.conf.set(k, v)
+        spark.catalog.clearCache()
+        bc = sorted(map(tuple, fn(e, **kw).collect()))
+        assert bc == nobc_rows, fn.__name__
+    spark.catalog.clearCache()
+
+
 def test_knn_excludes_self(spark):
     from nebula_storage_spark.pipeline.similarity import knn_bruteforce
     emb = spark.createDataFrame(

@@ -94,6 +94,24 @@ SHOWCASE = {
         "whole-stage-codegen span, 6-group exchange, final agg. Decimal "
         "accumulation (exactness contract) costs ~40% over double sums "
         "and is the price of engine-portable determinism."),
+    "dedup_simhash_pairs": (
+        ("Join", "Exchange", "Generate", "HashAggregate"),
+        "SimHash near-dup pairs via the EXACT pigeonhole candidate join: "
+        "fingerprints split into max_hamming+1 bit-blocks (Generate = "
+        "posexplode), candidates equi-join on (block_idx, block_value) — "
+        "a pair within the Hamming budget must agree on ≥1 block, so "
+        "recall is guaranteed. No CartesianProduct / "
+        "BroadcastNestedLoopJoin anywhere: shuffle is O(n·(h+1)), "
+        "never O(n²)."),
+    "embedding_near_dup": (
+        ("Join", "Exchange", "Generate"),
+        "Exact all-pairs cosine near-dup as a block-matrix self-join: "
+        "each vector replicates to its ~B bucket-pair tags (Generate = "
+        "explode) and the pairing is an EQUI-join on the tag, so the "
+        "Θ(n²) compare work (inherent to the exact contract — measured "
+        "91% of qualifying pairs cross IVF cells, so cell candidates "
+        "can't keep the exact answer) spreads over B(B+1)/2 independent, "
+        "memory-bounded join groups instead of one CartesianProduct."),
 }
 
 
@@ -129,6 +147,37 @@ def main() -> None:
         out.extend(lines)
         out.append("```")
         out.append("")
+    # analytics beyond-broadcast-range fallback: not a queries() entry
+    # (the oracle path uses the broadcast plan); showcase the plan the
+    # same code produces when |V| exceeds the broadcast gate
+    from pyspark.sql import functions as F  # noqa: F401
+    from nebula_storage_spark.operators.analytics import pagerank_fixed
+    spark.catalog.clearCache()
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        edges = g.edges["placed"].selectExpr("_src", "_dst")
+        pr = pagerank_fixed(edges, iterations=2, broadcast_max_nodes=0)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            pr.explain("formatted")
+        lines = [l for l in buf.getvalue().splitlines()
+                 if any(k in l for k in ("Join", "Exchange", "InMemory"))]
+        out += [
+            "## pagerank — beyond-broadcast-range fallback",
+            "",
+            "`broadcast_max_nodes` gates the per-round |V|-row broadcast "
+            "(default cutoff 5M nodes ≈ 80 MB). Above it the hint is "
+            "dropped and the round joins run shuffled: the persisted "
+            "edge frame keeps its hash-partitioning (InMemoryTableScan "
+            "below), only the small rank frame moves per round — the "
+            "plan that survives 10⁹ vertices where a hardcoded "
+            "broadcast OOMs the driver. (Generated with the broadcast "
+            "threshold disabled to emulate |V| beyond broadcast range.)",
+            "", "```", *lines, "```", ""]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+        spark.catalog.clearCache()
     with open(os.path.join(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))), "PLANS.md"), "w") as f:
         f.write("\n".join(out))
