@@ -10,7 +10,7 @@ binary payloads):
   text.py        language-ID, quality scoring, token counting, fingerprints
   dedup.py       exact / MinHash-LSH / SimHash / n-gram-Jaccard dedup
   similarity.py  embedding similarity: brute-force cosine top-k, IVF, near-dup
-  multimodal.py  opaque binary columns + Arrow-batched decode plumbing
+  multimodal.py  opaque binary columns + Arrow-batched REAL header decode
 
 Determinism contract (shared with the DuckDB oracles): every score that
 feeds a comparison or ranking is either exact integer arithmetic (quantized

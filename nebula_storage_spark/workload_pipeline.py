@@ -501,33 +501,63 @@ WHERE c >= 0.4"""
 # ---------------------------------------------------------------------------
 
 def q_mm_resize(spark, sf_dir):
-    from .pipeline.multimodal import resize_plan
-    meta = image_meta(with_binary_payload(_docs(spark, sf_dir)))
+    from .pipeline.multimodal import resize_plan, synth_image_payload
+    meta = image_meta(synth_image_payload(_docs(spark, sf_dir)))
     return resize_plan(meta, max_side=256)
 
 
 def q_mm_audio_stats(spark, sf_dir):
-    from .pipeline.multimodal import audio_stats
-    return audio_stats(with_binary_payload(_docs(spark, sf_dir)))
+    from .pipeline.multimodal import audio_stats, synth_wav_payload
+    return audio_stats(synth_wav_payload(_docs(spark, sf_dir)))
 
 
 def q_mm_image_meta(spark, sf_dir):
-    return image_meta(with_binary_payload(_docs(spark, sf_dir)))
+    """Round-trip through REAL bytes: synth_image_payload writes genuine
+    PNG/JPEG streams (md5-derived dims), image_meta parses the actual
+    headers back; the oracle predicts the same fields from the md5
+    derivation — agreement proves the parser read what the codec wrote."""
+    from .pipeline.multimodal import synth_image_payload
+    return image_meta(synth_image_payload(_docs(spark, sf_dir)))
 
 
 def q_mm_frame_sample(spark, sf_dir):
     return frame_sample(with_binary_payload(_docs(spark, sf_dir)), stride=5)
 
 
+def _dd_hexint(expr: str) -> str:
+    """DuckDB hex-string → BIGINT (no conv() there): fold hex digits via
+    strpos on the alphabet — parity-probed against Spark's conv()."""
+    return ("list_reduce(list_prepend(CAST(0 AS BIGINT), "
+            f"list_transform(string_split({expr}, ''), "
+            "c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))), "
+            "(a, b) -> a * 16 + b)")
+
+
+# md5-derived image parameters — MUST mirror synth_image_payload; the CTE
+# predicts what parse_image_header reads back from the generated bytes
+_MM_IMG_CTE = f"""h AS (SELECT doc_id, md5(text) AS hh,
+  CAST(octet_length(encode(text)) AS BIGINT) AS L FROM documents),
+d AS (SELECT doc_id, L,
+  CAST({_dd_hexint("substr(hh, 1, 4)")} % 640 + 1 AS INTEGER) AS width,
+  CAST({_dd_hexint("substr(hh, 5, 4)")} % 480 + 1 AS INTEGER) AS height,
+  ({_dd_hexint("substr(hh, 9, 2)")} % 2 = 0) AS is_png,
+  ({_dd_hexint("substr(hh, 11, 2)")} % 2 = 1) AS has_alpha
+FROM h)"""
+
+
 def _oracle_mm_image_meta() -> str:
-    n = "octet_length(encode(text))"
     return f"""
-SELECT doc_id, {n} AS n_bytes,
-  CAST({n} % 640 + 1 AS INTEGER) AS width,
-  CAST(({n} * 7) % 480 + 1 AS INTEGER) AS height,
-  CAST(3 AS INTEGER) AS channels,
-  CASE {n} % 3 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'webp' END AS format
-FROM documents"""
+WITH {_MM_IMG_CTE}
+SELECT doc_id,
+  CAST(CASE WHEN is_png THEN 57 + L
+       ELSE 18 + 3 * (CASE WHEN has_alpha THEN 3 ELSE 1 END)
+            + LEAST(L, 60000) END AS BIGINT) AS n_bytes,
+  width, height,
+  CAST(CASE WHEN is_png THEN (CASE WHEN has_alpha THEN 4 ELSE 3 END)
+       ELSE (CASE WHEN has_alpha THEN 3 ELSE 1 END) END AS INTEGER)
+  AS channels,
+  CASE WHEN is_png THEN 'png' ELSE 'jpeg' END AS format
+FROM d"""
 
 
 def _oracle_mm_frame_sample() -> str:
@@ -742,24 +772,24 @@ def build_pipeline_oracles():
         "doc_token_ids": _oracle_doc_token_ids(),
         "dedup_clusters": _oracle_dedup_clusters(),
         "mm_image_meta": _oracle_mm_image_meta(),
-        "mm_resize": """
-WITH m AS (SELECT doc_id,
-  CAST(octet_length(encode(text)) % 640 + 1 AS INTEGER) AS width,
-  CAST((octet_length(encode(text)) * 7) % 480 + 1 AS INTEGER) AS height
-  FROM documents)
+        "mm_resize": f"""
+WITH {_MM_IMG_CTE}
 SELECT doc_id, width, height,
   CAST(width * 256 // greatest(width, height) AS INTEGER) AS out_width,
   CAST(height * 256 // greatest(width, height) AS INTEGER) AS out_height
-FROM m""",
-        "mm_audio_stats": """
-WITH b AS (SELECT doc_id, octet_length(encode(text)) AS n,
-  list_sum(list_transform(string_split(text, ''),
-                          c -> CAST(ascii(c) AS BIGINT))) AS bsum
-  FROM documents)
-SELECT doc_id, n // 2 AS n_samples,
-  (n // 2) * 1000 // 16000 AS duration_ms,
-  CAST(bsum * 1000 // (CASE WHEN n > 0 THEN n ELSE 1 END) AS BIGINT)
-  AS rms_x1000
-FROM b""",
+FROM d""",
+        "mm_audio_stats": f"""
+WITH h AS (SELECT doc_id, md5(text) AS hh,
+  CAST(octet_length(encode(text)) AS BIGINT) AS L FROM documents),
+p AS (SELECT doc_id, L,
+  (CASE {_dd_hexint("substr(hh, 1, 2)")} % 4 WHEN 0 THEN 8000
+   WHEN 1 THEN 16000 WHEN 2 THEN 22050 ELSE 44100 END) AS rate,
+  1 + {_dd_hexint("substr(hh, 3, 2)")} % 2 AS nch FROM h)
+SELECT doc_id, CAST(rate AS INTEGER) AS sample_rate,
+  CAST(nch AS INTEGER) AS n_channels,
+  CAST(16 AS INTEGER) AS bits_per_sample,
+  CAST(L // (nch * 2) AS BIGINT) AS n_samples,
+  CAST((L // (nch * 2)) * 1000 // rate AS BIGINT) AS duration_ms
+FROM p""",
         "mm_frame_sample": _oracle_mm_frame_sample(),
     }

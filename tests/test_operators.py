@@ -426,3 +426,62 @@ def test_delete_nonexistent_keys_is_noop(spark, sf_dir):
     before = g.tag_df("customer").count()
     out = delete_vertices(g, [99999999, 88888888])
     assert out.tag_df("customer").count() == before
+
+
+def test_parse_real_png_jpeg_wav_fixtures():
+    """The header parsers read genuine files, not just our synth streams:
+    a fully valid 3x2 RGBA PNG (zlib-compressed scanlines, correct CRCs),
+    a baseline JPEG marker stream, and a canonical 44-byte WAV."""
+    import struct
+    import zlib
+    from nebula_storage_spark.pipeline.multimodal import (
+        _jpeg_bytes, parse_image_header, parse_wav_header)
+
+    # complete, decodable PNG: 3x2, RGBA8
+    ihdr = struct.pack(">II", 3, 2) + bytes([8, 6, 0, 0, 0])
+    raw = b"".join(b"\x00" + bytes(3 * 4) for _ in range(2))  # filter+pixels
+
+    def chunk(typ, data):
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF))
+    png = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+           + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+    assert parse_image_header(png) == (3, 2, 4, "png")
+
+    # JPEG: APP0/JFIF segment before SOF0 must be skipped by the walker
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x02\x00" + bytes(6)
+    jpeg = _jpeg_bytes(640, 480, 3, b"comment")
+    jpeg_with_app0 = jpeg[:2] + app0 + jpeg[2:]
+    assert parse_image_header(jpeg_with_app0) == (640, 480, 3, "jpeg")
+
+    # canonical WAV: 44100 Hz stereo 16-bit, 100 frames
+    data_size = 100 * 2 * 2
+    wav = (b"RIFF" + struct.pack("<I", 36 + data_size) + b"WAVE"
+           + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 2, 44100,
+                                   44100 * 4, 4, 16)
+           + b"data" + struct.pack("<I", data_size) + bytes(data_size))
+    assert parse_wav_header(wav) == (44100, 2, 16, 100)
+
+    import pytest
+    with pytest.raises(ValueError):
+        parse_image_header(b"not an image at all")
+
+
+def test_image_meta_round_trip_through_real_bytes(spark):
+    """synth payload -> real header parse must reproduce the md5-derived
+    parameters (the same invariant the DuckDB oracle checks at sf0.01)."""
+    import hashlib
+    from nebula_storage_spark.pipeline.multimodal import (
+        image_meta, synth_image_payload)
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, "pack my box"), (3, "x" * 2000)],
+        "doc_id bigint, text string")
+    out = {r.doc_id: r for r in
+           image_meta(synth_image_payload(docs)).collect()}
+    for doc_id, text in [(1, "the quick brown fox"), (2, "pack my box"),
+                         (3, "x" * 2000)]:
+        h = hashlib.md5(text.encode()).hexdigest()
+        assert out[doc_id].width == int(h[0:4], 16) % 640 + 1
+        assert out[doc_id].height == int(h[4:8], 16) % 480 + 1
+        expected_fmt = "png" if int(h[8:10], 16) % 2 == 0 else "jpeg"
+        assert out[doc_id].format == expected_fmt
