@@ -116,7 +116,10 @@ def minhash_signature(sh: DataFrame, num_hashes: int = 12,
     independent slots costs 2 hashes per shingle instead of num_hashes
     (6× less CPU on the hot path), and stays engine-portable (md5 +
     substring + string-min are universal)."""
-    assert num_hashes * MINHASH_SLICE <= 64
+    if num_hashes * MINHASH_SLICE > 64:
+        raise ValueError(
+            f"num_hashes must be <= {64 // MINHASH_SLICE} "
+            f"({MINHASH_SLICE} hex chars per slot over two md5s)")
     ex = sh.select(id_col, F.explode("shingles").alias("g"))
     ex = ex.withColumn(
         "hh", F.concat(F.md5("g"), F.md5(F.concat(F.lit("x#"), F.col("g")))))
@@ -158,17 +161,22 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3, num_hashes: int = 12,
     return _verify_jaccard(cand, sh, id_col, threshold_x10000)
 
 
-def simhash(docs: DataFrame, bits: int = 48, id_col: str = "doc_id",
+def simhash(docs: DataFrame, bits: int = 64, id_col: str = "doc_id",
             text_col: str = "text") -> DataFrame:
     """SimHash fingerprint: for each bit position, sum ±1 votes from every
     token occurrence's md5 (bit j of hex digit k), take the sign. Output
-    (id, simhash) with simhash an integer of `bits` bits (≤ 56 to stay in
-    positive int64; production would use 64-bit via two 32-bit halves).
+    (id, simhash): a full `bits`-bit fingerprint (up to 64) carried in one
+    int64. The 64-bit case assembles TWO 32-bit halves and combines them
+    with explicit two's-complement arithmetic —
+    (hi - 2³²)·2³² + lo when bit 63 is set — plain integer ops that never
+    overflow and evaluate identically in any engine (no engine-specific
+    shift/overflow semantics involved).
 
     Hot path: explode tokens → one md5 per token → `bits` conditional-sum
     aggregates → integer assembly. All JVM-side, one shuffle on id.
     """
-    assert bits % 4 == 0 and bits <= 56
+    if bits % 4 != 0 or not 4 <= bits <= 64:
+        raise ValueError("bits must be a multiple of 4 in [4, 64]")
     ex = docs.select(id_col, F.explode(tokenize(text_col)).alias("t"))
     ex = ex.withColumn("h", F.md5("t"))
     aggs = []
@@ -178,10 +186,19 @@ def simhash(docs: DataFrame, bits: int = 48, id_col: str = "doc_id",
                 f" DIV {1 << j}) % 2 = 1 THEN 1 ELSE -1 END")
         aggs.append(F.sum(F.expr(vote)).alias(f"s{i}"))
     per_doc = ex.groupBy(id_col).agg(*aggs)
-    fp = " + ".join(
-        f"CASE WHEN s{i} > 0 THEN CAST({1 << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
-        for i in range(bits))
-    return per_doc.select(id_col, F.expr(fp).alias("simhash"))
+
+    def half(lo_bit: int, hi_bit: int) -> str:
+        terms = [f"CASE WHEN s{i} > 0 THEN CAST({1 << (i - lo_bit)} AS BIGINT)"
+                 f" ELSE CAST(0 AS BIGINT) END"
+                 for i in range(lo_bit, min(hi_bit, bits))]
+        return " + ".join(terms) if terms else "CAST(0 AS BIGINT)"
+
+    halves = per_doc.select(id_col, F.expr(half(0, 32)).alias("_lo"),
+                            F.expr(half(32, 64)).alias("_hi"))
+    combine = ("CASE WHEN _hi >= 2147483648 "
+               "THEN (_hi - 4294967296) * 4294967296 + _lo "
+               "ELSE _hi * 4294967296 + _lo END")
+    return halves.select(id_col, F.expr(combine).alias("simhash"))
 
 
 def simhash_pairs(docs: DataFrame, bits: int = 16, max_hamming: int = 3,

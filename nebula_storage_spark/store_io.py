@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 
 from pyspark.sql import SparkSession, functions as F
 
@@ -117,3 +118,76 @@ def load_store(spark: SparkSession, root: str,
             df = df.repartition(num_partitions, F.col(DST)).persist()
         g.reverse_edges[etype] = df
     return g
+
+
+# ---------------------------------------------------------------------------
+# checkpoint / restore — the BR (backup & restore) story
+# ---------------------------------------------------------------------------
+
+_STORE_DIRS = ("tags", "edges", "edges_rev")
+
+
+def create_checkpoint(root: str, name: str) -> str:
+    """Point-in-time snapshot of a saved warehouse.
+
+    Mirrors the reference's CreateCheckpointProcessor
+    (src/storage/admin/CreateCheckpointProcessor.cpp:22-71): RocksDB
+    checkpoints hard-link the immutable SSTs instead of copying bytes;
+    parquet data files are equally immutable once written, so the snapshot
+    hard-links every data file into `<root>/checkpoints/<name>/` —
+    O(#files) metadata operations and zero data copy regardless of store
+    size (a 100 TB warehouse checkpoints in seconds). catalog.json (tiny,
+    mutable) is copied. On filesystems without hard-link support the copy
+    fallback still yields a correct, just slower, snapshot.
+    """
+    dst_root = f"{root}/checkpoints/{name}"
+    if os.path.exists(dst_root):
+        raise ValueError(f"checkpoint {name!r} already exists")
+    os.makedirs(dst_root)
+    shutil.copy2(f"{root}/catalog.json", f"{dst_root}/catalog.json")
+    for sub in _STORE_DIRS:
+        src_dir = f"{root}/{sub}"
+        if not os.path.isdir(src_dir):
+            continue
+        for dirpath, _dirnames, filenames in os.walk(src_dir):
+            rel = os.path.relpath(dirpath, root)
+            os.makedirs(f"{dst_root}/{rel}", exist_ok=True)
+            for fname in filenames:
+                src = f"{dirpath}/{fname}"
+                dst = f"{dst_root}/{rel}/{fname}"
+                try:
+                    os.link(src, dst)
+                except OSError:            # cross-device / no hard links
+                    shutil.copy2(src, dst)
+    return dst_root
+
+
+def list_checkpoints(root: str) -> list[str]:
+    cp_dir = f"{root}/checkpoints"
+    if not os.path.isdir(cp_dir):
+        return []
+    return sorted(d for d in os.listdir(cp_dir)
+                  if os.path.isfile(f"{cp_dir}/{d}/catalog.json"))
+
+
+def drop_checkpoint(root: str, name: str) -> None:
+    """Drop a snapshot (DropCheckpointProcessor.cpp:12-40): unlinking the
+    checkpoint's hard links frees nothing still referenced by the live
+    store — exactly the RocksDB checkpoint lifecycle."""
+    dst_root = f"{root}/checkpoints/{name}"
+    if not os.path.isdir(dst_root):
+        raise ValueError(f"no checkpoint {name!r}")
+    shutil.rmtree(dst_root)
+
+
+def restore_checkpoint(spark: SparkSession, root: str, name: str,
+                       resident: bool = True,
+                       num_partitions: int = 16) -> GraphStore:
+    """Load the store as of checkpoint `name` — the restore half of BR.
+    The live warehouse is untouched; the snapshot is read directly (its
+    files are the frozen versions, shared via hard links)."""
+    dst_root = f"{root}/checkpoints/{name}"
+    if not os.path.isfile(f"{dst_root}/catalog.json"):
+        raise ValueError(f"no checkpoint {name!r}")
+    return load_store(spark, dst_root, resident=resident,
+                      num_partitions=num_partitions)

@@ -863,6 +863,46 @@ def q_store_roundtrip(spark, sf_dir):
                          vertex_tag="nation", vertex_props=["n_name"])
 
 
+def q_store_checkpoint(spark, sf_dir):
+    """BR lifecycle (CreateCheckpointProcessor.cpp:22-71 /
+    DropCheckpointProcessor.cpp): mutate → save → CHECKPOINT (hard-linked
+    snapshot) → destructive second mutation saved over the live store →
+    RESTORE the checkpoint. The result reads the restored store, so it
+    must show the first mutation but NOT the second — proving the
+    snapshot froze the point-in-time bytes."""
+    import os
+    import shutil
+    from .store_io import (create_checkpoint, drop_checkpoint,
+                           list_checkpoints, load_store, restore_checkpoint,
+                           save_store)
+    g = tpch_graph(spark, sf_dir)
+    root = f"/tmp/nebula_spark_ckpt/{os.path.basename(sf_dir.rstrip('/'))}"
+    shutil.rmtree(root, ignore_errors=True)
+    # mutation 1: tag even-keyed nations, then save the store
+    sub = GraphStore(catalog=g.catalog)
+    nation = g.vertices["nation"]
+    m1 = nation.withColumn(
+        "n_name", F.when(F.col(VID) % 2 == 0,
+                         F.concat(F.col("n_name"), F.lit("#M1")))
+        .otherwise(F.col("n_name")))
+    sub.add_vertices_df("nation", m1)
+    sub.add_vertices_df("region", g.vertices["region"])
+    sub.edges["nation_region"] = g.edges["nation_region"]
+    save_store(sub, root, num_partitions=4)
+    create_checkpoint(root, "v1")
+    create_checkpoint(root, "tmp")
+    drop_checkpoint(root, "tmp")     # exercise the drop path on a spare
+    assert list_checkpoints(root) == ["v1"]
+    # mutation 2 (destructive): drop most nations, overwrite the live store
+    sub2 = load_store(spark, root, resident=False)
+    sub2.vertices["nation"] = sub2.vertices["nation"].filter(F.col(VID) < 5)
+    save_store(sub2, root, num_partitions=4)
+    # restore: point-in-time state = all nations, with mutation 1 only
+    restored = restore_checkpoint(spark, root, "v1", resident=False)
+    return (restored.tag_df("nation")
+            .select(VID, "n_name", "n_regionkey").orderBy(VID))
+
+
 def q_go_two_hop(spark, sf_dir):
     """Multi-hop traversal by composition (graphd composes GO n STEPS from
     repeated single-hop GetNeighbors; so do we — the frontier of hop k
@@ -1607,6 +1647,10 @@ ORACLE_EXT["tpch_q18"] = (
     "AS sum_qty FROM lineitem GROUP BY l_orderkey) big "
     "JOIN orders USING (o_orderkey) "
     "JOIN customer ON c_custkey = o_custkey WHERE sum_qty > 250")
+ORACLE_EXT["store_checkpoint"] = (
+    "SELECT n_nationkey AS _vid, CASE WHEN n_nationkey % 2 = 0 "
+    "THEN n_name || '#M1' ELSE n_name END AS n_name, n_regionkey "
+    "FROM nation")
 ORACLE_EXT["store_roundtrip"] = (
     "SELECT n_nationkey AS _vid, n_name, '+nation_region' AS _type, "
     "n_nationkey AS _src, n_regionkey AS _dst, CAST(0 AS BIGINT) AS _rank "
@@ -1884,6 +1928,7 @@ def _core_queries() -> dict[str, Query]:
         "tpch_q6": q_tpch_q6,
         "tpch_q18": q_tpch_q18,
         "store_roundtrip": q_store_roundtrip,
+        "store_checkpoint": q_store_checkpoint,
         "vocab_topk": q_vocab_topk,
         "dedup_ngram_pruned": q_dedup_ngram_pruned,
     }

@@ -140,7 +140,9 @@ def q_dedup_minhash_lsh(spark, sf_dir):
 
 
 def q_dedup_simhash(spark, sf_dir):
-    return simhash(_docs(spark, sf_dir), bits=48)
+    """Full 64-bit SimHash (two 32-bit halves combined with explicit
+    two's-complement arithmetic — the reference-scale fingerprint width)."""
+    return simhash(_docs(spark, sf_dir), bits=64)
 
 
 def q_dedup_simhash_pairs(spark, sf_dir):
@@ -194,24 +196,34 @@ WHERE jaccard_x10000 >= 5000"""
 
 
 def _simhash_sql(bits: int) -> str:
-    """CTEs ex/s/f computing per-doc simhash of `bits` bits as column fp."""
+    """CTEs ex/s/f computing per-doc simhash of `bits` bits as column fp —
+    the same two-32-bit-half assembly as pipeline.dedup.simhash (plain
+    integer arithmetic, no engine shift/overflow semantics)."""
     sums = []
     for i in range(bits):
         k, j = divmod(i, 4)
         sums.append(
             f"sum(CASE WHEN ((strpos('0123456789abcdef', substr(h, {k + 1}, 1))"
             f" - 1) // {1 << j}) % 2 = 1 THEN 1 ELSE -1 END) AS s{i}")
-    fp = " + ".join(f"CASE WHEN s{i} > 0 THEN CAST({1 << i} AS BIGINT) "
-                    f"ELSE CAST(0 AS BIGINT) END" for i in range(bits))
+
+    def half(lo_bit: int, hi_bit: int) -> str:
+        terms = [f"CASE WHEN s{i} > 0 THEN CAST({1 << (i - lo_bit)} AS BIGINT)"
+                 f" ELSE CAST(0 AS BIGINT) END"
+                 for i in range(lo_bit, min(hi_bit, bits))]
+        return " + ".join(terms) if terms else "CAST(0 AS BIGINT)"
+
     return f"""ex0 AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
        FROM documents),
 ex AS (SELECT doc_id, md5(t) AS h FROM ex0),
 s AS (SELECT doc_id, {', '.join(sums)} FROM ex GROUP BY doc_id),
-f AS (SELECT doc_id, {fp} AS fp FROM s)"""
+hl AS (SELECT doc_id, {half(0, 32)} AS lo, {half(32, 64)} AS hi FROM s),
+f AS (SELECT doc_id, CAST(CASE WHEN hi >= 2147483648
+      THEN (hi - 4294967296) * 4294967296 + lo
+      ELSE hi * 4294967296 + lo END AS BIGINT) AS fp FROM hl)"""
 
 
 def _oracle_simhash() -> str:
-    return f"WITH {_simhash_sql(48)} SELECT doc_id, fp AS simhash FROM f"
+    return f"WITH {_simhash_sql(64)} SELECT doc_id, fp AS simhash FROM f"
 
 
 def _oracle_simhash_pairs() -> str:
