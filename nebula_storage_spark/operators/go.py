@@ -84,7 +84,8 @@ def get_neighbors(store: GraphStore, vids, over: Sequence[str] | str,
                   edge_filter: Column | str | None = None,
                   expr_col: Column | str | None = None,
                   limit: int | None = None,
-                  sample: int | None = None) -> DataFrame:
+                  sample: int | None = None,
+                  sample_seed: int | None = None) -> DataFrame:
     """Flat traversal result: one row per (seed vid, qualifying edge).
 
     Columns: _vid, [vertex props], _type, _src, _dst, _rank, [edge props].
@@ -140,11 +141,20 @@ def get_neighbors(store: GraphStore, vids, over: Sequence[str] | str,
         out = out.withColumn("_expr", e)
 
     if sample is not None:
-        # deterministic pseudo-random permutation shared with the oracle
-        rand_key = F.md5(F.concat_ws("#", F.col(SRC).cast("string"),
-                                     F.col(TYPE), F.col(RANK).cast("string"),
-                                     F.col(DST).cast("string")))
-        w = W.partitionBy(VID).orderBy(rand_key)
+        if sample_seed is not None:
+            # statistically uniform per-vertex sampling via a seeded RNG —
+            # the reference's reservoir semantics (GetNeighborsNode.h:125-189
+            # draws from folly::Random). rand(seed) is drawn per row; the
+            # key-order tiebreak makes the sort total. Reproducible for a
+            # fixed partitioning; use the md5 path when cross-engine
+            # bit-stability is required (the oracle compares that path).
+            rand_key = F.rand(sample_seed)
+        else:
+            # deterministic pseudo-random permutation shared with the oracle
+            rand_key = F.md5(F.concat_ws("#", F.col(SRC).cast("string"),
+                                         F.col(TYPE), F.col(RANK).cast("string"),
+                                         F.col(DST).cast("string")))
+        w = W.partitionBy(VID).orderBy(rand_key, TYPE, RANK, DST)
         out = (out.withColumn("_rn", F.row_number().over(w))
                   .filter(F.col("_rn") <= sample).drop("_rn"))
     elif limit is not None:

@@ -242,6 +242,7 @@ def simhash_pairs(docs: DataFrame, bits: int = 16, max_hamming: int = 3,
 
 def containment_pairs(docs: DataFrame, n: int = 3,
                       threshold_x10000: int = 6000,
+                      max_shingle_freq: int | None = None,
                       id_col: str = "doc_id",
                       text_col: str = "text") -> DataFrame:
     """Asymmetric near-duplication: shingle CONTAINMENT |A∩B| / |A| —
@@ -250,10 +251,18 @@ def containment_pairs(docs: DataFrame, n: int = 3,
     Ordered output (id_a, id_b, containment_x10000): the share of A's
     shingles also present in B, both directions emitted independently.
     Candidates come from the same inverted-index join as Jaccard dedup —
-    never O(n²)."""
+    never O(n²). `max_shingle_freq` drops stop-shingles from the inverted
+    index before the self-join (same skew guard as ngram_jaccard_pairs —
+    a boilerplate shingle shared by f docs alone contributes f² candidate
+    rows; the cap bounds the hottest join key). Verification still scores
+    FULL shingle sets — pruning only narrows candidates."""
     sh = doc_shingles(docs, n=n, id_col=id_col, text_col=text_col).persist()
     inv = sh.select(F.col(id_col).alias("_id"),
                     F.explode("shingles").alias("g"))
+    if max_shingle_freq is not None:
+        freq = inv.groupBy("g").agg(F.count(F.lit(1)).alias("_f"))
+        inv = (inv.join(freq.filter(F.col("_f") <= max_shingle_freq), "g")
+               .drop("_f"))
     und = (inv.alias("a").join(inv.alias("b"), "g")
            .filter(F.col("a._id") < F.col("b._id"))
            .select(F.col("a._id").alias("id_a"),

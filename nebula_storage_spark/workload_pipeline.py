@@ -353,15 +353,20 @@ SELECT doc_id, n_tokens, end_off - n_tokens AS start_off,
 
 def q_dedup_containment(spark, sf_dir):
     """Asymmetric shingle-containment near-dup pairs (|A∩B| / |A|) —
-    subset/quote detection the symmetric Jaccard misses."""
+    subset/quote detection the symmetric Jaccard misses. Stop-shingle
+    pruning (max_shingle_freq=20, the same cap as dedup_ngram_pruned)
+    guards the inverted-index join against hot boilerplate shingles."""
     from .pipeline.dedup import containment_pairs
-    return containment_pairs(_docs(spark, sf_dir), threshold_x10000=6000)
+    return containment_pairs(_docs(spark, sf_dir), threshold_x10000=6000,
+                             max_shingle_freq=20)
 
 
 def _oracle_dedup_containment() -> str:
     return f"""
 WITH {_SHINGLES_CTE},
-inv AS (SELECT doc_id, unnest(s) AS g FROM sh),
+inv0 AS (SELECT doc_id, unnest(s) AS g FROM sh),
+inv AS (SELECT * FROM inv0 WHERE g IN (
+  SELECT g FROM inv0 GROUP BY g HAVING count(*) <= 20)),
 und AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
         FROM inv a JOIN inv b USING (g) WHERE a.doc_id < b.doc_id),
 cand AS (SELECT id_a, id_b FROM und

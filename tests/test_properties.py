@@ -94,3 +94,37 @@ def test_md5_permutation_is_deterministic_and_injective(spark, ids):
          .orderBy("id").collect()]
     assert a == b
     assert len(set(a)) == len(ids)
+
+
+@given(st.lists(st.integers(min_value=0, max_value=50), min_size=1,
+                max_size=12, unique=True),
+       st.integers(min_value=1, max_value=4))
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_go_sample_bounds_and_subset(spark, sf_dir, vids, k):
+    """Per-vertex sampling law, for BOTH the md5-permutation path and the
+    seeded-rand path (reference reservoir semantics GetNeighborsNode.h:
+    125-189): each seed keeps exactly min(k, degree) edges, every kept row
+    is a row of the unsampled result, and the md5 path is stable across
+    re-evaluation."""
+    from collections import Counter
+    from nebula_storage_spark.graph import tpch_graph
+    from nebula_storage_spark.operators import get_neighbors
+    g = tpch_graph(spark, sf_dir)
+    full = {(r._vid, r._rank, r._dst)
+            for r in get_neighbors(g, vids, "placed", edge_props=[]).collect()}
+    deg = Counter(v for v, _, _ in full)
+    for seed in (None, 7):
+        got = [(r._vid, r._rank, r._dst)
+               for r in get_neighbors(g, vids, "placed", edge_props=[],
+                                      sample=k, sample_seed=seed).collect()]
+        assert len(set(got)) == len(got)            # no duplicate edges
+        assert set(got) <= full                     # sample ⊆ population
+        by_v = Counter(v for v, _, _ in got)
+        for v, d in deg.items():
+            assert by_v[v] == min(k, d), (seed, v)
+    md5_a = sorted((r._vid, r._rank, r._dst) for r in get_neighbors(
+        g, vids, "placed", edge_props=[], sample=k).collect())
+    md5_b = sorted((r._vid, r._rank, r._dst) for r in get_neighbors(
+        g, vids, "placed", edge_props=[], sample=k).collect())
+    assert md5_a == md5_b                           # md5 path deterministic
