@@ -53,6 +53,8 @@ def fetch_vertices_multi_tag(store: GraphStore, vids,
     their rows). Spark shape: the broadcast seed frame left-joins each
     tag table; a vid missing from a tag yields NULLs for that tag's
     props, mirroring the reference's left-outer HashJoinNode flavor."""
+    from .go import _check_prop_collisions
+    _check_prop_collisions(store, list(tags.items()))
     spark = store.tag_df(next(iter(tags))).sparkSession
     if not isinstance(vids, DataFrame):
         vids = spark.createDataFrame([(v,) for v in vids],

@@ -50,6 +50,25 @@ from ..graph import DST, RANK, SRC, TYPE, VID, GraphStore
 _EDGE_KEYS = [TYPE, SRC, DST, RANK]
 
 
+def _check_prop_collisions(store: GraphStore, tag_specs) -> None:
+    """Multi-tag prop outputs share one flat namespace in the Spark frame,
+    whereas the reference namespaces props per tag (tag_name.prop in the
+    response dataset). Two tags contributing the same column name would
+    produce ambiguous columns and a downstream AnalysisException — reject
+    up front with an actionable error."""
+    seen: dict[str, str] = {}
+    for tag, props in tag_specs:
+        cols = (list(props) if props is not None
+                else [c for c in store.tag_df(tag).columns if c != VID])
+        for c in cols:
+            if c in seen and seen[c] != tag:
+                raise ValueError(
+                    f"prop {c!r} requested from both tag {seen[c]!r} and "
+                    f"tag {tag!r}: multi-tag outputs share one column "
+                    "namespace — alias one side (select/rename) first")
+            seen[c] = tag
+
+
 def _seed_df(store: GraphStore, spark, vids) -> DataFrame:
     if isinstance(vids, DataFrame):
         return vids.select(F.col(vids.columns[0]).cast(store.catalog.vid_type).alias(VID))
@@ -122,6 +141,7 @@ def get_neighbors(store: GraphStore, vids, over: Sequence[str] | str,
         # HashJoinNode). Accepts "tag" or [("tag", [props…]), …].
         tag_specs = ([(vertex_tag, vertex_props)] if isinstance(vertex_tag, str)
                      else [(t, p) for t, p in vertex_tag])
+        _check_prop_collisions(store, tag_specs)
         for tag, props in tag_specs:
             v = store.tag_df(tag)
             vcols = [VID] + (list(props) if props is not None

@@ -4,9 +4,13 @@ operators chain into a real training-data workflow.
     documents → quality features → near-dup detection (MinHash-LSH)
               → drop low-quality docs and non-canonical near-dups
 
-Dedup policy: near-dup pairs (id_a < id_b) drop id_b — the lowest doc_id
-of each connected near-dup cluster survives (chains collapse onto their
-minimum element after transitive pair enumeration at the LSH recall).
+Dedup policy: near-dup pairs (id_a < id_b) drop id_b — i.e. any doc that
+is the HIGHER id of some detected pair is removed. This is pairwise, not
+transitive: for pairs (1,3),(2,3) both 1 and 2 survive even though the
+three form one connected near-dup cluster. The cluster-collapsing policy
+(connected components → keep the minimum member) lives in
+workload_pipeline.q_dedup_apply; this composition intentionally uses the
+cheaper pairwise rule, the common large-corpus practice.
 
 Scale: quality features are a narrow map; the only wide ops are the LSH
 candidate join (O(n·shingles)) and two small joins on doc_id. The blob of

@@ -52,6 +52,36 @@ def test_kv_put_overwrites_and_remove(spark):
     assert got == {"a": "X", "c": "3"}
 
 
+def test_kv_put_batch_duplicate_keys_last_write_wins(spark):
+    """A write batch repeating a key must leave ONE row per key (RocksDB
+    WriteBatch applies puts in order — last wins). With seq_col the
+    greatest sequence wins; without, the greatest value (deterministic)."""
+    from nebula_storage_spark.operators import kv_put
+    kv = spark.createDataFrame([("a", "1")], "key string, value string")
+    batch = spark.createDataFrame(
+        [("a", "X", 1), ("a", "Y", 2), ("b", "9", 3), ("b", "7", 4)],
+        "key string, value string, seq int")
+    got = {r.key: r.value for r in kv_put(kv, batch, seq_col="seq").collect()}
+    assert got == {"a": "Y", "b": "7"}
+    got2 = {r.key: r.value
+            for r in kv_put(kv, batch.drop("seq")).collect()}
+    assert got2 == {"a": "Y", "b": "9"}     # max-value tiebreak
+
+
+def test_multi_tag_prop_collision_rejected(spark, sf_dir):
+    from nebula_storage_spark.graph import tpch_graph
+    from nebula_storage_spark.operators.fetch import fetch_vertices_multi_tag
+    from nebula_storage_spark.operators import get_neighbors
+    g = tpch_graph(spark, sf_dir)
+    with pytest.raises(ValueError, match="multi-tag"):
+        fetch_vertices_multi_tag(
+            g, [1], {"customer": ["c_name"], "order": ["c_name"]})
+    with pytest.raises(ValueError, match="multi-tag"):
+        get_neighbors(g, [1], "placed",
+                      vertex_tag=[("customer", ["c_name"]),
+                                  ("order", ["c_name"])])
+
+
 def test_sessionize_gap_splits(spark):
     from nebula_storage_spark.operators import sessionize
     ev = spark.createDataFrame(
