@@ -77,12 +77,15 @@ def knn_bruteforce(emb: DataFrame, query_ids, k: int = 5,
 
 
 def knn_ivf(emb: DataFrame, query_ids, k: int = 5, id_col: str = "vec_id",
-            vec_col: str = "embedding", cell_col: str = "label") -> DataFrame:
+            vec_col: str = "embedding", cell_col: str = "label",
+            nprobe: int = 1) -> DataFrame:
     """IVF-style ANN: corpus is partitioned into cells (`cell_col`);
-    each query is assigned to the cell whose centroid direction is nearest
-    (cos against the cell's exact component-sum vector — scale-invariant,
-    so the un-normalized sum IS the centroid for cosine) and searches only
-    that cell. nprobe=1. Output (q_id, n_id, cos round 6).
+    each query is assigned to the `nprobe` cells whose centroid direction
+    is nearest (cos against the cell's exact component-sum vector —
+    scale-invariant, so the un-normalized sum IS the centroid for cosine)
+    and searches only those cells. nprobe is the standard IVF
+    recall/latency dial: scanned fraction ~= nprobe/n_cells.
+    Output (q_id, n_id, cos round 6).
 
     Centroid norms use DECIMAL(38,0) accumulation (component sums squared
     overflow int64) — still exact, still engine-portable.
@@ -108,7 +111,7 @@ def knn_ivf(emb: DataFrame, query_ids, k: int = 5, id_col: str = "vec_id",
                "CAST(qc_dot AS DOUBLE) / sqrt(CAST(cn2 AS DOUBLE))")))
     wcell = W.partitionBy("q_id").orderBy(F.col("rank_val").desc(), F.col(cell_col))
     assign = (aff.withColumn("_rn", F.row_number().over(wcell))
-              .filter(F.col("_rn") == 1).select("q_id", cell_col))
+              .filter(F.col("_rn") <= nprobe).select("q_id", cell_col))
     corpus = q.select(cell_col, F.col(id_col).alias("n_id"),
                       F.col("qvec").alias("cv"), F.col("qnorm2").alias("_n2b"))
     pairs = (F.broadcast(queries.join(assign, "q_id")
@@ -141,10 +144,11 @@ def build_ivf_index(emb: DataFrame, path: str, id_col: str = "vec_id",
 
 def search_ivf_index(spark, path: str, queries: DataFrame, k: int = 5,
                      id_col: str = "vec_id",
-                     cell_col: str = "label") -> DataFrame:
-    """Probe the persisted IVF index (nprobe=1): assign each query vector
-    to its max-affinity centroid, then scan only that cell's partition.
-    `queries` needs (id_col, embedding)."""
+                     cell_col: str = "label", nprobe: int = 1) -> DataFrame:
+    """Probe the persisted IVF index: assign each query vector to its
+    `nprobe` max-affinity centroids, then scan only those cells'
+    partition directories (partition pruning still applies — the pruned
+    set is the nprobe cells). `queries` needs (id_col, embedding)."""
     q = quantize_embeddings(queries)
     qs = q.select(F.col(id_col).alias("q_id"), F.col("qvec").alias("qv"),
                   F.col("qnorm2").alias("_n2a"))
@@ -162,7 +166,7 @@ def search_ivf_index(spark, path: str, queries: DataFrame, k: int = 5,
     wcell = W.partitionBy("q_id").orderBy(F.col("rank_val").desc(),
                                           F.col(cell_col))
     assign = (aff.withColumn("_rn", F.row_number().over(wcell))
-              .filter(F.col("_rn") == 1).select("q_id", cell_col))
+              .filter(F.col("_rn") <= nprobe).select("q_id", cell_col))
     cells = spark.read.parquet(f"{path}/cells")
     corpus = cells.select(cell_col, F.col(id_col).alias("n_id"),
                           F.col("qvec").alias("cv"),

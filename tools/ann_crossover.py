@@ -1,0 +1,146 @@
+#!/usr/bin/env python
+"""ANN crossover benchmark: brute-force vs hyperplane-LSH vs IVF as the
+corpus grows (verdict r1 item: demonstrate the LSH/IVF crossover
+empirically at >=100k vectors instead of asserting it).
+
+The test corpus tops out at 2k vectors (sf0.1), far below where a
+bucketed plan can pay for its signature/centroid overhead. This tool
+amplifies the corpus JVM-side — no new testdata files — by cross-joining
+with a replica index and perturbing each element by a deterministic
+±5 % factor keyed on (element, replica). Replicas of one base vector
+are mutual near-duplicates (cos ≈ 0.999), which is the structure a
+dedup-heavy web corpus actually has and the regime ANN methods are
+built for: the true top-k lives inside the replica family, so recall
+measures something real. (An earlier rotation-based amplifier produced
+a structureless corpus where ALL methods' top-10 sat at cos ≈ 0.5 —
+LSH/IVF recall was ~5 % by construction; that tells you LSH needs
+near-dup structure, not that the plans are wrong.) Amplification is
+persisted and counted BEFORE any timer starts.
+
+IVF search runs against the PERSISTED index (build_ivf_index →
+search_ivf_index): build is one-time and untimed, matching how an IVF
+deployment amortizes it; the probe then reads only the assigned cells'
+partition directories (partition pruning). IVF runs at nprobe=1 and
+nprobe=3 — the recall/latency dial: scanned fraction ~= nprobe/10 cells. LSH uses 16 planes in 2 bands
+of 8 (256 keys/band): band width must grow with log(n) for bucket
+occupancy n/256 to stay sublinear — the sf0.1 default (8 planes, 4
+bands of 2) is tuned for 2k vectors and would degenerate at 128k.
+
+Methodology matches bench.py: an untimed warmup query first, then per
+(size, q, method) the query runs twice and the warm (min) time is
+reported; results go to stdout as one JSON line per cell plus a final
+summary table. Recall@k of each approximate method vs the exact
+brute-force answer is computed once per cell (untimed) so speed claims
+carry their accuracy cost.
+
+Usage: python tools/ann_crossover.py [sf_dir]   (default sf0.1)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from nebula_storage_spark.session import get_spark
+from nebula_storage_spark.graph import read_parquet
+from nebula_storage_spark.pipeline.similarity import (
+    knn_bruteforce, build_ivf_index, search_ivf_index, hyperplane_lsh_topk)
+
+FACTORS = [1, 8, 64, 512]     # 2k, 16k, 128k, 1.024M at sf0.1
+QUERY_COUNTS = [8, 128]
+K = 10
+REP_STRIDE = 10_000_000       # replica id offset (base vec_ids are far below)
+INDEX_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), ".ann_bench_index")
+
+
+def amplify(emb, factor: int):
+    """corpus × factor: replica r multiplies element i by a deterministic
+    1 ± 5 % factor keyed on (i, r) — near-dup families of size `factor`,
+    one per base vector. id += r·REP_STRIDE; cell label is unchanged
+    (family members stay in their base cluster's cell)."""
+    emb = emb.select("vec_id", "embedding", "label")
+    if factor == 1:
+        return emb
+    dim = 64
+    reps = emb.sparkSession.range(factor).select(
+        F.col("id").cast("int").alias("rep"))
+    pert = F.expr(
+        f"transform(sequence(0, {dim - 1}), "
+        f"i -> embedding[i] * CAST(1.0 + "
+        f"((((i + 1) * 2654435761 + rep * 40503) % 1000) - 500) * 0.0001 "
+        f"AS FLOAT))")
+    return (emb.crossJoin(reps)
+            .select((F.col("vec_id") + F.col("rep").cast("long") * REP_STRIDE
+                     ).alias("vec_id"),
+                    pert.alias("embedding"),
+                    "label"))
+
+
+def timed(fn, runs: int = 2) -> tuple[float, int]:
+    best, rows = float("inf"), 0
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        rows = fn().count()
+        best = min(best, time.perf_counter() - t0)
+    return best, rows
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    spark = get_spark("ann-crossover")
+    emb = read_parquet(spark, os.path.join(sf_dir, "embeddings.parquet"))
+    base_ids = [r[0] for r in
+                emb.select("vec_id").orderBy("vec_id").limit(128).collect()]
+    knn_bruteforce(emb, base_ids[:8], k=K).count()   # JVM/codegen warmup
+
+    results = []
+    for factor in FACTORS:
+        corpus = amplify(emb, factor).repartition(32).persist()
+        n = corpus.count()
+        build_ivf_index(corpus, INDEX_DIR)           # one-time, untimed
+        for nq in QUERY_COUNTS:
+            qids = base_ids[:nq]
+            qdf = corpus.filter(F.col("vec_id").isin(qids)).select(
+                "vec_id", "embedding")
+            runs = {
+                "brute": lambda: knn_bruteforce(corpus, qids, k=K),
+                "lsh": lambda: hyperplane_lsh_topk(
+                    corpus, qids, k=K, n_planes=16, band_planes=8),
+                "ivf": lambda: search_ivf_index(spark, INDEX_DIR, qdf, k=K),
+                "ivf3": lambda: search_ivf_index(spark, INDEX_DIR, qdf, k=K,
+                                                 nprobe=3),
+            }
+            cell = {"n_vectors": n, "n_queries": nq, "k": K}
+            exact = {(r[0], r[1]) for r in runs["brute"]().collect()}
+            for name, fn in runs.items():
+                sec, rows = timed(fn)
+                cell[f"{name}_sec"] = round(sec, 3)
+                if name != "brute":
+                    hits = {(r[0], r[1]) for r in fn().collect()}
+                    cell[f"{name}_recall"] = round(
+                        len(hits & exact) / max(len(exact), 1), 3)
+            print(json.dumps(cell), flush=True)
+            results.append(cell)
+        corpus.unpersist()
+    shutil.rmtree(INDEX_DIR, ignore_errors=True)
+
+    print("\nn_vectors  n_queries  brute_s  lsh_s  lsh_rec  "
+          "ivf_s  ivf_rec  ivf3_s  ivf3_rec")
+    for c in results:
+        print(f"{c['n_vectors']:>9}  {c['n_queries']:>9}  "
+              f"{c['brute_sec']:>7.2f}  {c['lsh_sec']:>5.2f}  "
+              f"{c['lsh_recall']:>7.3f}  {c['ivf_sec']:>5.2f}  "
+              f"{c['ivf_recall']:>7.3f}  {c['ivf3_sec']:>6.2f}  "
+              f"{c['ivf3_recall']:>8.3f}")
+
+
+if __name__ == "__main__":
+    main()
