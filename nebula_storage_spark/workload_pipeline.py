@@ -247,6 +247,14 @@ def q_knn_ivf(spark, sf_dir):
     return knn_ivf(_emb(spark, sf_dir), KNN_QUERY_IDS, k=5)
 
 
+def q_knn_ivf_nprobe(spark, sf_dir):
+    """The IVF recall/latency dial: probe the 2 nearest cells instead of
+    1. Same plan shape (equi-join on cell), candidate set 2x — the knob a
+    deployment turns when single-cell recall is not enough (measured in
+    BENCH_NOTES.md: +0.25 recall for ~2x probe cost at 1M vectors)."""
+    return knn_ivf(_emb(spark, sf_dir), KNN_QUERY_IDS, k=5, nprobe=2)
+
+
 def q_embedding_near_dup(spark, sf_dir):
     return embedding_near_dup(_emb(spark, sf_dir), min_cos=0.4)
 
@@ -480,7 +488,7 @@ SELECT q_id, n_id, round(c, 6) AS cos FROM p
 QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY c DESC, n_id) <= 5"""
 
 
-def _oracle_knn_ivf() -> str:
+def _oracle_knn_ivf(nprobe: int = 1) -> str:
     return f"""
 WITH {_QVEC_CTE},
 comp AS (SELECT label, pos, sum(v[pos]) AS cs
@@ -496,7 +504,8 @@ assign AS (
     SELECT q_id, aff.label,
            CAST(qc_dot AS DOUBLE) / sqrt(CAST(cn2 AS DOUBLE)) AS rv
     FROM aff JOIN cn USING (label))
-  QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY rv DESC, label) = 1),
+  QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY rv DESC, label)
+          <= {nprobe}),
 p AS (SELECT a.vec_id AS q_id, b.vec_id AS n_id, {_PAIR_COS} AS c
       FROM assign JOIN nn a ON a.vec_id = assign.q_id
       JOIN nn b ON b.label = assign.label AND b.vec_id != a.vec_id)
@@ -683,6 +692,7 @@ def build_pipeline_queries():
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "knn_bruteforce": q_knn_bruteforce,
         "knn_ivf": q_knn_ivf,
+        "knn_ivf_nprobe": q_knn_ivf_nprobe,
         "knn_hyperplane_lsh": q_knn_hyperplane_lsh,
         "decontaminate": q_decontaminate,
         "repetition_stats": q_repetition_stats,
@@ -759,6 +769,7 @@ def build_pipeline_oracles():
         "dedup_simhash_pairs": _oracle_simhash_pairs(),
         "knn_bruteforce": _oracle_knn_bruteforce(),
         "knn_ivf": _oracle_knn_ivf(),
+        "knn_ivf_nprobe": _oracle_knn_ivf(nprobe=2),
         "knn_hyperplane_lsh": _oracle_knn_hyperplane_lsh(),
         "decontaminate": _oracle_decontaminate(),
         "repetition_stats": _oracle_repetition_stats(),
