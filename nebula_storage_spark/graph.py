@@ -130,16 +130,33 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def normalize_event_ts(ev: DataFrame) -> DataFrame:
+    """Normalize events.ts across data vintages. Two source shapes exist:
+    TIMESTAMP(NANOS) parquet (surfaces as LONG nanos under nanosAsLong) and
+    native timestamp[us] parquet (surfaces as TIMESTAMP/_NTZ). Output is the
+    same either way: `ts` TIMESTAMP (UTC instant — session tz is pinned to
+    UTC so NTZ wall-clock == instant), `ts_ns` LONG epoch nanos, `ts_epoch`
+    LONG epoch seconds. Works on batch and streaming frames (pure column
+    expressions, no actions)."""
+    dt = dict(ev.dtypes)["ts"]
+    if dt == "bigint":
+        ts = F.expr("timestamp_micros(ts div 1000)")
+        ts_ns = F.col("ts")
+        ts_epoch = F.expr("ts div 1000000000")
+    else:
+        ts = F.col("ts").cast("timestamp")
+        ts_ns = F.unix_micros(ts) * F.lit(1000)
+        ts_epoch = F.expr("unix_micros(cast(ts as timestamp)) div 1000000")
+    rest = [c for c in ev.columns if c not in ("event_id", "ts")]
+    return ev.select("event_id", ts_ns.alias("ts_ns"), ts.alias("ts"),
+                     ts_epoch.alias("ts_epoch"), *rest)
+
+
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events table with ts normalized: `ts` = microsecond timestamp,
-    `ts_epoch` = epoch seconds (floor), `ts_ns` = raw nanos."""
-    ev = read_parquet(spark, f"{sf_dir}/events.parquet")
-    return ev.select(
-        "event_id",
-        F.col("ts").alias("ts_ns"),
-        F.expr("timestamp_micros(ts div 1000)").alias("ts"),
-        F.expr("ts div 1000000000").alias("ts_epoch"),
-        "user_id", "event_type", "value", "props")
+    `ts_epoch` = epoch seconds (floor), `ts_ns` = epoch nanos."""
+    return normalize_event_ts(
+        read_parquet(spark, f"{sf_dir}/events.parquet"))
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

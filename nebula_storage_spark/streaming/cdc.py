@@ -37,10 +37,9 @@ def stream_cdc_latest_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.symlink(path, link)
     schema = spark.read.parquet(path).schema
     raw = spark.readStream.schema(schema).parquet(stream_dir)
-    changes = raw.select(
-        "user_id", "event_id",
-        F.expr("ts div 1000000000").alias("ts_epoch"),
-        "event_type", "value")
+    from nebula_storage_spark.graph import normalize_event_ts
+    changes = normalize_event_ts(raw).select(
+        "user_id", "event_id", "ts_epoch", "event_type", "value")
 
     state = {"df": None}
 

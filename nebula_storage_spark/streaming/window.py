@@ -42,9 +42,8 @@ def stream_events_windowed(spark: SparkSession, sf_dir: str,
         os.symlink(path, link)
     schema = spark.read.parquet(path).schema
     raw = spark.readStream.schema(schema).parquet(stream_dir)
-    ev = raw.select(
-        F.expr("timestamp_micros(ts div 1000)").alias("ts"),
-        "event_type", "value")
+    from nebula_storage_spark.graph import normalize_event_ts
+    ev = normalize_event_ts(raw).select("ts", "event_type", "value")
     agg = (ev.withWatermark("ts", watermark)
            .groupBy(F.window("ts", window).alias("w"), "event_type")
            .agg(F.count(F.lit(1)).alias("cnt"),
@@ -76,8 +75,8 @@ def stream_distinct_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.symlink(path, link)
     schema = spark.read.parquet(path).schema
     raw = spark.readStream.schema(schema).parquet(stream_dir)
-    ev = raw.select(F.expr("timestamp_micros(ts div 1000)").alias("ts"),
-                    "user_id", "event_type")
+    from nebula_storage_spark.graph import normalize_event_ts
+    ev = normalize_event_ts(raw).select("ts", "user_id", "event_type")
     dd = (ev.withWatermark("ts", "1 hour")
           .dropDuplicates(["user_id", "event_type"]))
     name = f"stream_dedup_{next(_COUNTER)}"

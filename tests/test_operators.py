@@ -515,3 +515,27 @@ def test_image_meta_round_trip_through_real_bytes(spark):
         assert out[doc_id].height == int(h[4:8], 16) % 480 + 1
         expected_fmt = "png" if int(h[8:10], 16) % 2 == 0 else "jpeg"
         assert out[doc_id].format == expected_fmt
+
+
+def test_normalize_event_ts_both_vintages(spark):
+    """events.ts arrives as LONG epoch-nanos (TIMESTAMP(NANOS) parquet under
+    nanosAsLong) in older driver data and as timestamp[us] in newer data;
+    both must normalize to the same (ts, ts_ns, ts_epoch) triple."""
+    from nebula_storage_spark.graph import normalize_event_ts
+
+    nanos = 1_700_000_000_123_456_000  # 2023-11-14T22:13:20.123456Z
+    as_long = spark.createDataFrame(
+        [(1, nanos, 7, "click", 0.5, "{}")],
+        "event_id bigint, ts bigint, user_id bigint, event_type string, "
+        "value double, props string")
+    as_ts = spark.sql(
+        f"SELECT CAST(1 AS BIGINT) event_id, "
+        f"timestamp_micros({nanos // 1000}) ts, CAST(7 AS BIGINT) user_id, "
+        f"'click' event_type, 0.5d value, '{{}}' props")
+
+    rows = [normalize_event_ts(df).collect()[0] for df in (as_long, as_ts)]
+    for r in rows:
+        assert r.ts_ns == nanos
+        assert r.ts_epoch == nanos // 1_000_000_000
+        assert str(r.ts) == "2023-11-14 22:13:20.123456"
+    assert rows[0].asDict() == rows[1].asDict()
