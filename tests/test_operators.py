@@ -539,3 +539,58 @@ def test_normalize_event_ts_both_vintages(spark):
         assert r.ts_epoch == nanos // 1_000_000_000
         assert str(r.ts) == "2023-11-14 22:13:20.123456"
     assert rows[0].asDict() == rows[1].asDict()
+
+
+def _asof_fixture(spark):
+    left = spark.createDataFrame(
+        [(1, 10, 100), (1, 20, 101), (2, 15, 102)],
+        "k bigint, t bigint, lid bigint")
+    right = spark.createDataFrame(
+        [(1, 10, 7, 1.0), (1, 10, 9, 2.0), (1, 18, 3, 3.0), (2, 99, 4, 4.0)],
+        "k bigint, t bigint, rid bigint, v double")
+    return left, right
+
+
+def test_asof_backward_inclusive_and_ties(spark):
+    from nebula_storage_spark.operators.asof import asof_join
+    left, right = _asof_fixture(spark)
+    out = asof_join(left, right, "k", "t", "t",
+                    {"m_rid": "rid", "m_v": "v"}, tiebreak="rid")
+    rows = {r.lid: (r.m_rid, r.m_v) for r in out.collect()}
+    # equal-t right rows ARE visible (inclusive); tie at t=10 -> max rid=9
+    assert rows[100] == (9, 2.0)
+    # t=20: latest right at t=18
+    assert rows[101] == (3, 3.0)
+    # k=2 has no right row at-or-before t=15
+    assert rows[102] == (None, None)
+
+
+def test_asof_strict_excludes_equal_ts(spark):
+    from nebula_storage_spark.operators.asof import asof_join
+    left, right = _asof_fixture(spark)
+    out = asof_join(left, right, "k", "t", "t",
+                    {"m_rid": "rid"}, tiebreak="rid", strict=True)
+    rows = {r.lid: r.m_rid for r in out.collect()}
+    assert rows[100] is None       # t=10 right rows invisible under strict <
+    assert rows[101] == 3
+
+
+def test_asof_forward_picks_min_tiebreak(spark):
+    from nebula_storage_spark.operators.asof import asof_join
+    left, right = _asof_fixture(spark)
+    out = asof_join(left, right, "k", "t", "t",
+                    {"m_rid": "rid"}, tiebreak="rid", direction="forward")
+    rows = {r.lid: r.m_rid for r in out.collect()}
+    assert rows[100] == 7          # earliest-at-or-after, min rid on the tie
+    assert rows[101] is None       # nothing at-or-after t=20 for k=1
+    assert rows[102] == 4
+
+
+def test_asof_plan_single_shuffle_no_join(spark, sf_dir):
+    from nebula_storage_spark.workload import build_queries
+    df = build_queries()["asof_last_purchase"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # union-and-window: no join operator at all, exactly one hash
+    # exchange (on the key) feeding the window sort
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
