@@ -1802,6 +1802,42 @@ ORACLE_EXT["asof_last_purchase"] = (
     "WHERE e.event_type = 'click'")
 
 
+def q_range_click_attribution(spark, sf_dir):
+    """Range (interval) join: attribute each click to every purchase by
+    the same user within the following 30 minutes — the ad-attribution /
+    sessions-overlap pattern. Bin-bucketed equi-join plan (see
+    operators/rangejoin.py): intervals explode into 900-s bins, points
+    map to one bin, hash-join on (user_id, bin) + residual BETWEEN — no
+    BroadcastNestedLoopJoin, no all-pairs blowup. Epoch-second arithmetic
+    keeps Spark and the DuckDB oracle bit-identical."""
+    from .operators.rangejoin import interval_point_join
+    ev = load_events(spark, sf_dir)
+    clicks = (ev.filter(F.col("event_type") == "click")
+              .select("event_id", "user_id", "ts_epoch"))
+    windows = (ev.filter(F.col("event_type") == "purchase")
+               .select(F.col("event_id").alias("purch_event_id"), "user_id",
+                       (F.col("ts_epoch") - F.lit(1800)).alias("lo"),
+                       F.col("ts_epoch").alias("hi")))
+    j = interval_point_join(clicks, windows, "user_id", "ts_epoch",
+                            "lo", "hi", bin_width=900)
+    return j.select(
+        "event_id", "user_id", "ts_epoch", "purch_event_id",
+        (F.col("hi") - F.col("ts_epoch")).alias("secs_before"))
+
+
+ORACLE_EXT["range_click_attribution"] = (
+    "SELECT c.event_id, c.user_id, "
+    "CAST(floor(epoch(c.ts)) AS BIGINT) AS ts_epoch, "
+    "p.event_id AS purch_event_id, "
+    "CAST(floor(epoch(p.ts)) AS BIGINT) - CAST(floor(epoch(c.ts)) AS BIGINT) "
+    "AS secs_before "
+    "FROM events c JOIN events p ON c.user_id = p.user_id "
+    "WHERE c.event_type = 'click' AND p.event_type = 'purchase' "
+    "AND CAST(floor(epoch(c.ts)) AS BIGINT) "
+    "BETWEEN CAST(floor(epoch(p.ts)) AS BIGINT) - 1800 "
+    "AND CAST(floor(epoch(p.ts)) AS BIGINT)")
+
+
 ORACLE_ANALYTIC = {
     "tpch_q1":
         "SELECT l_returnflag, l_linestatus, "
@@ -1970,6 +2006,7 @@ def _core_queries() -> dict[str, Query]:
         "store_checkpoint": q_store_checkpoint,
         "vocab_topk": q_vocab_topk,
         "dedup_ngram_pruned": q_dedup_ngram_pruned,
+        "range_click_attribution": q_range_click_attribution,
     }
 
 

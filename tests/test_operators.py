@@ -594,3 +594,44 @@ def test_asof_plan_single_shuffle_no_join(spark, sf_dir):
     # exchange (on the key) feeding the window sort
     assert "Join" not in plan
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_range_join_matches_naive_crossjoin(spark):
+    from nebula_storage_spark.operators.rangejoin import interval_point_join
+    points = spark.createDataFrame(
+        [(1, 5, 100), (1, 17, 101), (1, 30, 102), (2, 5, 103)],
+        "k bigint, t bigint, pid bigint")
+    intervals = spark.createDataFrame(
+        [(1, 0, 10, 200), (1, 10, 17, 201), (1, 16, 40, 202), (2, 6, 9, 203)],
+        "k bigint, lo bigint, hi bigint, iid bigint")
+    naive = {(r.pid, r.iid) for r in
+             points.join(intervals, "k")
+             .filter("t >= lo and t <= hi").collect()}
+    # several bin widths, including one wider than every span and one of 1
+    for w in (1, 3, 7, 100):
+        got = {(r.pid, r.iid) for r in
+               interval_point_join(points, intervals, "k", "t",
+                                   "lo", "hi", bin_width=w).collect()}
+        assert got == naive, f"bin_width={w}"
+    # boundary inclusivity: t=17 meets both [10,17] and [16,40]
+    assert (101, 201) in naive and (101, 202) in naive
+
+
+def test_range_join_validates_inputs(spark):
+    import pytest as _pytest
+    from nebula_storage_spark.operators.rangejoin import interval_point_join
+    p = spark.createDataFrame([(1, 5, 9)], "k bigint, t bigint, x bigint")
+    i = spark.createDataFrame([(1, 0, 9, 9)],
+                              "k bigint, lo bigint, hi bigint, x bigint")
+    with _pytest.raises(ValueError, match="collision"):
+        interval_point_join(p, i, "k", "t", "lo", "hi", bin_width=10)
+    with _pytest.raises(ValueError, match="bin_width"):
+        interval_point_join(p, i.drop("x"), "k", "t", "lo", "hi", bin_width=0)
+
+
+def test_range_join_plan_is_equijoin_not_nested_loop(spark, sf_dir):
+    from nebula_storage_spark.workload import build_queries
+    df = build_queries()["range_click_attribution"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
