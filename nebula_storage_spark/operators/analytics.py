@@ -209,6 +209,73 @@ def connected_components_oracle_sql(edges_sql: str,
             + f"\nSELECT node, label FROM l{iterations}")
 
 
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Per-vertex triangle participation counts over the undirected
+    simple graph induced by (src, dst). Output: (node, n_triangles),
+    nodes in ≥1 triangle only.
+
+    Degree-ordered node-iterator ("node-iterator++"/Latapy): orient each
+    edge from its lower-(degree, id) endpoint to the higher; every
+    triangle is then counted exactly once, as a wedge at its lowest
+    vertex closed by one oriented edge. The orientation bounds the
+    out-degree of every vertex by O(sqrt(|E|)) on real (power-law)
+    graphs — the hub that would make a naive id-ordered join quadratic
+    fans out only to its few higher-degree peers, so the wedge join's
+    skew is capped by construction rather than left to AQE. Three hash
+    joins total, no cross join, no driver-side state.
+    """
+    a, b = F.col(SRC), F.col(DST)
+    und = (edges.filter(a != b)
+           .select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
+           .distinct())
+    deg = (und.select(F.col("a").alias("v"))
+           .union(und.select(F.col("b").alias("v")))
+           .groupBy("v").agg(F.count(F.lit(1)).alias("d")))
+    ann = (und
+           .join(deg.select(F.col("v").alias("a"), F.col("d").alias("da")),
+                 "a")
+           .join(deg.select(F.col("v").alias("b"), F.col("d").alias("db")),
+                 "b"))
+    a_first = (F.col("da") < F.col("db")) | \
+        ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b")))
+    o = ann.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("src"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
+        F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("dd"),
+    ).persist()
+    e1, e2, e3 = o.alias("e1"), o.alias("e2"), o.alias("e3")
+    lt = (F.col("e1.dd") < F.col("e2.dd")) | \
+        ((F.col("e1.dd") == F.col("e2.dd")) &
+         (F.col("e1.dst") < F.col("e2.dst")))
+    wedges = (e1.join(e2, F.col("e1.src") == F.col("e2.src"))
+              .filter(lt)
+              .select(F.col("e1.src").alias("u"),
+                      F.col("e1.dst").alias("v"),
+                      F.col("e2.dst").alias("w")))
+    tri = wedges.join(e3, (F.col("v") == F.col("e3.src")) &
+                      (F.col("w") == F.col("e3.dst"))) \
+        .select("u", "v", "w")
+    return (tri.select(F.explode(F.array("u", "v", "w")).alias("node"))
+            .groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles")))
+
+
+def triangle_counts_oracle_sql(edges_sql: str) -> str:
+    """DuckDB oracle: id-ordered a<b<c triple join — a different (and at
+    scale, skew-unsafe) orientation that provably enumerates the same
+    triangle set, which is the point: agreement shows the degree-ordered
+    plan loses/duplicates nothing. `edges_sql` must yield (src, dst)."""
+    return (
+        f"WITH e0 AS ({edges_sql}), "
+        "e AS (SELECT DISTINCT least(src, dst) AS a, "
+        "greatest(src, dst) AS b FROM e0 WHERE src <> dst), "
+        "t AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z "
+        "FROM e e1 JOIN e e2 ON e2.a = e1.b "
+        "JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b) "
+        "SELECT node, count(*) AS n_triangles FROM ("
+        "SELECT x AS node FROM t UNION ALL SELECT y FROM t "
+        "UNION ALL SELECT z FROM t) GROUP BY node")
+
+
 def pagerank_oracle_sql(edges_sql: str, iterations: int = 5,
                         scale: int = 10 ** 9, damping_pct: int = 85) -> str:
     """DuckDB oracle for pagerank_fixed: the same K steps unrolled as CTEs.

@@ -1838,6 +1838,36 @@ ORACLE_EXT["range_click_attribution"] = (
     "AND CAST(floor(epoch(p.ts)) AS BIGINT)")
 
 
+def q_triangle_counts(spark, sf_dir):
+    """Per-part triangle counts over the co-order projection (parts
+    linked when some order contains both) — the clustering-coefficient /
+    community primitive. The projection is a bounded self-join (per-order
+    fanout is the order's line count, ≤7 in TPC-H); counting uses the
+    degree-ordered node-iterator in operators/analytics.py, whose
+    orientation caps hub fanout at O(sqrt(|E|)) — the skew-safe plan."""
+    from .operators.analytics import triangle_counts
+    g = tpch_graph(spark, sf_dir)
+    li = g.edges["contains"].select(F.col(SRC).alias("o"),
+                                    F.col(DST).alias("p"))
+    l1, l2 = li.alias("l1"), li.alias("l2")
+    pairs = (l1.join(l2, F.col("l1.o") == F.col("l2.o"))
+             .filter(F.col("l1.p") < F.col("l2.p"))
+             .select(F.col("l1.p").alias(SRC), F.col("l2.p").alias(DST)))
+    return triangle_counts(pairs)
+
+
+def _oracle_triangles() -> str:
+    from .operators.analytics import triangle_counts_oracle_sql
+    return triangle_counts_oracle_sql(
+        "SELECT l1.l_partkey AS src, l2.l_partkey AS dst "
+        "FROM lineitem l1 JOIN lineitem l2 "
+        "ON l1.l_orderkey = l2.l_orderkey "
+        "AND l1.l_partkey < l2.l_partkey")
+
+
+ORACLE_EXT["triangle_counts"] = _oracle_triangles()
+
+
 ORACLE_ANALYTIC = {
     "tpch_q1":
         "SELECT l_returnflag, l_linestatus, "
@@ -2007,6 +2037,7 @@ def _core_queries() -> dict[str, Query]:
         "vocab_topk": q_vocab_topk,
         "dedup_ngram_pruned": q_dedup_ngram_pruned,
         "range_click_attribution": q_range_click_attribution,
+        "triangle_counts": q_triangle_counts,
     }
 
 

@@ -635,3 +635,27 @@ def test_range_join_plan_is_equijoin_not_nested_loop(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_triangle_counts_known_graphs(spark):
+    from nebula_storage_spark.operators.analytics import triangle_counts
+    # K4 (4 triangles, every vertex in 3) + a star on 10..13 (none) +
+    # a dangling triangle sharing vertex 3
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    star = [(10, v) for v in (11, 12, 13)]
+    extra = [(3, 20), (3, 21), (20, 21)]
+    edges = spark.createDataFrame(k4 + star + extra,
+                                  "_src bigint, _dst bigint")
+    got = {r.node: r.n_triangles for r in triangle_counts(edges).collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 4, 20: 1, 21: 1}
+
+
+def test_triangle_counts_undirected_dedup_and_loops(spark):
+    from nebula_storage_spark.operators.analytics import triangle_counts
+    # duplicate edges, both orientations, and self-loops must not
+    # inflate counts
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 1), (1, 1), (2, 3)],
+        "_src bigint, _dst bigint")
+    got = {r.node: r.n_triangles for r in triangle_counts(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1}
