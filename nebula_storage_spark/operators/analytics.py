@@ -209,6 +209,63 @@ def connected_components_oracle_sql(edges_sql: str,
             + f"\nSELECT node, label FROM l{iterations}")
 
 
+def sssp_fixed(edges: DataFrame, source: int, iterations: int = 4,
+               broadcast_max_nodes: int | None = None) -> DataFrame:
+    """K rounds of synchronous Bellman-Ford over directed weighted edges
+    (src, dst, w) with integer (long) weights — single-source shortest
+    paths up to K hops. Output: (node, dist) for nodes reached within K
+    hops. Integer min/plus arithmetic is order-independent, so a fixed
+    round count is bit-identical across engines and partitionings (the
+    DuckDB oracle unrolls the same steps).
+
+    Scale: per round = one join (edges × frontier dists on src, the
+    persisted edge frame keeps its partitioning) + one min-groupBy —
+    identical shuffle profile to connected_components_fixed. Negative
+    weights are rejected: K-round BF is only a shortest-path (rather
+    than walk-bound) semantics without negative cycles, and rejecting
+    early beats silently wrong distances.
+    """
+    e = edges.select(SRC, DST, F.col("w").cast("long").alias("w")).persist()
+    if e.filter(F.col("w") < 0).limit(1).count() > 0:
+        raise ValueError("sssp_fixed requires non-negative weights")
+    nodes = (e.select(F.col(SRC).alias("node"))
+             .union(e.select(F.col(DST).alias("node")))
+             .distinct().persist())
+    hint = _round_hint(nodes.count(), broadcast_max_nodes)
+    dist = (nodes.filter(F.col("node") == source)
+            .select("node", F.lit(0).cast("long").alias("dist")))
+    for i in range(iterations):
+        relaxed = (e.join(hint(dist), e[SRC] == dist["node"])
+                   .select(F.col(DST).alias("node"),
+                           (F.col("dist") + F.col("w")).alias("dist")))
+        dist = (dist.union(relaxed)
+                .groupBy("node").agg(F.min("dist").alias("dist")))
+        if i < iterations - 1:
+            dist = dist.persist()
+            dist.count()
+    return dist
+
+
+def sssp_oracle_sql(edges_sql: str, source: int,
+                    iterations: int = 4) -> str:
+    """DuckDB oracle for sssp_fixed: the same K relax-and-min rounds
+    unrolled as CTEs. `edges_sql` must yield (src, dst, w)."""
+    parts = [
+        f"e AS ({edges_sql})",
+        f"d0 AS (SELECT DISTINCT node, CAST(0 AS BIGINT) AS dist FROM ("
+        f"SELECT src AS node FROM e UNION SELECT dst FROM e) "
+        f"WHERE node = {source})",
+    ]
+    for t in range(1, iterations + 1):
+        parts.append(
+            f"d{t} AS (SELECT node, min(dist) AS dist FROM ("
+            f"SELECT node, dist FROM d{t-1} "
+            f"UNION ALL SELECT e.dst AS node, d.dist + e.w AS dist "
+            f"FROM e JOIN d{t-1} d ON d.node = e.src) GROUP BY node)")
+    return ("WITH " + ",\n".join(parts)
+            + f"\nSELECT node, dist FROM d{iterations}")
+
+
 def triangle_counts(edges: DataFrame) -> DataFrame:
     """Per-vertex triangle participation counts over the undirected
     simple graph induced by (src, dst). Output: (node, n_triangles),

@@ -1856,6 +1856,45 @@ def q_triangle_counts(spark, sf_dir):
     return triangle_counts(pairs)
 
 
+def q_sssp_distances(spark, sf_dir):
+    """Single-source shortest paths (4 Bellman-Ford rounds) from customer
+    1 over the undirected customer-order-part graph: placed edges weigh
+    1, contains edges weigh l_quantity (integral in TPC-H, so the min/
+    plus arithmetic is bit-exact vs the oracle). Layer ids are offset
+    (orders +10M, parts +20M) the same way q_connected_components does."""
+    from .operators.analytics import sssp_fixed
+    g = tpch_graph(spark, sf_dir)
+    placed = g.edges["placed"].select(
+        F.col(SRC).alias(SRC), (F.col(DST) + 10_000_000).alias(DST),
+        F.lit(1).cast("long").alias("w"))
+    contains = g.edges["contains"].select(
+        (F.col(SRC) + 10_000_000).alias(SRC),
+        (F.col(DST) + 20_000_000).alias(DST),
+        F.col("l_quantity").cast("long").alias("w"))
+    fwd = placed.unionByName(contains)
+    und = fwd.unionByName(fwd.select(F.col(DST).alias(SRC),
+                                     F.col(SRC).alias(DST), "w"))
+    return sssp_fixed(und, source=1, iterations=4)
+
+
+def _oracle_sssp() -> str:
+    from .operators.analytics import sssp_oracle_sql
+    return sssp_oracle_sql(
+        "SELECT src, dst, w FROM ("
+        "SELECT o_custkey AS src, o_orderkey + 10000000 AS dst, "
+        "CAST(1 AS BIGINT) AS w FROM orders "
+        "UNION ALL SELECT o_orderkey + 10000000, o_custkey, "
+        "CAST(1 AS BIGINT) FROM orders "
+        "UNION ALL SELECT l_orderkey + 10000000, l_partkey + 20000000, "
+        "CAST(l_quantity AS BIGINT) FROM lineitem "
+        "UNION ALL SELECT l_partkey + 20000000, l_orderkey + 10000000, "
+        "CAST(l_quantity AS BIGINT) FROM lineitem)",
+        source=1, iterations=4)
+
+
+ORACLE_EXT["sssp_distances"] = _oracle_sssp()
+
+
 def _oracle_triangles() -> str:
     from .operators.analytics import triangle_counts_oracle_sql
     return triangle_counts_oracle_sql(
@@ -2038,6 +2077,7 @@ def _core_queries() -> dict[str, Query]:
         "dedup_ngram_pruned": q_dedup_ngram_pruned,
         "range_click_attribution": q_range_click_attribution,
         "triangle_counts": q_triangle_counts,
+        "sssp_distances": q_sssp_distances,
     }
 
 

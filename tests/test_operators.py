@@ -659,3 +659,22 @@ def test_triangle_counts_undirected_dedup_and_loops(spark):
         "_src bigint, _dst bigint")
     got = {r.node: r.n_triangles for r in triangle_counts(edges).collect()}
     assert got == {1: 1, 2: 1, 3: 1}
+
+
+def test_sssp_known_distances_and_khop_bound(spark):
+    import pytest as _pytest
+    from nebula_storage_spark.operators.analytics import sssp_fixed
+    # 1 -2-> 2 -2-> 3 -2-> 4; shortcut 1 -7-> 3: BF must prefer 2+2
+    edges = spark.createDataFrame(
+        [(1, 2, 2), (2, 3, 2), (3, 4, 2), (1, 3, 7), (5, 6, 1)],
+        "_src bigint, _dst bigint, w bigint")
+    got = {r.node: r.dist
+           for r in sssp_fixed(edges, source=1, iterations=4).collect()}
+    assert got == {1: 0, 2: 2, 3: 4, 4: 6}     # 5,6 unreachable
+    # K=1 sees only direct edges: 3 via the shortcut, 4 not at all
+    got1 = {r.node: r.dist
+            for r in sssp_fixed(edges, source=1, iterations=1).collect()}
+    assert got1 == {1: 0, 2: 2, 3: 7}
+    neg = spark.createDataFrame([(1, 2, -1)], "_src bigint, _dst bigint, w bigint")
+    with _pytest.raises(ValueError, match="non-negative"):
+        sssp_fixed(neg, source=1)
