@@ -44,6 +44,10 @@ HEADLINERS = [
     "pagerank",           # iterative analytics (5 rounds)
     "decontaminate",      # pipeline: benchmark n-gram scrub (broadcast join)
     "knn_hyperplane_lsh",  # pipeline: LSH-bucketed ANN (vs brute force)
+    "asof_last_purchase",  # as-of join (union-and-window, one shuffle)
+    "range_click_attribution",  # interval join (bin-bucketed equi-join)
+    "triangle_counts",    # degree-ordered triangle counting
+    "sssp_distances",     # 4-round Bellman-Ford shortest paths
 ]
 
 

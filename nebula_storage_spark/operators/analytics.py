@@ -266,7 +266,19 @@ def sssp_oracle_sql(edges_sql: str, source: int,
             + f"\nSELECT node, dist FROM d{iterations}")
 
 
-def triangle_counts(edges: DataFrame) -> DataFrame:
+
+# Oriented-edge frames below this row count are broadcast in the triangle
+# wedge-closure joins (~16 B/row → 5M rows ≈ 80 MB), which pipelines the
+# whole enumeration through broadcast hash joins in ONE stage — wedges are
+# probed against the edge hash table as they are generated and never hit a
+# shuffle. Above the gate the hint is dropped and the joins run shuffled
+# (the scale path: wedge volume Σ C(outdeg,2) streams through the
+# exchange, which is unavoidable once |E| itself doesn't fit an executor).
+TRIANGLE_BROADCAST_MAX_EDGES = 5_000_000
+
+
+def triangle_counts(edges: DataFrame,
+                    broadcast_max_edges: int | None = None) -> DataFrame:
     """Per-vertex triangle participation counts over the undirected
     simple graph induced by (src, dst). Output: (node, n_triangles),
     nodes in ≥1 triangle only.
@@ -278,8 +290,16 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     out-degree of every vertex by O(sqrt(|E|)) on real (power-law)
     graphs — the hub that would make a naive id-ordered join quadratic
     fans out only to its few higher-degree peers, so the wedge join's
-    skew is capped by construction rather than left to AQE. Three hash
-    joins total, no cross join, no driver-side state.
+    skew is capped by construction rather than left to AQE.
+
+    Plan shape: below the size gate the oriented edge frame (2 longs per
+    row) is broadcast into both closure joins, so wedge generation and
+    closure probing pipeline inside one whole-stage-codegen stage — the
+    Σ C(outdeg,2) wedge stream never hits an exchange (this is what a
+    single-node columnar engine does with its hash-join pipeline, and is
+    worth ~10× on dense co-occurrence projections). Above the gate the
+    hint drops and the same joins run shuffled — the only plan possible
+    once |E| exceeds executor memory.
     """
     a, b = F.col(SRC), F.col(DST)
     und = (edges.filter(a != b)
@@ -300,18 +320,40 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
         F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
         F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("dd"),
     ).persist()
-    e1, e2, e3 = o.alias("e1"), o.alias("e2"), o.alias("e3")
-    lt = (F.col("e1.dd") < F.col("e2.dd")) | \
-        ((F.col("e1.dd") == F.col("e2.dd")) &
-         (F.col("e1.dst") < F.col("e2.dst")))
-    wedges = (e1.join(e2, F.col("e1.src") == F.col("e2.src"))
+    limit = TRIANGLE_BROADCAST_MAX_EDGES if broadcast_max_edges is None \
+        else broadcast_max_edges
+    n_edges, max_id = o.agg(
+        F.count(F.lit(1)), F.max(F.greatest("src", "dst"))).first()
+    hint = F.broadcast if n_edges <= limit else (lambda df: df)
+    # Pack the closure key (v, w) into one BIGINT when ids fit 31 bits:
+    # a single-long join key builds/probes as a LongHashedRelation —
+    # ~3x faster than the UnsafeRow composite-key relation, which is
+    # most of the closure join's cost once the wedge stream pipelines.
+    packable = max_id is not None and max_id < (1 << 31)
+    shift = F.lit(1 << 32).cast("long")
+    e1 = o.alias("e1")
+    e2 = hint(o.select(F.col("src").alias("w_src"),
+                       F.col("dst").alias("w_dst"),
+                       F.col("dd").alias("w_dd")))
+    lt = (F.col("e1.dd") < F.col("w_dd")) | \
+        ((F.col("e1.dd") == F.col("w_dd")) &
+         (F.col("e1.dst") < F.col("w_dst")))
+    wedges = (e1.join(e2, F.col("e1.src") == F.col("w_src"))
               .filter(lt)
               .select(F.col("e1.src").alias("u"),
                       F.col("e1.dst").alias("v"),
-                      F.col("e2.dst").alias("w")))
-    tri = wedges.join(e3, (F.col("v") == F.col("e3.src")) &
-                      (F.col("w") == F.col("e3.dst"))) \
-        .select("u", "v", "w")
+                      F.col("w_dst").alias("w")))
+    if packable:
+        e3 = hint(o.select((F.col("src") * shift + F.col("dst"))
+                           .alias("c_key")))
+        tri = wedges.join(
+            e3, (F.col("v") * shift + F.col("w")) == F.col("c_key"))
+    else:
+        e3 = hint(o.select(F.col("src").alias("c_src"),
+                           F.col("dst").alias("c_dst")))
+        tri = wedges.join(e3, (F.col("v") == F.col("c_src")) &
+                          (F.col("w") == F.col("c_dst")))
+    tri = tri.select("u", "v", "w")
     return (tri.select(F.explode(F.array("u", "v", "w")).alias("node"))
             .groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles")))
 
@@ -331,6 +373,133 @@ def triangle_counts_oracle_sql(edges_sql: str) -> str:
         "SELECT node, count(*) AS n_triangles FROM ("
         "SELECT x AS node FROM t UNION ALL SELECT y FROM t "
         "UNION ALL SELECT z FROM t) GROUP BY node")
+
+
+def label_propagation_fixed(edges: DataFrame, iterations: int = 3,
+                            broadcast_max_nodes: int | None = None
+                            ) -> DataFrame:
+    """K synchronous label-propagation rounds (community detection) over
+    the undirected-ized edge set. l0(v) = v; each round every node adopts
+    the most frequent label among its neighbours, ties broken by the
+    smallest label — a fully deterministic variant of classic LPA
+    (Raghavan et al. 2007), so a fixed round count is oracle-comparable.
+    Output: (node, label).
+
+    Scale: per round = one join (edges × |V|-row label frame, size-gated
+    broadcast as in pagerank_fixed) + a (node, label) count groupBy + a
+    per-node arg-min groupBy. The arg-selection is min-of-struct
+    ((-count, label)), a plain hash aggregate — no window, no sort, so
+    the round cost is two hash shuffles of at most |E| rows.
+    """
+    und = (edges.select(SRC, DST)
+           .union(edges.select(F.col(DST).alias(SRC), F.col(SRC).alias(DST)))
+           .persist())
+    nodes = und.select(F.col(SRC).alias("node")).distinct().persist()
+    hint = _round_hint(nodes.count(), broadcast_max_nodes)
+    labels = nodes.select("node", F.col("node").alias("label"))
+    for i in range(iterations):
+        votes = (und.join(hint(labels), und[DST] == labels["node"])
+                 .select(F.col(SRC).alias("node"), "label"))
+        counts = (votes.groupBy("node", "label")
+                  .agg(F.count(F.lit(1)).alias("cnt")))
+        labels = (counts.groupBy("node")
+                  .agg(F.min(F.struct((-F.col("cnt")).alias("nc"),
+                                      F.col("label").alias("l")))
+                       .alias("m"))
+                  .select("node", F.col("m.l").alias("label")))
+        if i < iterations - 1:
+            labels = labels.persist()
+            labels.count()
+    return labels
+
+
+def label_propagation_oracle_sql(edges_sql: str,
+                                 iterations: int = 3) -> str:
+    """DuckDB oracle for label_propagation_fixed: the same K
+    most-frequent-neighbour-label rounds unrolled as CTEs, arg-selection
+    via row_number. `edges_sql` must yield (src, dst)."""
+    parts = [
+        f"e0 AS ({edges_sql})",
+        "e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0)",
+        "nodes AS (SELECT DISTINCT src AS node FROM e)",
+        "l0 AS (SELECT node, node AS label FROM nodes)",
+    ]
+    for t in range(1, iterations + 1):
+        parts.append(
+            f"c{t} AS (SELECT e.src AS node, l.label, count(*) AS cnt "
+            f"FROM e JOIN l{t-1} l ON l.node = e.dst GROUP BY 1, 2)")
+        parts.append(
+            f"l{t} AS (SELECT node, label FROM ("
+            f"SELECT node, label, row_number() OVER (PARTITION BY node "
+            f"ORDER BY cnt DESC, label) AS rn FROM c{t}) WHERE rn = 1)")
+    return ("WITH " + ",\n".join(parts)
+            + f"\nSELECT node, label FROM l{iterations}")
+
+
+def k_core_fixed(edges: DataFrame, k: int, rounds: int = 3) -> DataFrame:
+    """K-round k-core peeling over the undirected simple graph: each
+    round drops every node whose degree in the surviving subgraph is
+    below `k`, then restricts the edge set to surviving endpoints. A
+    fixed round count makes the (deterministic) peel oracle-comparable;
+    at convergence the survivors are exactly the k-core. Output:
+    (node, degree) — degree within the surviving subgraph.
+
+    Scale: per round = one degree groupBy (the |V|-row result is
+    persisted so it is computed once, not once per join branch) + two
+    joins of the edge list against it, filtering rows whose either
+    endpoint fell below k. The surviving edge frame shrinks
+    monotonically, so later rounds are cheaper. Each round's survivor
+    frame is localCheckpoint()ed, not merely persisted: a k-core round
+    references its input FOUR times (degree union twice, two join
+    branches), so the analyzed plan grows ~4^rounds if lineage is kept
+    and driver-side planning time dwarfs the actual work by round 3 —
+    truncating to a LogicalRDD keeps every round's plan constant-size.
+    """
+    a, b = F.col(SRC), F.col(DST)
+    cur = (edges.filter(a != b)
+           .select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
+           .distinct().localCheckpoint())
+    for i in range(rounds):
+        deg = (cur.select(F.col("a").alias("v"))
+               .union(cur.select(F.col("b").alias("v")))
+               .groupBy("v").agg(F.count(F.lit(1)).alias("d")).persist())
+        deg.count()
+        cur = (cur
+               .join(deg.select(F.col("v").alias("a"),
+                                F.col("d").alias("da")), "a")
+               .join(deg.select(F.col("v").alias("b"),
+                                F.col("d").alias("db")), "b")
+               .filter((F.col("da") >= k) & (F.col("db") >= k))
+               .select("a", "b").localCheckpoint())
+    deg = (cur.select(F.col("a").alias("node"))
+           .union(cur.select(F.col("b").alias("node")))
+           .groupBy("node").agg(F.count(F.lit(1)).alias("degree")))
+    return deg
+
+
+def k_core_oracle_sql(edges_sql: str, k: int, rounds: int = 3) -> str:
+    """DuckDB oracle for k_core_fixed: the same peel rounds unrolled.
+    `edges_sql` must yield (src, dst)."""
+    parts = [
+        f"raw AS ({edges_sql})",
+        "e0 AS (SELECT DISTINCT least(src, dst) AS a, "
+        "greatest(src, dst) AS b FROM raw WHERE src <> dst)",
+    ]
+    for t in range(1, rounds + 1):
+        parts.append(
+            f"d{t} AS (SELECT v, count(*) AS d FROM ("
+            f"SELECT a AS v FROM e{t-1} UNION ALL SELECT b FROM e{t-1}) "
+            f"GROUP BY v)")
+        parts.append(
+            f"k{t} AS (SELECT v FROM d{t} WHERE d >= {k})")
+        parts.append(
+            f"e{t} AS (SELECT a, b FROM e{t-1} "
+            f"WHERE a IN (SELECT v FROM k{t}) "
+            f"AND b IN (SELECT v FROM k{t}))")
+    return ("WITH " + ",\n".join(parts)
+            + f"\nSELECT node, count(*) AS degree FROM ("
+            f"SELECT a AS node FROM e{rounds} "
+            f"UNION ALL SELECT b FROM e{rounds}) GROUP BY node")
 
 
 def pagerank_oracle_sql(edges_sql: str, iterations: int = 5,

@@ -1838,6 +1838,24 @@ ORACLE_EXT["range_click_attribution"] = (
     "AND CAST(floor(epoch(p.ts)) AS BIGINT)")
 
 
+def _co_order_pairs(spark, sf_dir):
+    """Co-order part projection (parts linked when some order contains
+    both): a bounded self-join — per-order fanout is the order's line
+    count, ≤7 in TPC-H. The input is repartitioned on the order key
+    first: local parquet at this sf is one split, and without the
+    repartition the whole pair-generation stage runs in ONE task; on a
+    cluster the same repartition is what co-partitions the self-join."""
+    g = tpch_graph(spark, sf_dir)
+    par = spark.sparkContext.defaultParallelism
+    li = (g.edges["contains"].select(F.col(SRC).alias("o"),
+                                     F.col(DST).alias("p"))
+          .repartition(par * 2, "o"))
+    l1, l2 = li.alias("l1"), li.alias("l2")
+    return (l1.join(l2, F.col("l1.o") == F.col("l2.o"))
+            .filter(F.col("l1.p") < F.col("l2.p"))
+            .select(F.col("l1.p").alias(SRC), F.col("l2.p").alias(DST)))
+
+
 def q_triangle_counts(spark, sf_dir):
     """Per-part triangle counts over the co-order projection (parts
     linked when some order contains both) — the clustering-coefficient /
@@ -1846,14 +1864,7 @@ def q_triangle_counts(spark, sf_dir):
     degree-ordered node-iterator in operators/analytics.py, whose
     orientation caps hub fanout at O(sqrt(|E|)) — the skew-safe plan."""
     from .operators.analytics import triangle_counts
-    g = tpch_graph(spark, sf_dir)
-    li = g.edges["contains"].select(F.col(SRC).alias("o"),
-                                    F.col(DST).alias("p"))
-    l1, l2 = li.alias("l1"), li.alias("l2")
-    pairs = (l1.join(l2, F.col("l1.o") == F.col("l2.o"))
-             .filter(F.col("l1.p") < F.col("l2.p"))
-             .select(F.col("l1.p").alias(SRC), F.col("l2.p").alias(DST)))
-    return triangle_counts(pairs)
+    return triangle_counts(_co_order_pairs(spark, sf_dir))
 
 
 def q_sssp_distances(spark, sf_dir):
@@ -1905,6 +1916,49 @@ def _oracle_triangles() -> str:
 
 
 ORACLE_EXT["triangle_counts"] = _oracle_triangles()
+
+
+def q_label_propagation(spark, sf_dir):
+    """Deterministic label propagation (3 synchronous rounds, most-
+    frequent-neighbour-label, ties to the smallest label) over the same
+    offset customer↔order bipartite graph as pagerank — the community-
+    detection member of the GraphX-bridge family."""
+    from .operators.analytics import label_propagation_fixed
+    g = tpch_graph(spark, sf_dir)
+    placed = g.edges["placed"].select(SRC, DST)
+    edges = placed.select(F.col(SRC).alias(SRC),
+                          (F.col(DST) + 10_000_000).alias(DST))
+    return label_propagation_fixed(edges, iterations=3)
+
+
+def _oracle_label_propagation() -> str:
+    from .operators.analytics import label_propagation_oracle_sql
+    return label_propagation_oracle_sql(
+        "SELECT o_custkey AS src, o_orderkey + 10000000 AS dst FROM orders",
+        iterations=3)
+
+
+ORACLE_EXT["label_propagation"] = _oracle_label_propagation()
+
+
+def q_k_core(spark, sf_dir):
+    """k-core decomposition (k=4, 3 peel rounds) over the co-order part
+    projection — the dense-subgraph / spam-cluster primitive. Same
+    bounded self-join projection as triangle_counts."""
+    from .operators.analytics import k_core_fixed
+    return k_core_fixed(_co_order_pairs(spark, sf_dir), k=4, rounds=3)
+
+
+def _oracle_k_core() -> str:
+    from .operators.analytics import k_core_oracle_sql
+    return k_core_oracle_sql(
+        "SELECT l1.l_partkey AS src, l2.l_partkey AS dst "
+        "FROM lineitem l1 JOIN lineitem l2 "
+        "ON l1.l_orderkey = l2.l_orderkey "
+        "AND l1.l_partkey < l2.l_partkey", k=4, rounds=3)
+
+
+ORACLE_EXT["k_core"] = _oracle_k_core()
 
 
 ORACLE_ANALYTIC = {
@@ -2078,6 +2132,8 @@ def _core_queries() -> dict[str, Query]:
         "range_click_attribution": q_range_click_attribution,
         "triangle_counts": q_triangle_counts,
         "sssp_distances": q_sssp_distances,
+        "label_propagation": q_label_propagation,
+        "k_core": q_k_core,
     }
 
 

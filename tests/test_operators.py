@@ -661,6 +661,58 @@ def test_triangle_counts_undirected_dedup_and_loops(spark):
     assert got == {1: 1, 2: 1, 3: 1}
 
 
+def test_label_propagation_two_cliques_with_bridge(spark):
+    from nebula_storage_spark.operators.analytics import \
+        label_propagation_fixed
+    # two K4 cliques {0..3} and {10..13} joined by one bridge edge:
+    # labels collapse to each clique's minimum, the bridge doesn't flip
+    # either side (one vote against three)
+    c1 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    c2 = [(a, b) for a in range(10, 14) for b in range(a + 1, 14)]
+    edges = spark.createDataFrame(c1 + c2 + [(3, 10)],
+                                  "_src bigint, _dst bigint")
+    got = {r.node: r.label
+           for r in label_propagation_fixed(edges, iterations=4).collect()}
+    assert {got[v] for v in (0, 1, 2, 3)} == {0}
+    assert {got[v] for v in (11, 12, 13)} == {10}
+
+
+def test_label_propagation_tie_breaks_to_min_label(spark):
+    from nebula_storage_spark.operators.analytics import \
+        label_propagation_fixed
+    # node 2's neighbours 1 and 3 each vote once after round 1 keeps
+    # their own labels stable — the tie must resolve to the smaller
+    edges = spark.createDataFrame([(1, 2), (2, 3)],
+                                  "_src bigint, _dst bigint")
+    got = {r.node: r.label
+           for r in label_propagation_fixed(edges, iterations=1).collect()}
+    assert got[2] == 1
+
+
+def test_k_core_peels_tail_into_core(spark):
+    from nebula_storage_spark.operators.analytics import k_core_fixed
+    # K4 core with a pendant path 3-20-21: k=2 peels 21 then 20; the
+    # K4 survives with degree 3 each (vertex 3 loses its pendant edge)
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    path = [(3, 20), (20, 21)]
+    edges = spark.createDataFrame(k4 + path, "_src bigint, _dst bigint")
+    got = {r.node: r.degree
+           for r in k_core_fixed(edges, k=2, rounds=3).collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_k_core_fixed_rounds_partial_peel(spark):
+    from nebula_storage_spark.operators.analytics import k_core_fixed
+    # a 5-chain needs one peel per endpoint pair; after 1 round only the
+    # outermost nodes are gone
+    chain = [(i, i + 1) for i in range(5)]
+    edges = spark.createDataFrame(chain, "_src bigint, _dst bigint")
+    one = {r.node for r in k_core_fixed(edges, k=2, rounds=1).collect()}
+    assert one == {1, 2, 3, 4}
+    done = k_core_fixed(edges, k=2, rounds=4).collect()
+    assert done == []
+
+
 def test_sssp_known_distances_and_khop_bound(spark):
     import pytest as _pytest
     from nebula_storage_spark.operators.analytics import sssp_fixed
