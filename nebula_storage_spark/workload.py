@@ -845,6 +845,170 @@ def q_tpch_q18(spark, sf_dir):
                     "o_totalprice", "sum_qty"))
 
 
+def q_tpch_q5(spark, sf_dir):
+    """TPC-H Q5 local supplier volume: revenue per nation where customer
+    and line-item supplier share the nation, customers restricted to one
+    region — the 6-table snowflake join. Nation/region/supplier are
+    broadcast dims; the single shuffle is the lineitem×orders join."""
+    g = tpch_graph(spark, sf_dir)
+    region = g.tag_df("region").filter(F.col("r_name") == "ASIA")
+    nation = (g.tag_df("nation")
+              .join(F.broadcast(region.select(F.col(VID).alias("n_regionkey"))),
+                    "n_regionkey")
+              .select(F.col(VID).alias("nationkey"), "n_name"))
+    cust = (g.tag_df("customer")
+            .join(F.broadcast(nation),
+                  F.col("c_nationkey") == F.col("nationkey"))
+            .select(F.col(VID).alias("custkey"), "nationkey", "n_name"))
+    supp = g.tag_df("supplier").select(F.col(VID).alias("l_suppkey"),
+                                       F.col("s_nationkey"))
+    orders = (g.edge_df("placed")
+              .filter((F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+                      & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp")))
+              .select(F.col(SRC).alias("custkey"), F.col(DST).alias("orderkey")))
+    li = g.edge_df("contains").select(F.col(SRC).alias("orderkey"),
+                                      "l_suppkey", "l_extendedprice",
+                                      "l_discount")
+    return (li.join(orders, "orderkey")
+            .join(cust, "custkey")
+            .join(F.broadcast(supp), "l_suppkey")
+            .filter(F.col("s_nationkey") == F.col("nationkey"))
+            .groupBy("n_name")
+            .agg(F.round(F.sum(F.expr(_REV)).cast("double"), 2)
+                 .alias("revenue")))
+
+
+def q_tpch_q7(spark, sf_dir):
+    """TPC-H Q7 volume shipping: revenue between two nations (either
+    direction: supplier in one, customer in the other), by year. The
+    year() of the ship date feeds the group key — date-function pushdown
+    into a 3-way join."""
+    g = tpch_graph(spark, sf_dir)
+    n1, n2 = "NATION_1", "NATION_2"
+    nation = g.tag_df("nation").select(F.col(VID).alias("nk"), "n_name")
+    cust = (g.tag_df("customer")
+            .join(F.broadcast(nation), F.col("c_nationkey") == F.col("nk"))
+            .select(F.col(VID).alias("custkey"),
+                    F.col("n_name").alias("cust_nation")))
+    supp = (g.tag_df("supplier")
+            .join(F.broadcast(nation), F.col("s_nationkey") == F.col("nk"))
+            .select(F.col(VID).alias("l_suppkey"),
+                    F.col("n_name").alias("supp_nation")))
+    orders = g.edge_df("placed").select(F.col(SRC).alias("custkey"),
+                                        F.col(DST).alias("orderkey"))
+    li = (g.edge_df("contains")
+          .filter((F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+                  & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp")))
+          .select(F.col(SRC).alias("orderkey"), "l_suppkey",
+                  "l_extendedprice", "l_discount",
+                  F.year("l_shipdate").alias("l_year")))
+    pair = ((F.col("supp_nation") == n1) & (F.col("cust_nation") == n2)) | \
+        ((F.col("supp_nation") == n2) & (F.col("cust_nation") == n1))
+    return (li.join(orders, "orderkey")
+            .join(cust, "custkey")
+            .join(F.broadcast(supp), "l_suppkey")
+            .filter(pair)
+            .groupBy("supp_nation", "cust_nation", "l_year")
+            .agg(F.round(F.sum(F.expr(_REV)).cast("double"), 2)
+                 .alias("revenue")))
+
+
+def q_tpch_q10(spark, sf_dir):
+    """TPC-H Q10 returned-item reporting: top 20 customers by revenue
+    lost to returns in one quarter, enriched with nation. Top-k via
+    total order (revenue desc, custkey) so the LIMIT is deterministic."""
+    g = tpch_graph(spark, sf_dir)
+    orders = (g.edge_df("placed")
+              .filter((F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+                      & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp")))
+              .select(F.col(SRC).alias("custkey"), F.col(DST).alias("orderkey")))
+    li = (g.edge_df("contains").filter(F.col("l_returnflag") == "R")
+          .select(F.col(SRC).alias("orderkey"), "l_extendedprice",
+                  "l_discount"))
+    # round in DECIMAL space (HALF_UP in both engines) before surfacing
+    # as double — a .xx5 boundary sum rounds differently engine-to-engine
+    # if the cast to double happens first
+    rev = (li.join(orders, "orderkey")
+           .groupBy("custkey")
+           .agg(F.round(F.sum(F.expr(_REV)), 2).cast("double")
+                .alias("revenue")))
+    cust = g.tag_df("customer").select(F.col(VID).alias("custkey"),
+                                       "c_name", "c_acctbal", "c_nationkey")
+    nation = g.tag_df("nation").select(F.col(VID).alias("c_nationkey"),
+                                       "n_name")
+    return (rev.join(cust, "custkey").join(F.broadcast(nation), "c_nationkey")
+            .orderBy(F.col("revenue").desc(), "custkey").limit(20)
+            .select(F.col("custkey").alias("c_custkey"), "c_name", "revenue",
+                    "c_acctbal", "n_name"))
+
+
+def q_tpch_q14(spark, sf_dir):
+    """TPC-H Q14 promotion effect: share of one month's revenue from
+    PROMO parts. The ratio is integer-cents division (exact in both
+    engines); the two revenue sums ride along rounded."""
+    g = tpch_graph(spark, sf_dir)
+    part = g.tag_df("part").select(F.col(VID).alias("partkey"), "p_type")
+    li = (g.edge_df("contains")
+          .filter((F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp"))
+                  & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp")))
+          .select(F.col(DST).alias("partkey"), "l_extendedprice",
+                  "l_discount"))
+    agg = (li.join(F.broadcast(part), "partkey")
+           .agg(F.round(F.sum(F.when(F.col("p_type") == "PROMO",
+                                     F.expr(_REV)).otherwise(F.lit(0)))
+                        .cast("double"), 2).alias("promo_rev"),
+                F.round(F.sum(F.expr(_REV)).cast("double"), 2)
+                .alias("total_rev")))
+    return agg.withColumn(
+        "promo_bp",
+        F.expr("CAST(round(promo_rev * 100, 0) AS BIGINT) * 10000 "
+               "DIV CAST(round(total_rev * 100, 0) AS BIGINT)"))
+
+
+def q_tpch_q15(spark, sf_dir):
+    """TPC-H Q15 top supplier: the supplier(s) achieving the maximum
+    revenue in a quarter — groupBy + max-equality join (the HAVING
+    max() subquery shape), no window over a global sort."""
+    g = tpch_graph(spark, sf_dir)
+    li = (g.edge_df("contains")
+          .filter((F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+                  & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp")))
+          .select("l_suppkey", "l_extendedprice", "l_discount"))
+    rev = (li.groupBy("l_suppkey")
+           .agg(F.round(F.sum(F.expr(_REV)).cast("double"), 2)
+                .alias("total_revenue")))
+    top = rev.agg(F.max("total_revenue").alias("total_revenue"))
+    supp = g.tag_df("supplier").select(F.col(VID).alias("s_suppkey"),
+                                       "s_name")
+    return (rev.join(F.broadcast(top), "total_revenue")
+            .join(F.broadcast(supp),
+                  F.col("l_suppkey") == F.col("s_suppkey"))
+            .select("s_suppkey", "s_name", "total_revenue"))
+
+
+def q_tpch_q19(spark, sf_dir):
+    """TPC-H Q19-shaped discounted revenue: disjunction of three
+    (brand, size-range, quantity-range) conjunctions across the
+    part×lineitem join — the OR-of-ANDs predicate that exercises
+    post-join filter evaluation with a broadcast dim."""
+    g = tpch_graph(spark, sf_dir)
+    part = g.tag_df("part").select(F.col(VID).alias("partkey"),
+                                   "p_brand", "p_size")
+    li = g.edge_df("contains").select(F.col(DST).alias("partkey"),
+                                      "l_quantity", "l_extendedprice",
+                                      "l_discount")
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15)
+         & F.col("l_quantity").between(1, 20))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(1, 25)
+           & F.col("l_quantity").between(10, 30))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 35)
+           & F.col("l_quantity").between(20, 40)))
+    return (li.join(F.broadcast(part), "partkey").filter(cond)
+            .agg(F.round(F.sum(F.expr(_REV)).cast("double"), 2)
+                 .alias("revenue")))
+
+
 def q_store_roundtrip(spark, sf_dir):
     """Engine-owned storage layout: save a store to the warehouse layout
     (hash-partitioned, key-sorted parquet + catalog.json), reload it, and
@@ -1962,6 +2126,74 @@ ORACLE_EXT["k_core"] = _oracle_k_core()
 
 
 ORACLE_ANALYTIC = {
+    "tpch_q5":
+        f"SELECT n_name, round(CAST(sum({_REV}) AS DOUBLE), 2) AS revenue "
+        "FROM lineitem "
+        "JOIN orders ON l_orderkey = o_orderkey "
+        "JOIN customer ON o_custkey = c_custkey "
+        "JOIN supplier ON l_suppkey = s_suppkey "
+        "JOIN nation ON c_nationkey = n_nationkey "
+        "JOIN region ON n_regionkey = r_regionkey "
+        "WHERE r_name = 'ASIA' AND s_nationkey = c_nationkey "
+        "AND o_orderdate >= TIMESTAMP '1996-01-01' "
+        "AND o_orderdate < TIMESTAMP '1997-01-01' "
+        "GROUP BY n_name",
+    "tpch_q7":
+        "SELECT supp_nation, cust_nation, l_year, "
+        "round(CAST(sum(rev) AS DOUBLE), 2) AS revenue FROM ("
+        "SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation, "
+        f"EXTRACT(year FROM l_shipdate) AS l_year, {_REV} AS rev "
+        "FROM lineitem "
+        "JOIN orders ON l_orderkey = o_orderkey "
+        "JOIN customer ON o_custkey = c_custkey "
+        "JOIN supplier ON l_suppkey = s_suppkey "
+        "JOIN nation ns ON s_nationkey = ns.n_nationkey "
+        "JOIN nation nc ON c_nationkey = nc.n_nationkey "
+        "WHERE l_shipdate >= TIMESTAMP '1996-01-01' "
+        "AND l_shipdate < TIMESTAMP '1998-01-01' "
+        "AND ((ns.n_name = 'NATION_1' AND nc.n_name = 'NATION_2') "
+        "OR (ns.n_name = 'NATION_2' AND nc.n_name = 'NATION_1'))) "
+        "GROUP BY supp_nation, cust_nation, l_year",
+    "tpch_q10":
+        "SELECT c_custkey, c_name, revenue, c_acctbal, n_name FROM ("
+        f"SELECT o_custkey AS c_custkey, "
+        f"CAST(round(sum({_REV}), 2) AS DOUBLE) AS revenue "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "WHERE l_returnflag = 'R' "
+        "AND o_orderdate >= TIMESTAMP '1996-01-01' "
+        "AND o_orderdate < TIMESTAMP '1996-04-01' "
+        "GROUP BY o_custkey) "
+        "JOIN customer USING (c_custkey) "
+        "JOIN nation ON c_nationkey = n_nationkey "
+        "ORDER BY revenue DESC, c_custkey LIMIT 20",
+    "tpch_q14":
+        "SELECT promo_rev, total_rev, "
+        "CAST(round(promo_rev * 100, 0) AS BIGINT) * 10000 "
+        "// CAST(round(total_rev * 100, 0) AS BIGINT) AS promo_bp FROM ("
+        "SELECT round(CAST(sum(CASE WHEN p_type = 'PROMO' "
+        f"THEN {_REV} ELSE 0 END) AS DOUBLE), 2) AS promo_rev, "
+        f"round(CAST(sum({_REV}) AS DOUBLE), 2) AS total_rev "
+        "FROM lineitem JOIN part ON l_partkey = p_partkey "
+        "WHERE l_shipdate >= TIMESTAMP '1996-09-01' "
+        "AND l_shipdate < TIMESTAMP '1996-10-01')",
+    "tpch_q15":
+        "WITH rev AS (SELECT l_suppkey AS s_suppkey, "
+        f"round(CAST(sum({_REV}) AS DOUBLE), 2) AS total_revenue "
+        "FROM lineitem "
+        "WHERE l_shipdate >= TIMESTAMP '1996-01-01' "
+        "AND l_shipdate < TIMESTAMP '1996-04-01' GROUP BY l_suppkey) "
+        "SELECT s_suppkey, s_name, total_revenue "
+        "FROM rev JOIN supplier USING (s_suppkey) "
+        "WHERE total_revenue = (SELECT max(total_revenue) FROM rev)",
+    "tpch_q19":
+        f"SELECT round(CAST(sum({_REV}) AS DOUBLE), 2) AS revenue "
+        "FROM lineitem JOIN part ON l_partkey = p_partkey "
+        "WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 "
+        "AND l_quantity BETWEEN 1 AND 20) "
+        "OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25 "
+        "AND l_quantity BETWEEN 10 AND 30) "
+        "OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35 "
+        "AND l_quantity BETWEEN 20 AND 40)",
     "tpch_q1":
         "SELECT l_returnflag, l_linestatus, "
         "round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty, "
@@ -2134,6 +2366,12 @@ def _core_queries() -> dict[str, Query]:
         "sssp_distances": q_sssp_distances,
         "label_propagation": q_label_propagation,
         "k_core": q_k_core,
+        "tpch_q5": q_tpch_q5,
+        "tpch_q7": q_tpch_q7,
+        "tpch_q10": q_tpch_q10,
+        "tpch_q14": q_tpch_q14,
+        "tpch_q15": q_tpch_q15,
+        "tpch_q19": q_tpch_q19,
     }
 
 
