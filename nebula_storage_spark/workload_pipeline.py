@@ -259,6 +259,13 @@ def q_embedding_near_dup(spark, sf_dir):
     return embedding_near_dup(_emb(spark, sf_dir), min_cos=0.4)
 
 
+def q_kmeans_embeddings(spark, sf_dir):
+    """Integer fixed-point k-means (k=8, 2 Lloyd assignment rounds) over
+    the embeddings table — corpus topic-bucketing / dedup-sharding."""
+    from .pipeline.cluster import kmeans_fixed
+    return kmeans_fixed(_emb(spark, sf_dir), k=8, iterations=2)
+
+
 def q_decontaminate(spark, sf_dir):
     """Benchmark decontamination: training docs sharing any token 4-gram
     with the benchmark slice (doc_id < 20) — broadcast bench grams, one
@@ -703,6 +710,7 @@ def build_pipeline_queries():
         "dedup_apply": q_dedup_apply,
         "top_docs_per_source": q_top_docs_per_source,
         "embedding_near_dup": q_embedding_near_dup,
+        "kmeans_embeddings": q_kmeans_embeddings,
         "text_normalize": q_text_normalize,
         "knn_ivf_persisted": q_knn_ivf_persisted,
         "split_assign": q_split_assign,
@@ -755,6 +763,11 @@ def _oracle_dedup_clusters() -> str:
                        "SELECT node AS doc_id, label AS cluster FROM l3")
 
 
+def _oracle_kmeans() -> str:
+    from .pipeline.cluster import kmeans_oracle_sql
+    return kmeans_oracle_sql(k=8, iterations=2)
+
+
 def build_pipeline_oracles():
     return {
         "text_features": _oracle_text_features(),
@@ -780,6 +793,7 @@ def build_pipeline_oracles():
         "dedup_apply": _oracle_dedup_apply(),
         "top_docs_per_source": _oracle_top_docs_per_source(),
         "embedding_near_dup": _oracle_embedding_near_dup(),
+        "kmeans_embeddings": _oracle_kmeans(),
         "text_normalize":
             "SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text), "
             "'[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm_text "

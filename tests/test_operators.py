@@ -730,3 +730,29 @@ def test_sssp_known_distances_and_khop_bound(spark):
     neg = spark.createDataFrame([(1, 2, -1)], "_src bigint, _dst bigint, w bigint")
     with _pytest.raises(ValueError, match="non-negative"):
         sssp_fixed(neg, source=1)
+
+
+def test_kmeans_separates_known_clusters(spark):
+    from nebula_storage_spark.pipeline.cluster import kmeans_fixed
+    # two tight groups on a line; init picks ids 0,1 (both in group A),
+    # the refit between assignment rounds must pull centroid 1 to group B
+    rows = [(0, [0.0]), (1, [0.1]), (2, [10.0]), (3, [10.1])]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    got = {r.vec_id: r.cluster
+           for r in kmeans_fixed(emb, k=2, iterations=2).collect()}
+    assert got == {0: 0, 1: 0, 2: 1, 3: 1}
+
+
+def test_kmeans_validates_params_and_is_deterministic(spark):
+    import pytest as _pytest
+    from nebula_storage_spark.pipeline.cluster import kmeans_fixed
+    emb = spark.createDataFrame([(0, [1.0]), (1, [2.0])],
+                                "vec_id bigint, embedding array<float>")
+    with _pytest.raises(ValueError):
+        kmeans_fixed(emb, k=0)
+    with _pytest.raises(ValueError):
+        kmeans_fixed(emb, k=2, iterations=0)
+    a = sorted(map(tuple, kmeans_fixed(emb, k=2, iterations=3).collect()))
+    b = sorted(map(tuple, kmeans_fixed(
+        emb.repartition(7), k=2, iterations=3).collect()))
+    assert a == b
