@@ -73,6 +73,58 @@ def text_features(docs: DataFrame, text_col: str = "text",
     return out.withColumn("quality", quality).drop("__toks", "__stop_cnt", text_col)
 
 
+def quality_filter(docs: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id", min_tokens: int = 30,
+                   max_tokens: int = 100_000,
+                   min_distinct_ratio: int = 40,
+                   max_symbol_ratio: int = 10) -> DataFrame:
+    """Gopher-style rule filter: per-document pass/fail verdict with the
+    ordered list of failed rules (the audit trail a curation pipeline
+    keeps next to the verdict). Rules, all exact integer arithmetic:
+
+      too_short / too_long  — token count outside [min_tokens, max_tokens]
+      word_len              — mean word length outside [300, 800] (x100)
+      no_stopwords          — stopword ratio below 2 (x100)
+      repetitive            — distinct-token ratio below min_distinct_ratio
+      symbols               — non-alphanumeric char ratio above max
+
+    Output: (doc_id, n_tokens, distinct_ratio_x100, symbol_ratio_x100,
+    fail_csv, passes). fail_csv is the comma-joined rule names in fixed
+    rule order — deterministic, and string-typed for engine-portable
+    hashing. Narrow per-row map, no shuffle.
+    """
+    toks = tokenize(text_col).alias("__toks")
+    out = (docs.select(id_col, text_col, toks)
+           .withColumn("n_tokens", F.size("__toks"))
+           .withColumn("__awl",
+                       F.expr(f"(length(replace({text_col}, ' ', '')) * 100)"
+                              " DIV n_tokens"))
+           .withColumn("__stop",
+                       (_count_in(F.col("__toks"), STOPWORDS) * 100)
+                       .cast("long"))
+           .withColumn("distinct_ratio_x100",
+                       F.expr("(size(array_distinct(__toks)) * 100)"
+                              " DIV n_tokens"))
+           .withColumn("symbol_ratio_x100",
+                       F.expr(f"(length(regexp_replace({text_col},"
+                              f" '[a-z0-9 ]', '')) * 100)"
+                              f" DIV length({text_col})")))
+    reasons = F.array_compact(F.array(
+        F.when(F.col("n_tokens") < min_tokens, F.lit("too_short")),
+        F.when(F.col("n_tokens") > max_tokens, F.lit("too_long")),
+        F.when(~F.col("__awl").between(300, 800), F.lit("word_len")),
+        F.when(F.expr("__stop DIV n_tokens") < 2, F.lit("no_stopwords")),
+        F.when(F.col("distinct_ratio_x100") < min_distinct_ratio,
+               F.lit("repetitive")),
+        F.when(F.col("symbol_ratio_x100") > max_symbol_ratio,
+               F.lit("symbols")),
+    ))
+    return (out.withColumn("fail_csv", F.array_join(reasons, ","))
+            .withColumn("passes", F.col("fail_csv") == "")
+            .select(id_col, "n_tokens", "distinct_ratio_x100",
+                    "symbol_ratio_x100", "fail_csv", "passes"))
+
+
 def lang_id(docs: DataFrame, text_col: str = "text",
             id_col: str = "doc_id") -> DataFrame:
     """Marker-vocabulary language heuristic: score = marker-token hits per

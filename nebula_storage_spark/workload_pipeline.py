@@ -63,6 +63,41 @@ def q_doc_fingerprint(spark, sf_dir):
     return doc_fingerprints(_docs(spark, sf_dir))
 
 
+def q_quality_filter(spark, sf_dir):
+    """Gopher-rule pass/fail verdicts with per-document failed-rule audit
+    trail (the curation gate that precedes dedup in a data pipeline)."""
+    from .pipeline.text import quality_filter
+    return quality_filter(_docs(spark, sf_dir))
+
+
+def _oracle_quality_filter(min_tokens: int = 30, max_tokens: int = 100_000,
+                           min_distinct: int = 40,
+                           max_symbol: int = 10) -> str:
+    stop = _marker_count(STOPWORDS)
+    return f"""
+WITH m AS (SELECT doc_id,
+  len(string_split(text, ' ')) AS n_tokens,
+  (length(replace(text, ' ', '')) * 100) // len(string_split(text, ' '))
+    AS awl,
+  ({stop} * 100) // len(string_split(text, ' ')) AS stop_x100,
+  (len(list_distinct(string_split(text, ' '))) * 100)
+    // len(string_split(text, ' ')) AS distinct_ratio_x100,
+  (length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) * 100) // length(text)
+    AS symbol_ratio_x100
+FROM documents),
+v AS (SELECT doc_id, n_tokens, distinct_ratio_x100, symbol_ratio_x100,
+  coalesce(array_to_string(list_filter([
+    CASE WHEN n_tokens < {min_tokens} THEN 'too_short' END,
+    CASE WHEN n_tokens > {max_tokens} THEN 'too_long' END,
+    CASE WHEN awl NOT BETWEEN 300 AND 800 THEN 'word_len' END,
+    CASE WHEN stop_x100 < 2 THEN 'no_stopwords' END,
+    CASE WHEN distinct_ratio_x100 < {min_distinct} THEN 'repetitive' END,
+    CASE WHEN symbol_ratio_x100 > {max_symbol} THEN 'symbols' END
+  ], x -> x IS NOT NULL), ','), '') AS fail_csv FROM m)
+SELECT doc_id, n_tokens, distinct_ratio_x100, symbol_ratio_x100, fail_csv,
+  fail_csv = '' AS passes FROM v"""
+
+
 def _sql_list(words) -> str:
     return "[" + ", ".join("'" + w.replace("'", "''") + "'" for w in words) + "]"
 
@@ -692,6 +727,7 @@ def build_pipeline_queries():
         "text_features": q_text_features,
         "lang_id": q_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
+        "quality_filter": q_quality_filter,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -773,6 +809,7 @@ def build_pipeline_oracles():
         "text_features": _oracle_text_features(),
         "lang_id": _oracle_lang_id(),
         "doc_fingerprint": _oracle_doc_fingerprint(),
+        "quality_filter": _oracle_quality_filter(),
         "dedup_exact":
             "SELECT doc_id, lang, source, n_chars FROM documents QUALIFY "
             "row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1",
