@@ -1353,6 +1353,27 @@ def q_source_csv_roundtrip(spark, sf_dir):
     return back
 
 
+def q_source_partitioned_pruning(spark, sf_dir):
+    """Hive-partitioned parquet sink + partition-pruned read: write the
+    order tag partitioned by o_orderstatus, read back one status. Only
+    that partition's directory is scanned — the plan carries the
+    predicate in PartitionFilters, not as a row filter
+    (tests/test_admin.py asserts it). At 100 TB this is the difference
+    between scanning one partition and the whole table; the same layout
+    discipline the reference gets from its part-prefixed key ranges
+    (utils/NebulaKeyUtils.h:97-99)."""
+    import os
+    g = tpch_graph(spark, sf_dir)
+    path = (f"/tmp/nebula_spark_src/{os.path.basename(sf_dir.rstrip('/'))}"
+            f"/orders_by_status")
+    (g.vertices["order"]
+     .write.mode("overwrite").partitionBy("o_orderstatus").parquet(path))
+    back = spark.read.parquet(path)
+    return (back.filter(F.col("o_orderstatus") == "F")
+            .select(VID, F.col("o_orderstatus").cast("string")
+                    .alias("o_orderstatus"), "o_totalprice"))
+
+
 def q_source_json_roundtrip(spark, sf_dir):
     """JSON source/sink adapter round trip (doubles + strings)."""
     import os
@@ -1609,6 +1630,9 @@ ORACLE_EXT["scan_edge_page"] = (
     "ORDER BY _src, _rank, _dst LIMIT 80")
 ORACLE_EXT["source_csv_roundtrip"] = (
     "SELECT n_nationkey AS _vid, n_name, n_regionkey FROM nation")
+ORACLE_EXT["source_partitioned_pruning"] = (
+    "SELECT o_orderkey AS _vid, o_orderstatus, o_totalprice "
+    "FROM orders WHERE o_orderstatus = 'F'")
 ORACLE_EXT["source_json_roundtrip"] = (
     "SELECT s_suppkey AS _vid, s_name, s_nationkey, "
     "round(s_acctbal, 2) AS s_acctbal FROM supplier")
@@ -2328,6 +2352,7 @@ def _core_queries() -> dict[str, Query]:
         "scan_edge_page": q_scan_edge_page,
         "source_csv_roundtrip": q_source_csv_roundtrip,
         "source_json_roundtrip": q_source_json_roundtrip,
+        "source_partitioned_pruning": q_source_partitioned_pruning,
         "go_two_hop": q_go_two_hop,
         "go_1_to_n": q_go_1_to_n,
         "subgraph": q_subgraph,

@@ -756,3 +756,15 @@ def test_kmeans_validates_params_and_is_deterministic(spark):
     b = sorted(map(tuple, kmeans_fixed(
         emb.repartition(7), k=2, iterations=3).collect()))
     assert a == b
+
+
+def test_partitioned_write_prunes_partitions(spark, sf_dir):
+    from nebula_storage_spark.workload import q_source_partitioned_pruning
+    df = q_source_partitioned_pruning(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the status predicate must prune partition directories, not filter rows
+    assert "PartitionFilters" in plan
+    assert "o_orderstatus" in plan.split("PartitionFilters", 1)[1][:200]
+    assert df.count() > 0
+    assert {r.o_orderstatus for r in df.select("o_orderstatus")
+            .distinct().collect()} == {"F"}
