@@ -184,8 +184,9 @@ def connected_components_fixed(edges: DataFrame, iterations: int = 3,
         labels = (labels.union(nbr)
                   .groupBy("node").agg(F.min("label").alias("label")))
         if i < iterations - 1:
-            labels = labels.persist()
-            labels.count()
+            # eager localCheckpoint: labels is referenced twice per round
+            # (neighbour join + union), so kept lineage doubles per round
+            labels = labels.localCheckpoint()
     return labels
 
 
@@ -241,8 +242,11 @@ def sssp_fixed(edges: DataFrame, source: int, iterations: int = 4,
         dist = (dist.union(relaxed)
                 .groupBy("node").agg(F.min("dist").alias("dist")))
         if i < iterations - 1:
-            dist = dist.persist()
-            dist.count()
+            # eager localCheckpoint, not persist: each round references
+            # dist twice (relax join + union), so kept lineage doubles
+            # per round and analyzer/AQE planning time overtakes the
+            # actual relaxation work by round 3-4
+            dist = dist.localCheckpoint()
     return dist
 
 
