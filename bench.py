@@ -48,6 +48,9 @@ HEADLINERS = [
     "range_click_attribution",  # interval join (bin-bucketed equi-join)
     "triangle_counts",    # degree-ordered triangle counting
     "sssp_distances",     # 4-round Bellman-Ford shortest paths
+    "kmeans_embeddings",  # integer fixed-point Lloyd clustering
+    "tpch_q5",            # snowflake join, broadcast dims
+    "tpch_q10",           # top-k returns with total-order limit
 ]
 
 

@@ -128,3 +128,58 @@ def test_go_sample_bounds_and_subset(spark, sf_dir, vids, k):
     md5_b = sorted((r._vid, r._rank, r._dst) for r in get_neighbors(
         g, vids, "placed", edge_props=[], sample=k).collect())
     assert md5_a == md5_b                           # md5 path deterministic
+
+
+@given(st.lists(st.tuples(st.integers(0, 6), st.integers(0, 6)),
+                min_size=1, max_size=15),
+       st.integers(min_value=1, max_value=3))
+@settings(max_examples=4, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_k_core_converged_degrees_meet_threshold(spark, edges, k):
+    """k-core invariant at convergence (rounds >= |V| suffices): every
+    surviving vertex has degree >= k inside the surviving subgraph, and
+    the survivor set is the MAXIMUM such subgraph (no peeled vertex
+    would have degree >= k against the survivors)."""
+    from nebula_storage_spark.operators.analytics import k_core_fixed
+    df = spark.createDataFrame(edges, "_src bigint, _dst bigint")
+    out = {r.node: r.degree
+           for r in k_core_fixed(df, k=k, rounds=8).collect()}
+    assert all(d >= k for d in out.values())
+    und = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    # python reference peel to the true k-core
+    nodes = {v for e in und for v in e}
+    cur = set(und)
+    while True:
+        deg = {}
+        for a, b in cur:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        keep = {v for v in nodes if deg.get(v, 0) >= k}
+        nxt = {(a, b) for a, b in cur if a in keep and b in keep}
+        if nxt == cur:
+            break
+        cur = nxt
+    expect = {}
+    for a, b in cur:
+        expect[a] = expect.get(a, 0) + 1
+        expect[b] = expect.get(b, 0) + 1
+    assert out == expect
+
+
+@given(st.lists(st.tuples(st.integers(0, 6), st.integers(0, 6)),
+                min_size=1, max_size=15))
+@settings(max_examples=4, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_label_propagation_labels_are_node_ids_and_stable(spark, edges):
+    """LPA invariants: every label is some vertex id of the graph, and
+    the result is identical under input repartitioning (determinism)."""
+    from nebula_storage_spark.operators.analytics import \
+        label_propagation_fixed
+    df = spark.createDataFrame(edges, "_src bigint, _dst bigint")
+    a = sorted(map(tuple,
+                   label_propagation_fixed(df, iterations=2).collect()))
+    b = sorted(map(tuple, label_propagation_fixed(
+        df.repartition(5), iterations=2).collect()))
+    assert a == b
+    nodes = {v for e in edges for v in e}
+    assert {lbl for _, lbl in a} <= nodes

@@ -112,6 +112,36 @@ SHOWCASE = {
         "91% of qualifying pairs cross IVF cells, so cell candidates "
         "can't keep the exact answer) spreads over B(B+1)/2 independent, "
         "memory-bounded join groups instead of one CartesianProduct."),
+    "triangle_counts": (
+        ("BroadcastHashJoin", "Exchange", "HashAggregate", "Generate"),
+        "Degree-ordered triangle closure: both wedge joins are "
+        "BroadcastHashJoin on the size-gated oriented edge frame, so the "
+        "Σ C(outdeg,2) wedge stream pipelines inside one codegen stage "
+        "and never hits an exchange; the closure probe key is packed into "
+        "one BIGINT (LongHashedRelation). Above the gate the hint drops "
+        "and the same joins run shuffled — the only feasible plan once "
+        "|E| exceeds executor memory."),
+    "source_partitioned_pruning": (
+        ("PartitionFilters", "PushedFilters", "ReadSchema"),
+        "Hive-partitioned sink read back with a status predicate: the "
+        "filter lands in PartitionFilters — directory-level pruning, no "
+        "rows of other partitions are read. The 100 TB posture for "
+        "status/date-sliced fact tables."),
+    "kmeans_embeddings": (
+        ("BroadcastNestedLoopJoin", "HashAggregate", "Exchange"),
+        "Lloyd assignment: the k-row centroid frame broadcasts into a "
+        "nested-loop join (k candidates per point — the intended "
+        "all-candidates compare), the integer distance evaluates as "
+        "zip_with/aggregate HOFs inside whole-stage codegen, and the "
+        "argmin is a min-of-struct hash aggregate. Shuffle volume per "
+        "iteration is n rows of (id, long, array) — no Python, no "
+        "row-at-a-time UDFs."),
+    "tpch_q5": (
+        ("BroadcastHashJoin", "Exchange", "PushedFilters"),
+        "Snowflake join: region/nation/supplier dims broadcast, the date "
+        "window reaches the orders scan as PushedFilters, and the only "
+        "exchanges are the store's load-time hash partitioning — the "
+        "lineitem×orders join runs on co-partitioned frames."),
 }
 
 
@@ -139,6 +169,9 @@ def main() -> None:
             df.explain("formatted")
         lines = [l for l in buf.getvalue().splitlines()
                  if any(k in l for k in keys)]
+        if len(lines) > 40:
+            lines = lines[:40] + [f"… ({len(lines) - 40} more matching "
+                                  "lines elided)"]
         out.append(f"## {name}")
         out.append("")
         out.append(commentary)
