@@ -84,3 +84,45 @@ def stream_distinct_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
          .outputMode("append").trigger(availableNow=True).start())
     q.awaitTermination()
     return spark.table(name).select("user_id", "event_type")
+
+
+def stream_session_windows(spark: SparkSession, sf_dir: str,
+                           gap: str = "30 minutes") -> DataFrame:
+    """Streaming session windows: per-user activity sessions that merge
+    while events arrive within `gap` of the running session — the
+    engine-managed counterpart of the batch sessionize operator
+    (operators/sessionize.py computes the same islands with window
+    functions). Complete output mode emits every session when the
+    AvailableNow drain finishes, which makes the result snapshot-
+    deterministic (append mode would hold back sessions newer than the
+    final watermark). On a continuous feed the same plan runs in append
+    mode with a watermark and bounded state.
+
+    Output: (user_id, session_start, session_end, n_events, sum_value) —
+    session_end is the last event + gap (Spark's session_window end).
+    """
+    import os
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = f"{sf_dir}/events.parquet"
+    stream_dir = (f"/tmp/nebula_stream/"
+                  f"{os.path.basename(sf_dir.rstrip('/'))}/events")
+    os.makedirs(stream_dir, exist_ok=True)
+    link = f"{stream_dir}/events.parquet"
+    if not os.path.islink(link):
+        os.symlink(path, link)
+    schema = spark.read.parquet(path).schema
+    raw = spark.readStream.schema(schema).parquet(stream_dir)
+    from nebula_storage_spark.graph import normalize_event_ts
+    ev = normalize_event_ts(raw).select("ts", "user_id", "value")
+    agg = (ev.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+           .agg(F.count(F.lit(1)).alias("n_events"),
+                F.sum(F.col("value").cast("decimal(18,2)"))
+                .cast("double").alias("sum_value")))
+    name = f"stream_sessions_{next(_COUNTER)}"
+    q = (agg.writeStream.format("memory").queryName(name)
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return (spark.table(name)
+            .select("user_id", F.col("w.start").alias("session_start"),
+                    F.col("w.end").alias("session_end"), "n_events",
+                    F.round("sum_value", 2).alias("sum_value")))

@@ -589,6 +589,15 @@ def q_stream_window(spark, sf_dir):
     return stream_events_windowed(spark, sf_dir)
 
 
+def q_stream_session_window(spark, sf_dir):
+    """Engine-managed streaming session windows (session_window + gap
+    merge) — the Structured-Streaming counterpart of the batch
+    sessionize operator; complete-mode AvailableNow drain makes the
+    emitted session set snapshot-deterministic."""
+    from .streaming.window import stream_session_windows
+    return stream_session_windows(spark, sf_dir, gap="30 minutes")
+
+
 def q_lookup_multi_index(spark, sf_dir):
     """Multi-index-context union + DeDupNode (rows 24-25): two index scans
     over the same table, unioned, deduped on the key."""
@@ -1560,6 +1569,23 @@ FROM s GROUP BY user_id, session_idx""",
         "SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS cnt, "
         "round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) "
         "AS sum_value FROM events GROUP BY date_trunc('hour', ts), event_type",
+    # gaps-and-islands with Spark's merge rule: two events share a session
+    # iff their gap is STRICTLY under the 30-minute gap (session windows
+    # are half-open [start, last+gap) — a touching event starts a new one)
+    "stream_session_window": """
+WITH m AS (SELECT user_id, ts, value,
+  CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+       OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+          >= INTERVAL '30 minutes' THEN 1 ELSE 0 END AS new_s
+  FROM events),
+s AS (SELECT user_id, ts, value,
+  sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS UNBOUNDED PRECEDING) AS sid FROM m)
+SELECT user_id, min(ts) AS session_start,
+  max(ts) + INTERVAL '30 minutes' AS session_end,
+  count(*) AS n_events,
+  round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value
+FROM s GROUP BY user_id, sid""",
 }
 ORACLE_EXT["pagerank"] = _oracle_pagerank()
 ORACLE_EXT["personalized_pagerank"] = _oracle_personalized_pagerank()
@@ -2330,6 +2356,7 @@ def _core_queries() -> dict[str, Query]:
         "expr_surface": q_expr_surface,
         "sessionize": q_sessionize,
         "stream_window": q_stream_window,
+        "stream_session_window": q_stream_session_window,
         "lookup_multi_index": q_lookup_multi_index,
         "upsert_returning": q_upsert_returning,
         "delete_tag_rows": q_delete_tag_rows,
