@@ -1,0 +1,135 @@
+"""Deterministic sketches: HyperLogLog cardinality estimation.
+
+At 100 TB, COUNT(DISTINCT) over a high-cardinality key is a full
+shuffle of every distinct value; an HLL sketch is a fixed 2^p-bucket
+state mergeable across partitions — the standard cardinality primitive
+of large-scale pipelines (and of every warehouse's approx_count_distinct).
+Spark's built-in approx_count_distinct uses an engine-private hash, so
+its output can't be oracle-checked. This implementation IS checkable:
+md5-keyed 60-bit hashes, integer bucket/rank extraction via length(bin())
+(exact msb, no float log2), and a final estimate computed with ONE
+integer division from exact integer sums — bit-identical in any engine
+with md5 + string ops, at any partitioning.
+
+The small-range linear-counting correction (raw HLL overestimates badly
+when n ≲ m) needs ln() — whose libm rounding differs across engines — so
+the m-entry correction table round(m·ln(m/V)) is precomputed in Python
+and embedded as identical integer constants in BOTH engines' expressions
+(an array lookup on the zero-bucket count V). Every in-engine step stays
+exact integer arithmetic.
+
+Scale: one narrow map (hash/bucket/rank) + a (group, bucket) max
+aggregate (≤ m rows per group survive the partial agg — the map-side
+combine does almost all the work) + a group-level sum. Shuffle volume is
+bounded by groups × m rows regardless of input size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# raw-estimator alpha for m = 2^p, as an exact integer A(p) =
+# round(alpha_m * m^2 * 2^53): est = A DIV S with
+# S = sum over buckets of 2^(53 - max_rank)  (exact integers throughout)
+_W_BITS = {p: 60 - p for p in range(4, 17)}
+
+
+def _alpha(m: int) -> float:
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1 + 1.079 / m)
+
+
+def _a_const(p: int) -> int:
+    m = 1 << p
+    return round(_alpha(m) * m * m * (1 << 53))
+
+
+def _lc_table(p: int) -> list[int]:
+    """Linear-counting estimates round(m·ln(m/V)) for V = 1..m zero
+    buckets — precomputed so neither engine evaluates ln()."""
+    import math
+    m = 1 << p
+    return [round(m * math.log(m / v)) for v in range(1, m + 1)]
+
+
+def hll_cardinality(df: DataFrame, key_col: str, group_cols: list[str],
+                    p: int = 8, prefix: str = "hll#") -> DataFrame:
+    """Per-group HLL cardinality estimate next to the exact distinct
+    count (n_est, n_exact) — the exact column doubles as the operator's
+    own accuracy witness. p ∈ [4, 16]."""
+    if not 4 <= p <= 16:
+        raise ValueError("hll_cardinality needs 4 <= p <= 16")
+    m = 1 << p
+    wb = _W_BITS[p]                  # rank field width; rho ∈ [1, wb+1]
+    top = wb + 1
+    a = _a_const(p)
+    h = (f"CAST(conv(substring(md5(concat('{prefix}', "
+         f"CAST({key_col} AS STRING))), 1, 15), 16, 10) AS BIGINT)")
+    d = df.select(*group_cols, F.expr(h).alias("__h"))
+    d = d.select(*group_cols,
+                 (F.col("__h") % m).alias("__bucket"),
+                 F.expr(f"__h DIV {m}").alias("__w"))
+    rho = F.when(F.col("__w") == 0, F.lit(top)) \
+        .otherwise(F.lit(top) - F.length(F.expr("bin(__w)")))
+    ranks = (d.select(*group_cols, "__bucket", rho.alias("__rho"))
+             .groupBy(*group_cols, "__bucket")
+             .agg(F.max("__rho").alias("__r")))
+    sums = (ranks.groupBy(*group_cols)
+            .agg(F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {top} - __r)"))
+                 .alias("__s_obs"),
+                 F.count(F.lit(1)).alias("__nb")))
+    lc = ", ".join(str(v) for v in _lc_table(p))
+    raw = (f"{a} DIV (__s_obs + ({m} - __nb) * "
+           f"shiftleft(CAST(1 AS BIGINT), {top}))")
+    # standard HLL decision rule: below 2.5m with zero buckets present,
+    # linear counting on the zero-bucket count V (table lookup) wins
+    est = sums.select(
+        *group_cols,
+        F.expr(f"CASE WHEN ({m} - __nb) > 0 AND ({raw}) * 2 <= {5 * m} "
+               f"THEN element_at(array({lc}), CAST({m} - __nb AS INT)) "
+               f"ELSE {raw} END").cast("long").alias("n_est"))
+    exact = (df.groupBy(*group_cols)
+             .agg(F.countDistinct(key_col).alias("n_exact")))
+    return est.join(exact, group_cols)
+
+
+def hll_oracle_sql(table: str, key_col: str, group_cols: list[str],
+                   p: int = 8, prefix: str = "hll#") -> str:
+    """DuckDB oracle: the same hash → bucket/rank → integer estimate.
+    The 60-bit md5 prefix converts via the hex-digit list_reduce (DuckDB
+    lacks conv(s, 16, 10) for arbitrary width)."""
+    m = 1 << p
+    top = _W_BITS[p] + 1
+    a = _a_const(p)
+    lc = ", ".join(str(v) for v in _lc_table(p))
+    gc = ", ".join(group_cols)
+    h = (f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+         f"list_transform(string_split(substr(md5('{prefix}' || "
+         f"CAST({key_col} AS VARCHAR)), 1, 15), ''), "
+         f"c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))), "
+         f"(a, b) -> a * 16 + b)")
+    return f"""
+WITH d AS (SELECT {gc}, {h} AS h FROM {table}),
+b AS (SELECT {gc}, h % {m} AS bucket, h // {m} AS w FROM d),
+r AS (SELECT {gc}, bucket,
+      max(CASE WHEN w = 0 THEN {top}
+          ELSE {top} - length(bin(w)) END) AS r
+      FROM b GROUP BY {gc}, bucket),
+s AS (SELECT {gc},
+      sum((CAST(1 AS BIGINT) << ({top} - r))) AS s_obs,
+      count(*) AS nb FROM r GROUP BY {gc}),
+e AS (SELECT {gc}, CAST(CASE
+      WHEN ({m} - nb) > 0 AND ({a} // (s_obs + ({m} - nb) *
+           (CAST(1 AS BIGINT) << {top}))) * 2 <= {5 * m}
+      THEN [{lc}][CAST({m} - nb AS INTEGER)]
+      ELSE {a} // (s_obs + ({m} - nb) * (CAST(1 AS BIGINT) << {top}))
+      END AS BIGINT) AS n_est
+      FROM s),
+x AS (SELECT {gc}, count(DISTINCT {key_col}) AS n_exact
+      FROM {table} GROUP BY {gc})
+SELECT e.*, x.n_exact FROM e JOIN x USING ({gc})"""

@@ -589,6 +589,16 @@ def q_stream_window(spark, sf_dir):
     return stream_events_windowed(spark, sf_dir)
 
 
+def q_hll_distinct_users(spark, sf_dir):
+    """HLL cardinality estimate of distinct users per event type, next
+    to the exact count (the estimate's own accuracy witness). Shuffle
+    volume is groups × 2^p rows regardless of input size — the sketch
+    that replaces COUNT(DISTINCT)'s full-value shuffle at 100 TB."""
+    from .operators.sketch import hll_cardinality
+    ev = load_events(spark, sf_dir).select("event_type", "user_id")
+    return hll_cardinality(ev, "user_id", ["event_type"], p=8)
+
+
 def q_stream_session_window(spark, sf_dir):
     """Engine-managed streaming session windows (session_window + gap
     merge) — the Structured-Streaming counterpart of the batch
@@ -1587,6 +1597,14 @@ SELECT user_id, min(ts) AS session_start,
   round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value
 FROM s GROUP BY user_id, sid""",
 }
+
+
+def _oracle_hll() -> str:
+    from .operators.sketch import hll_oracle_sql
+    return hll_oracle_sql("events", "user_id", ["event_type"], p=8)
+
+
+ORACLE_EXT["hll_distinct_users"] = _oracle_hll()
 ORACLE_EXT["pagerank"] = _oracle_pagerank()
 ORACLE_EXT["personalized_pagerank"] = _oracle_personalized_pagerank()
 ORACLE_EXT["go_grouped"] = (
@@ -2357,6 +2375,7 @@ def _core_queries() -> dict[str, Query]:
         "sessionize": q_sessionize,
         "stream_window": q_stream_window,
         "stream_session_window": q_stream_session_window,
+        "hll_distinct_users": q_hll_distinct_users,
         "lookup_multi_index": q_lookup_multi_index,
         "upsert_returning": q_upsert_returning,
         "delete_tag_rows": q_delete_tag_rows,

@@ -768,3 +768,23 @@ def test_partitioned_write_prunes_partitions(spark, sf_dir):
     assert df.count() > 0
     assert {r.o_orderstatus for r in df.select("o_orderstatus")
             .distinct().collect()} == {"F"}
+
+
+def test_hll_estimate_within_tolerance(spark):
+    from nebula_storage_spark.operators.sketch import hll_cardinality
+    import pytest as _pytest
+    rows = [(("g1" if i % 2 == 0 else "g2"), i) for i in range(4000)]
+    df = spark.createDataFrame(rows, "grp string, k bigint")
+    got = {r.grp: (r.n_est, r.n_exact)
+           for r in hll_cardinality(df, "k", ["grp"], p=8).collect()}
+    for grp, (est, exact) in got.items():
+        assert exact == 2000
+        assert abs(est - exact) / exact < 0.10, (grp, est)
+    # small-range regime goes through the linear-counting branch
+    small = spark.createDataFrame([("g", i) for i in range(50)],
+                                  "grp string, k bigint")
+    [(est, exact)] = [(r.n_est, r.n_exact) for r in
+                      hll_cardinality(small, "k", ["grp"], p=8).collect()]
+    assert exact == 50 and abs(est - exact) <= 10
+    with _pytest.raises(ValueError):
+        hll_cardinality(df, "k", ["grp"], p=2)
