@@ -98,6 +98,81 @@ def hll_cardinality(df: DataFrame, key_col: str, group_cols: list[str],
     return est.join(exact, group_cols)
 
 
+def _cm_bucket(j: int, col_sql: str, w: int, prefix: str) -> str:
+    """Row-j bucket of the count-min sketch: 60-bit md5 prefix mod w —
+    portable to any engine with md5 (the DuckDB oracle re-derives the
+    identical expression)."""
+    return (f"CAST(conv(substring(md5(concat('{prefix}{j}#', "
+            f"CAST({col_sql} AS STRING))), 1, 15), 16, 10) AS BIGINT)"
+            f" % {w}")
+
+
+def count_min_estimates(items: DataFrame, queries: DataFrame,
+                        item_col: str = "item", d: int = 4,
+                        w: int = 1024, prefix: str = "cm") -> DataFrame:
+    """Count-min sketch frequency estimates: build a d×w integer sketch
+    over the item stream, then answer each query item with
+    min_j sketch[j][h_j(x)] — an upper bound on the true count that
+    overestimates by at most the colliding mass (≈ d-th order min of
+    N/w). The sketch is d·w cells REGARDLESS of input size: the
+    map-side partial aggregate compresses every partition to ≤ d·w
+    rows, so the shuffle is constant-size — the 100 TB substitute for
+    a full token histogram when only point lookups are needed.
+
+    `queries` must carry `item_col`; output (item, cnt_est).
+    """
+    if d < 1 or w < 2:
+        raise ValueError("count_min_estimates needs d >= 1 and w >= 2")
+    rows = []
+    for j in range(d):
+        rows.append(items.select(
+            F.lit(j).alias("__j"),
+            F.expr(_cm_bucket(j, item_col, w, prefix)).alias("__b")))
+    stream = rows[0]
+    for r in rows[1:]:
+        stream = stream.unionByName(r)
+    sketch = (stream.groupBy("__j", "__b")
+              .agg(F.count(F.lit(1)).alias("__c")))
+    probes = None
+    for j in range(d):
+        p = queries.select(
+            item_col, F.lit(j).alias("__j"),
+            F.expr(_cm_bucket(j, item_col, w, prefix)).alias("__b"))
+        probes = p if probes is None else probes.unionByName(p)
+    # missing sketch cells are true zeros (no item hashed there)
+    joined = probes.join(sketch, ["__j", "__b"], "left") \
+        .select(item_col, F.coalesce("__c", F.lit(0)).alias("__c"))
+    return (joined.groupBy(item_col)
+            .agg(F.min("__c").alias("cnt_est")))
+
+
+def count_min_oracle_sql(items_sql: str, queries_sql: str,
+                         item_col: str = "item", d: int = 4,
+                         w: int = 1024, prefix: str = "cm") -> str:
+    """DuckDB oracle: identical sketch built with the hex-digit
+    list_reduce hash. `items_sql` / `queries_sql` must yield `item_col`."""
+    def bucket(j: int, col: str) -> str:
+        return (f"(list_reduce(list_prepend(CAST(0 AS BIGINT), "
+                f"list_transform(string_split(substr(md5('{prefix}{j}#' || "
+                f"CAST({col} AS VARCHAR)), 1, 15), ''), "
+                f"c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))), "
+                f"(a, b) -> a * 16 + b) % {w})")
+    stream = " UNION ALL ".join(
+        f"SELECT {j} AS j, {bucket(j, item_col)} AS b FROM its"
+        for j in range(d))
+    probes = " UNION ALL ".join(
+        f"SELECT {item_col}, {j} AS j, {bucket(j, item_col)} AS b FROM qs"
+        for j in range(d))
+    return f"""
+WITH its AS ({items_sql}),
+qs AS ({queries_sql}),
+stream AS ({stream}),
+sk AS (SELECT j, b, count(*) AS c FROM stream GROUP BY j, b),
+pr AS ({probes})
+SELECT {item_col}, min(coalesce(sk.c, 0)) AS cnt_est
+FROM pr LEFT JOIN sk USING (j, b) GROUP BY {item_col}"""
+
+
 def hll_oracle_sql(table: str, key_col: str, group_cols: list[str],
                    p: int = 8, prefix: str = "hll#") -> str:
     """DuckDB oracle: the same hash → bucket/rank → integer estimate.

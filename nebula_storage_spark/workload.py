@@ -599,6 +599,35 @@ def q_hll_distinct_users(spark, sf_dir):
     return hll_cardinality(ev, "user_id", ["event_type"], p=8)
 
 
+def q_cms_token_counts(spark, sf_dir):
+    """Count-min sketch frequency estimates for the corpus's top-20
+    tokens, next to the exact counts. The sketch compresses any token
+    stream to d×w cells before the shuffle — the constant-size
+    heavy-hitter substitute for a full histogram at 100 TB."""
+    from .operators.sketch import count_min_estimates
+    from .workload_pipeline import _docs
+    tok = (_docs(spark, sf_dir)
+           .select(F.explode(F.split("text", " ")).alias("item")))
+    counts = tok.groupBy("item").agg(F.count(F.lit(1)).alias("cnt_exact"))
+    top = (counts
+           .withColumn("_rn", F.row_number().over(
+               W.orderBy(F.col("cnt_exact").desc(), "item")))
+           .filter(F.col("_rn") <= 20).drop("_rn"))
+    est = count_min_estimates(tok, top.select("item"))
+    return top.join(est, "item")
+
+
+def _oracle_cms() -> str:
+    from .operators.sketch import count_min_oracle_sql
+    items = "SELECT unnest(string_split(text, ' ')) AS item FROM documents"
+    top = ("SELECT item, count(*) AS cnt_exact FROM ("
+           + items + ") GROUP BY item "
+           "ORDER BY cnt_exact DESC, item LIMIT 20")
+    cms = count_min_oracle_sql(items, "SELECT item FROM top", "item")
+    return (f"WITH top AS ({top}), est AS ({cms}) "
+            f"SELECT item, cnt_exact, cnt_est FROM top JOIN est USING (item)")
+
+
 def q_stream_session_window(spark, sf_dir):
     """Engine-managed streaming session windows (session_window + gap
     merge) — the Structured-Streaming counterpart of the batch
@@ -1605,6 +1634,7 @@ def _oracle_hll() -> str:
 
 
 ORACLE_EXT["hll_distinct_users"] = _oracle_hll()
+ORACLE_EXT["cms_token_counts"] = _oracle_cms()
 ORACLE_EXT["pagerank"] = _oracle_pagerank()
 ORACLE_EXT["personalized_pagerank"] = _oracle_personalized_pagerank()
 ORACLE_EXT["go_grouped"] = (
@@ -2376,6 +2406,7 @@ def _core_queries() -> dict[str, Query]:
         "stream_window": q_stream_window,
         "stream_session_window": q_stream_session_window,
         "hll_distinct_users": q_hll_distinct_users,
+        "cms_token_counts": q_cms_token_counts,
         "lookup_multi_index": q_lookup_multi_index,
         "upsert_returning": q_upsert_returning,
         "delete_tag_rows": q_delete_tag_rows,

@@ -788,3 +788,20 @@ def test_hll_estimate_within_tolerance(spark):
     assert exact == 50 and abs(est - exact) <= 10
     with _pytest.raises(ValueError):
         hll_cardinality(df, "k", ["grp"], p=2)
+
+
+def test_count_min_overestimates_only_and_exact_when_sparse(spark):
+    from nebula_storage_spark.operators.sketch import count_min_estimates
+    import pytest as _pytest
+    # 3 items, huge sketch → no collisions: estimates are exact;
+    # the operator must never under-estimate
+    items = spark.createDataFrame(
+        [("a",)] * 5 + [("b",)] * 3 + [("c",)], "item string")
+    qs = spark.createDataFrame([("a",), ("b",), ("c",), ("zz",)],
+                               "item string")
+    got = {r.item: r.cnt_est
+           for r in count_min_estimates(items, qs, w=4096).collect()}
+    assert got["a"] == 5 and got["b"] == 3 and got["c"] == 1
+    assert got["zz"] == 0      # absent item: all cells may be 0
+    with _pytest.raises(ValueError):
+        count_min_estimates(items, qs, d=0)
