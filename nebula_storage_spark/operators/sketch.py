@@ -173,6 +173,67 @@ SELECT {item_col}, min(coalesce(sk.c, 0)) AS cnt_est
 FROM pr LEFT JOIN sk USING (j, b) GROUP BY {item_col}"""
 
 
+def bloom_membership(items: DataFrame, queries: DataFrame,
+                     item_col: str = "item", k: int = 4,
+                     m_bits: int = 16384,
+                     prefix: str = "bf") -> DataFrame:
+    """Bloom-filter membership: build the set-bit frame (≤ m_bits rows,
+    whatever the input size) from k md5-keyed hash positions per item,
+    then probe each query item — `maybe_present` is true iff ALL k of
+    its positions are set. No false negatives; false-positive rate
+    ≈ (1 - e^(-k·n/m))^k. This is the broadcast pre-filter pattern: at
+    scale the tiny bit frame broadcasts to prune a huge probe side
+    before an exact join (Spark's own runtime bloom filters do the same
+    inside AQE; this one is portable and oracle-checkable).
+
+    Output: (item, maybe_present).
+    """
+    if k < 1 or m_bits < 2:
+        raise ValueError("bloom_membership needs k >= 1 and m_bits >= 2")
+    bits = None
+    for j in range(k):
+        b = items.select(
+            F.expr(_cm_bucket(j, item_col, m_bits, prefix)).alias("__pos"))
+        bits = b if bits is None else bits.unionByName(b)
+    bits = bits.distinct().withColumn("__hit", F.lit(1))
+    probes = None
+    for j in range(k):
+        p = queries.select(
+            item_col,
+            F.expr(_cm_bucket(j, item_col, m_bits, prefix)).alias("__pos"))
+        probes = p if probes is None else probes.unionByName(p)
+    joined = probes.join(F.broadcast(bits), "__pos", "left")
+    return (joined.groupBy(item_col)
+            .agg((F.sum(F.coalesce("__hit", F.lit(0))) == k)
+                 .alias("maybe_present")))
+
+
+def bloom_oracle_sql(items_sql: str, queries_sql: str,
+                     item_col: str = "item", k: int = 4,
+                     m_bits: int = 16384, prefix: str = "bf") -> str:
+    """DuckDB oracle for bloom_membership (hex-digit list_reduce hash)."""
+    def bucket(j: int, col: str) -> str:
+        return (f"(list_reduce(list_prepend(CAST(0 AS BIGINT), "
+                f"list_transform(string_split(substr(md5('{prefix}{j}#' || "
+                f"CAST({col} AS VARCHAR)), 1, 15), ''), "
+                f"c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))), "
+                f"(a, b) -> a * 16 + b) % {m_bits})")
+    bits = " UNION ".join(
+        f"SELECT {bucket(j, item_col)} AS pos FROM its" for j in range(k))
+    probes = " UNION ALL ".join(
+        f"SELECT {item_col}, {bucket(j, item_col)} AS pos FROM qs"
+        for j in range(k))
+    return f"""
+WITH its AS ({items_sql}),
+qs AS ({queries_sql}),
+bits AS ({bits}),
+pr AS ({probes})
+SELECT {item_col},
+  sum(CASE WHEN bits.pos IS NOT NULL THEN 1 ELSE 0 END) = {k}
+    AS maybe_present
+FROM pr LEFT JOIN bits USING (pos) GROUP BY {item_col}"""
+
+
 def hll_oracle_sql(table: str, key_col: str, group_cols: list[str],
                    p: int = 8, prefix: str = "hll#") -> str:
     """DuckDB oracle: the same hash → bucket/rank → integer estimate.

@@ -617,6 +617,42 @@ def q_cms_token_counts(spark, sf_dir):
     return top.join(est, "item")
 
 
+def q_bloom_vocab_probe(spark, sf_dir):
+    """Bloom-filter pre-filter: the distinct vocabulary of 'benchmark'
+    docs (doc_id < 20) becomes a ≤m-bit set-bit frame; every corpus
+    token probes it. Output marks probable members next to ground
+    truth — false positives visible, false negatives impossible. At
+    scale the bit frame broadcasts to prune the probe side before an
+    exact decontamination join."""
+    from .operators.sketch import bloom_membership
+    from .workload_pipeline import _docs
+    docs = _docs(spark, sf_dir)
+    tok = docs.select("doc_id",
+                      F.explode(F.split("text", " ")).alias("item"))
+    bench = (tok.filter(F.col("doc_id") < 20)
+             .select("item").distinct())
+    allt = tok.select("item").distinct()
+    out = bloom_membership(bench, allt, k=4, m_bits=4096)
+    truth = bench.withColumn("actually_present", F.lit(True))
+    return (out.join(truth, "item", "left")
+            .select("item", "maybe_present",
+                    F.coalesce("actually_present", F.lit(False))
+                    .alias("actually_present")))
+
+
+def _oracle_bloom() -> str:
+    from .operators.sketch import bloom_oracle_sql
+    toks = ("SELECT doc_id, unnest(string_split(text, ' ')) AS item "
+            "FROM documents")
+    bench = (f"SELECT DISTINCT item FROM ({toks}) WHERE doc_id < 20")
+    allt = f"SELECT DISTINCT item FROM ({toks})"
+    bl = bloom_oracle_sql(bench, allt, k=4, m_bits=4096)
+    return (f"WITH bm AS ({bl}), tr AS ({bench}) "
+            "SELECT bm.item, bm.maybe_present, "
+            "tr.item IS NOT NULL AS actually_present "
+            "FROM bm LEFT JOIN tr USING (item)")
+
+
 def _oracle_cms() -> str:
     from .operators.sketch import count_min_oracle_sql
     items = "SELECT unnest(string_split(text, ' ')) AS item FROM documents"
@@ -1635,6 +1671,7 @@ def _oracle_hll() -> str:
 
 ORACLE_EXT["hll_distinct_users"] = _oracle_hll()
 ORACLE_EXT["cms_token_counts"] = _oracle_cms()
+ORACLE_EXT["bloom_vocab_probe"] = _oracle_bloom()
 ORACLE_EXT["pagerank"] = _oracle_pagerank()
 ORACLE_EXT["personalized_pagerank"] = _oracle_personalized_pagerank()
 ORACLE_EXT["go_grouped"] = (
@@ -2407,6 +2444,7 @@ def _core_queries() -> dict[str, Query]:
         "stream_session_window": q_stream_session_window,
         "hll_distinct_users": q_hll_distinct_users,
         "cms_token_counts": q_cms_token_counts,
+        "bloom_vocab_probe": q_bloom_vocab_probe,
         "lookup_multi_index": q_lookup_multi_index,
         "upsert_returning": q_upsert_returning,
         "delete_tag_rows": q_delete_tag_rows,

@@ -805,3 +805,24 @@ def test_count_min_overestimates_only_and_exact_when_sparse(spark):
     assert got["zz"] == 0      # absent item: all cells may be 0
     with _pytest.raises(ValueError):
         count_min_estimates(items, qs, d=0)
+
+
+def test_bloom_no_false_negatives(spark):
+    from nebula_storage_spark.operators.sketch import bloom_membership
+    import pytest as _pytest
+    members = spark.createDataFrame([(f"m{i}",) for i in range(50)],
+                                    "item string")
+    probes = spark.createDataFrame(
+        [(f"m{i}",) for i in range(50)] + [(f"x{i}",) for i in range(200)],
+        "item string")
+    got = {r.item: r.maybe_present
+           for r in bloom_membership(members, probes,
+                                     k=4, m_bits=8192).collect()}
+    # every true member must test positive (no false negatives)
+    assert all(got[f"m{i}"] for i in range(50))
+    # with m >> k*n the false-positive rate is tiny: most non-members
+    # must test negative (allow a couple of collisions)
+    fps = sum(1 for i in range(200) if got[f"x{i}"])
+    assert fps <= 5
+    with _pytest.raises(ValueError):
+        bloom_membership(members, probes, k=0)
