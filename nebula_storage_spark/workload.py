@@ -617,6 +617,60 @@ def q_cms_token_counts(spark, sf_dir):
     return top.join(est, "item")
 
 
+def q_events_value_percentiles(spark, sf_dir):
+    """Histogram-sketch percentiles (P50/P90/P99) of event value per
+    event type: fixed-width bins (the t-digest/HDR-histogram surrogate
+    that is exactly mergeable and engine-portable), answer = lower bound
+    of the first bin whose cumulative count reaches ceil(p·n/100).
+    Shuffle is bounded by types × bins regardless of input size; exact
+    percentiles over doubles would need a full sort AND differ across
+    engines' interpolation rules."""
+    ev = load_events(spark, sf_dir).select("event_type", "value")
+    width = 5  # bin width in value units; values land in [0, ~500]
+    bins = (ev.select("event_type",
+                      F.expr(f"CAST(floor(value / {width}) AS BIGINT)")
+                      .alias("bin"))
+            .groupBy("event_type", "bin")
+            .agg(F.count(F.lit(1)).alias("cnt")))
+    wcum = W.partitionBy("event_type").orderBy("bin") \
+        .rowsBetween(W.unboundedPreceding, 0)
+    wtot = W.partitionBy("event_type")
+    cum = bins.select(
+        "event_type", "bin",
+        F.sum("cnt").over(wcum).alias("cum"),
+        F.sum("cnt").over(wtot).alias("total"))
+    out = None
+    for p in (50, 90, 99):
+        # nearest-rank (floor variant, min 1): DIV truncates identically
+        # in both engines, so the rank is engine-portable by construction
+        need = F.expr(f"greatest(CAST(({p} * total) DIV 100 AS BIGINT), "
+                      f"CAST(1 AS BIGINT))")
+        hit = (cum.filter(F.col("cum") >= need)
+               .groupBy("event_type")
+               .agg(F.min("bin").alias("bin"))
+               .select("event_type", F.lit(p).alias("p"),
+                       (F.col("bin") * width).cast("long")
+                       .alias("approx_lo")))
+        out = hit if out is None else out.unionByName(hit)
+    return out
+
+
+ORACLE_WIDTH = 5
+ORACLE_EXT_PCT = " UNION ALL ".join(f"""
+SELECT event_type, {p} AS p, CAST(bin * {ORACLE_WIDTH} AS BIGINT)
+  AS approx_lo FROM (
+  SELECT event_type, min(bin) AS bin FROM (
+    SELECT event_type, bin,
+      sum(cnt) OVER (PARTITION BY event_type ORDER BY bin
+                     ROWS UNBOUNDED PRECEDING) AS cum,
+      sum(cnt) OVER (PARTITION BY event_type) AS total
+    FROM (SELECT event_type,
+          CAST(floor(value / {ORACLE_WIDTH}) AS BIGINT) AS bin,
+          count(*) AS cnt FROM events GROUP BY 1, 2))
+  WHERE cum >= greatest(({p} * total) // 100, 1) GROUP BY event_type)"""
+                                    for p in (50, 90, 99))
+
+
 def q_bloom_vocab_probe(spark, sf_dir):
     """Bloom-filter pre-filter: the distinct vocabulary of 'benchmark'
     docs (doc_id < 20) becomes a ≤m-bit set-bit frame; every corpus
@@ -1672,6 +1726,7 @@ def _oracle_hll() -> str:
 ORACLE_EXT["hll_distinct_users"] = _oracle_hll()
 ORACLE_EXT["cms_token_counts"] = _oracle_cms()
 ORACLE_EXT["bloom_vocab_probe"] = _oracle_bloom()
+ORACLE_EXT["events_value_percentiles"] = ORACLE_EXT_PCT
 ORACLE_EXT["pagerank"] = _oracle_pagerank()
 ORACLE_EXT["personalized_pagerank"] = _oracle_personalized_pagerank()
 ORACLE_EXT["go_grouped"] = (
@@ -2445,6 +2500,7 @@ def _core_queries() -> dict[str, Query]:
         "hll_distinct_users": q_hll_distinct_users,
         "cms_token_counts": q_cms_token_counts,
         "bloom_vocab_probe": q_bloom_vocab_probe,
+        "events_value_percentiles": q_events_value_percentiles,
         "lookup_multi_index": q_lookup_multi_index,
         "upsert_returning": q_upsert_returning,
         "delete_tag_rows": q_delete_tag_rows,
