@@ -2272,6 +2272,50 @@ def _oracle_triangles() -> str:
 ORACLE_EXT["triangle_counts"] = _oracle_triangles()
 
 
+def q_clustering_coefficient(spark, sf_dir):
+    """Local clustering coefficient over the co-order projection:
+    cc(v) = 2·T(v) / (deg(v)·(deg(v)−1)) as an x10000 integer ratio —
+    composes the degree-ordered triangle counts with the simple-graph
+    degrees (nodes in ≥1 triangle)."""
+    from .operators.analytics import triangle_counts
+    pairs = _co_order_pairs(spark, sf_dir).persist()
+    tri = triangle_counts(pairs)
+    a, b = F.col(SRC), F.col(DST)
+    und = (pairs.filter(a != b)
+           .select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
+           .distinct())
+    deg = (und.select(F.col("a").alias("node"))
+           .union(und.select(F.col("b").alias("node")))
+           .groupBy("node").agg(F.count(F.lit(1)).alias("degree")))
+    return (tri.join(deg, "node")
+            .select("node", "degree", "n_triangles",
+                    F.expr("(2 * n_triangles * 10000) DIV "
+                           "(degree * (degree - 1))").alias("cc_x10000")))
+
+
+def _oracle_clustering() -> str:
+    return """
+WITH e0 AS (SELECT l1.l_partkey AS src, l2.l_partkey AS dst
+  FROM lineitem l1 JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey
+  AND l1.l_partkey < l2.l_partkey),
+e AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM e0 WHERE src <> dst),
+t AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM e e1 JOIN e e2 ON e2.a = e1.b
+  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+tc AS (SELECT node, count(*) AS n_triangles FROM (
+  SELECT x AS node FROM t UNION ALL SELECT y FROM t
+  UNION ALL SELECT z FROM t) GROUP BY node),
+deg AS (SELECT node, count(*) AS degree FROM (
+  SELECT a AS node FROM e UNION ALL SELECT b FROM e) GROUP BY node)
+SELECT node, degree, n_triangles,
+  (2 * n_triangles * 10000) // (degree * (degree - 1)) AS cc_x10000
+FROM tc JOIN deg USING (node)"""
+
+
+ORACLE_EXT["clustering_coefficient"] = _oracle_clustering()
+
+
 def q_label_propagation(spark, sf_dir):
     """Deterministic label propagation (3 synchronous rounds, most-
     frequent-neighbour-label, ties to the smallest label) over the same
@@ -2501,6 +2545,7 @@ def _core_queries() -> dict[str, Query]:
         "cms_token_counts": q_cms_token_counts,
         "bloom_vocab_probe": q_bloom_vocab_probe,
         "events_value_percentiles": q_events_value_percentiles,
+        "clustering_coefficient": q_clustering_coefficient,
         "lookup_multi_index": q_lookup_multi_index,
         "upsert_returning": q_upsert_returning,
         "delete_tag_rows": q_delete_tag_rows,
