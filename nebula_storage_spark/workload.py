@@ -2272,6 +2272,83 @@ def _oracle_triangles() -> str:
 ORACLE_EXT["triangle_counts"] = _oracle_triangles()
 
 
+def q_weighted_sample_docs(spark, sf_dir):
+    """Length-weighted sample of 50 documents without replacement:
+    deterministic priority = hash(doc_id) DIV weight, keep the 50
+    smallest (an integer surrogate of the exponential-keys A-ES scheme —
+    heavier docs draw proportionally smaller priorities). One pass, one
+    top-k; no RNG, so any engine reproduces the same sample."""
+    from .workload_pipeline import _docs
+    docs = _docs(spark, sf_dir)
+    pri = ("CAST(conv(substring(md5(concat('ws#', CAST(doc_id AS STRING))),"
+           " 1, 15), 16, 10) AS BIGINT) DIV greatest(n_chars, 1)")
+    w = W.orderBy(F.col("priority"), "doc_id")
+    return (docs.select("doc_id", "n_chars", F.expr(pri).alias("priority"))
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= 50).drop("_rn"))
+
+
+ORACLE_EXT["weighted_sample_docs"] = """
+SELECT doc_id, n_chars, priority FROM (
+  SELECT doc_id, n_chars,
+    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      list_transform(string_split(substr(md5('ws#' ||
+        CAST(doc_id AS VARCHAR)), 1, 15), ''),
+      c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))),
+      (a, b) -> a * 16 + b) // greatest(n_chars, 1) AS priority
+  FROM documents)
+ORDER BY priority, doc_id LIMIT 50"""
+
+
+def q_degree_assortativity(spark, sf_dir):
+    """Degree assortativity of the co-order projection: Pearson r over
+    the symmetric ordered endpoint-degree pairs, accumulated as exact
+    integer sums with ONE final IEEE expression (floor(r·10⁴)) — sqrt
+    and division are correctly rounded, so identical integer inputs give
+    the identical double in any engine."""
+    pairs = _co_order_pairs(spark, sf_dir)
+    a, b = F.col(SRC), F.col(DST)
+    und = (pairs.filter(a != b)
+           .select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
+           .distinct())
+    deg = (und.select(F.col("a").alias("v"))
+           .union(und.select(F.col("b").alias("v")))
+           .groupBy("v").agg(F.count(F.lit(1)).alias("d")))
+    ann = (und
+           .join(deg.select(F.col("v").alias("a"), F.col("d").alias("da")),
+                 "a")
+           .join(deg.select(F.col("v").alias("b"), F.col("d").alias("db")),
+                 "b"))
+    sums = (ann.select(
+        (F.col("da") + F.col("db")).alias("sx"),
+        (F.col("da") * F.col("da") + F.col("db") * F.col("db")).alias("sx2"),
+        (F.lit(2) * F.col("da") * F.col("db")).alias("sxy"))
+        .agg(F.count(F.lit(1)).alias("m"),
+             F.sum("sx").alias("sx"), F.sum("sx2").alias("sx2"),
+             F.sum("sxy").alias("sxy")))
+    return sums.select(F.expr(
+        "CAST(floor((CAST(2 * m AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sx)"
+        " / (CAST(2 * m AS DOUBLE) * sx2 - CAST(sx AS DOUBLE) * sx)"
+        " * 10000) AS BIGINT)").alias("assortativity_x10000"))
+
+
+ORACLE_EXT["degree_assortativity"] = """
+WITH e0 AS (SELECT l1.l_partkey AS src, l2.l_partkey AS dst
+  FROM lineitem l1 JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey
+  AND l1.l_partkey < l2.l_partkey),
+e AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM e0 WHERE src <> dst),
+deg AS (SELECT v, count(*) AS d FROM (
+  SELECT a AS v FROM e UNION ALL SELECT b FROM e) GROUP BY v),
+ann AS (SELECT d1.d AS da, d2.d AS db FROM e
+  JOIN deg d1 ON d1.v = e.a JOIN deg d2 ON d2.v = e.b),
+s AS (SELECT count(*) AS m, sum(da + db) AS sx,
+  sum(da * da + db * db) AS sx2, sum(2 * da * db) AS sxy FROM ann)
+SELECT CAST(floor((CAST(2 * m AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sx)
+  / (CAST(2 * m AS DOUBLE) * sx2 - CAST(sx AS DOUBLE) * sx)
+  * 10000) AS BIGINT) AS assortativity_x10000 FROM s"""
+
+
 def q_clustering_coefficient(spark, sf_dir):
     """Local clustering coefficient over the co-order projection:
     cc(v) = 2·T(v) / (deg(v)·(deg(v)−1)) as an x10000 integer ratio —
@@ -2546,6 +2623,8 @@ def _core_queries() -> dict[str, Query]:
         "bloom_vocab_probe": q_bloom_vocab_probe,
         "events_value_percentiles": q_events_value_percentiles,
         "clustering_coefficient": q_clustering_coefficient,
+        "weighted_sample_docs": q_weighted_sample_docs,
+        "degree_assortativity": q_degree_assortativity,
         "lookup_multi_index": q_lookup_multi_index,
         "upsert_returning": q_upsert_returning,
         "delete_tag_rows": q_delete_tag_rows,
