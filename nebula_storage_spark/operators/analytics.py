@@ -283,6 +283,68 @@ def sssp_oracle_sql(edges_sql: str, source: int,
 TRIANGLE_BROADCAST_MAX_EDGES = 5_000_000
 
 
+def sssp_parents_fixed(edges: DataFrame, source: int, iterations: int = 4,
+                       broadcast_max_nodes: int | None = None) -> DataFrame:
+    """K-round Bellman-Ford carrying PARENT pointers: the output
+    (node, dist, parent) is the shortest-path tree up to K hops —
+    path reconstruction is a walk up the parent chain (or a K-step
+    self-join), the artifact the plain distance variant (sssp_fixed)
+    doesn't keep. Ties (equal dist via different predecessors) break to
+    the smallest parent id, making the tree — not just the distances —
+    deterministic and oracle-comparable. The source's parent is itself.
+
+    Same shuffle profile as sssp_fixed: one relax join + one
+    min-of-struct groupBy per round, localCheckpoint per round.
+    """
+    e = edges.select(SRC, DST, F.col("w").cast("long").alias("w")).persist()
+    if e.filter(F.col("w") < 0).limit(1).count() > 0:
+        raise ValueError("sssp_parents_fixed requires non-negative weights")
+    nodes = (e.select(F.col(SRC).alias("node"))
+             .union(e.select(F.col(DST).alias("node")))
+             .distinct().persist())
+    hint = _round_hint(nodes.count(), broadcast_max_nodes)
+    state = (nodes.filter(F.col("node") == source)
+             .select("node", F.lit(0).cast("long").alias("dist"),
+                     F.lit(source).cast("long").alias("parent")))
+    for i in range(iterations):
+        relaxed = (e.join(hint(state), e[SRC] == state["node"])
+                   .select(F.col(DST).alias("node"),
+                           (F.col("dist") + F.col("w")).alias("dist"),
+                           F.col(SRC).alias("parent")))
+        state = (state.union(relaxed)
+                 .groupBy("node")
+                 .agg(F.min(F.struct("dist", "parent")).alias("m"))
+                 .select("node", F.col("m.dist").alias("dist"),
+                         F.col("m.parent").alias("parent")))
+        if i < iterations - 1:
+            state = state.localCheckpoint()
+    return state
+
+
+def sssp_parents_oracle_sql(edges_sql: str, source: int,
+                            iterations: int = 4) -> str:
+    """DuckDB oracle for sssp_parents_fixed: the same rounds unrolled,
+    arg-min by (dist, parent) via row_number."""
+    parts = [
+        f"e AS ({edges_sql})",
+        f"d0 AS (SELECT DISTINCT node, CAST(0 AS BIGINT) AS dist, "
+        f"CAST({source} AS BIGINT) AS parent FROM ("
+        f"SELECT src AS node FROM e UNION SELECT dst FROM e) "
+        f"WHERE node = {source})",
+    ]
+    for t in range(1, iterations + 1):
+        parts.append(
+            f"d{t} AS (SELECT node, dist, parent FROM ("
+            f"SELECT node, dist, parent, row_number() OVER ("
+            f"PARTITION BY node ORDER BY dist, parent) AS rn FROM ("
+            f"SELECT node, dist, parent FROM d{t-1} "
+            f"UNION ALL SELECT e.dst AS node, d.dist + e.w AS dist, "
+            f"e.src AS parent FROM e JOIN d{t-1} d ON d.node = e.src)) "
+            f"WHERE rn = 1)")
+    return ("WITH " + ",\n".join(parts)
+            + f"\nSELECT node, dist, parent FROM d{iterations}")
+
+
 def triangle_counts(edges: DataFrame,
                     broadcast_max_edges: int | None = None) -> DataFrame:
     """Per-vertex triangle participation counts over the undirected

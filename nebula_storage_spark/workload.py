@@ -2242,6 +2242,43 @@ def q_sssp_distances(spark, sf_dir):
     return sssp_fixed(und, source=1, iterations=4)
 
 
+def q_sssp_parent_tree(spark, sf_dir):
+    """Shortest-path TREE (distances + deterministic parent pointers)
+    from customer 1 over the same weighted 3-layer graph as
+    sssp_distances — the path-reconstruction artifact."""
+    from .operators.analytics import sssp_parents_fixed
+    g = tpch_graph(spark, sf_dir)
+    placed = g.edges["placed"].select(
+        F.col(SRC).alias(SRC), (F.col(DST) + 10_000_000).alias(DST),
+        F.lit(1).cast("long").alias("w"))
+    contains = g.edges["contains"].select(
+        (F.col(SRC) + 10_000_000).alias(SRC),
+        (F.col(DST) + 20_000_000).alias(DST),
+        F.col("l_quantity").cast("long").alias("w"))
+    fwd = placed.unionByName(contains)
+    und = fwd.unionByName(fwd.select(F.col(DST).alias(SRC),
+                                     F.col(SRC).alias(DST), "w"))
+    return sssp_parents_fixed(und, source=1, iterations=4)
+
+
+def _oracle_sssp_parents() -> str:
+    from .operators.analytics import sssp_parents_oracle_sql
+    return sssp_parents_oracle_sql(
+        "SELECT src, dst, w FROM ("
+        "SELECT o_custkey AS src, o_orderkey + 10000000 AS dst, "
+        "CAST(1 AS BIGINT) AS w FROM orders "
+        "UNION ALL SELECT o_orderkey + 10000000, o_custkey, "
+        "CAST(1 AS BIGINT) FROM orders "
+        "UNION ALL SELECT l_orderkey + 10000000, l_partkey + 20000000, "
+        "CAST(l_quantity AS BIGINT) FROM lineitem "
+        "UNION ALL SELECT l_partkey + 20000000, l_orderkey + 10000000, "
+        "CAST(l_quantity AS BIGINT) FROM lineitem)",
+        source=1, iterations=4)
+
+
+ORACLE_EXT["sssp_parent_tree"] = _oracle_sssp_parents()
+
+
 def _oracle_sssp() -> str:
     from .operators.analytics import sssp_oracle_sql
     return sssp_oracle_sql(
@@ -2625,6 +2662,7 @@ def _core_queries() -> dict[str, Query]:
         "clustering_coefficient": q_clustering_coefficient,
         "weighted_sample_docs": q_weighted_sample_docs,
         "degree_assortativity": q_degree_assortativity,
+        "sssp_parent_tree": q_sssp_parent_tree,
         "lookup_multi_index": q_lookup_multi_index,
         "upsert_returning": q_upsert_returning,
         "delete_tag_rows": q_delete_tag_rows,

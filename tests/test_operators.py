@@ -826,3 +826,26 @@ def test_bloom_no_false_negatives(spark):
     assert fps <= 5
     with _pytest.raises(ValueError):
         bloom_membership(members, probes, k=0)
+
+
+def test_sssp_parent_tree_reconstructs_path(spark):
+    from nebula_storage_spark.operators.analytics import sssp_parents_fixed
+    # 1 -2-> 2 -2-> 3 with shortcut 1 -7-> 3; also 1 -4-> 4 -0-> 3
+    # (two equal-dist parents for 3: 2 via chain... actually chain is 4;
+    # path 1->4->3 costs 4+0=4 == 1->2->3 cost 4: parent tie -> min(2,4)=2)
+    edges = spark.createDataFrame(
+        [(1, 2, 2), (2, 3, 2), (1, 3, 7), (1, 4, 4), (4, 3, 0)],
+        "_src bigint, _dst bigint, w bigint")
+    got = {r.node: (r.dist, r.parent)
+           for r in sssp_parents_fixed(edges, source=1,
+                                       iterations=4).collect()}
+    assert got[1] == (0, 1)
+    assert got[2] == (2, 1)
+    assert got[4] == (4, 1)
+    assert got[3] == (4, 2)     # tie between parents 2 and 4 -> min
+    # walking parents from 3 reaches the source
+    node, hops = 3, 0
+    while node != 1 and hops < 10:
+        node = got[node][1]
+        hops += 1
+    assert node == 1
