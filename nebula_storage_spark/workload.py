@@ -2242,6 +2242,33 @@ def q_sssp_distances(spark, sf_dir):
     return sssp_fixed(und, source=1, iterations=4)
 
 
+def q_random_walks(spark, sf_dir):
+    """Deterministic 6-step random walks from 200 customer seeds over
+    the undirected customer↔order graph — the reproducible walk corpus
+    that feeds DeepWalk/node2vec embedding training. Step choice is an
+    md5 PRF mod outdegree, so the corpus is identical on any engine."""
+    from .operators.walk import random_walks
+    g = tpch_graph(spark, sf_dir)
+    placed = g.edges["placed"].select(SRC, DST)
+    fwd = placed.select(F.col(SRC).alias(SRC),
+                        (F.col(DST) + 10_000_000).alias(DST))
+    und = fwd.union(fwd.select(F.col(DST).alias(SRC),
+                               F.col(SRC).alias(DST)))
+    seeds = spark.range(0, 200).select(F.col("id").alias("node"))
+    return random_walks(und, seeds, steps=6)
+
+
+def _oracle_random_walks() -> str:
+    from .operators.walk import random_walks_oracle_sql
+    return random_walks_oracle_sql(
+        "SELECT o_custkey AS src, o_orderkey + 10000000 AS dst FROM orders "
+        "UNION ALL SELECT o_orderkey + 10000000, o_custkey FROM orders",
+        "SELECT range AS node FROM range(0, 200)", steps=6)
+
+
+ORACLE_EXT["random_walks"] = _oracle_random_walks()
+
+
 def q_sssp_parent_tree(spark, sf_dir):
     """Shortest-path TREE (distances + deterministic parent pointers)
     from customer 1 over the same weighted 3-layer graph as
@@ -2663,6 +2690,7 @@ def _core_queries() -> dict[str, Query]:
         "weighted_sample_docs": q_weighted_sample_docs,
         "degree_assortativity": q_degree_assortativity,
         "sssp_parent_tree": q_sssp_parent_tree,
+        "random_walks": q_random_walks,
         "lookup_multi_index": q_lookup_multi_index,
         "upsert_returning": q_upsert_returning,
         "delete_tag_rows": q_delete_tag_rows,

@@ -849,3 +849,29 @@ def test_sssp_parent_tree_reconstructs_path(spark):
         node = got[node][1]
         hops += 1
     assert node == 1
+
+
+def test_random_walks_follow_edges_and_dead_ends_stop(spark):
+    from nebula_storage_spark.operators.walk import random_walks
+    import pytest as _pytest
+    # 1 -> {2,3}; 2 -> 4; 3,4 are sinks: every walk from 1 must follow
+    # real edges and stop at a sink, path length bounded by steps+1
+    edges = spark.createDataFrame([(1, 2), (1, 3), (2, 4)],
+                                  "_src bigint, _dst bigint")
+    seeds = spark.createDataFrame([(1,), (3,)], "node bigint")
+    got = {r.walk_id: (r.end_node, r.path)
+           for r in random_walks(edges, seeds, steps=5).collect()}
+    adj = {1: {2, 3}, 2: {4}}
+    end, path = got[1]
+    hops = [int(x) for x in path.split("->")]
+    assert hops[0] == 1 and end == hops[-1]
+    for a, b in zip(hops, hops[1:]):
+        assert b in adj.get(a, set())
+    assert got[3] == (3, "3")          # seed with no out-edges stays
+    # determinism across repartitioning
+    again = {r.walk_id: (r.end_node, r.path)
+             for r in random_walks(edges.repartition(4), seeds,
+                                   steps=5).collect()}
+    assert got == again
+    with _pytest.raises(ValueError):
+        random_walks(edges, seeds, steps=0)
