@@ -2269,6 +2269,41 @@ def _oracle_random_walks() -> str:
 ORACLE_EXT["random_walks"] = _oracle_random_walks()
 
 
+def q_walk_skipgrams(spark, sf_dir):
+    """(center, context) skip-gram pairs with window 2 over the walk
+    corpus, aggregated to counts — the training-pair extraction that
+    turns walks into word2vec-style embedding inputs. Composes
+    random_walks (deterministic corpus) with a positional self-join."""
+    walks = q_random_walks(spark, sf_dir)
+    toks = walks.select(
+        "walk_id", F.posexplode(F.split("path", "->")).alias("pos", "v"))
+    a, b = toks.alias("a"), toks.alias("b")
+    gap = F.abs(F.col("a.pos") - F.col("b.pos"))
+    pairs = (a.join(b, (F.col("a.walk_id") == F.col("b.walk_id"))
+                    & (gap > 0) & (gap <= 2))
+             .select(F.col("a.v").cast("long").alias("center"),
+                     F.col("b.v").cast("long").alias("context")))
+    return (pairs.groupBy("center", "context")
+            .agg(F.count(F.lit(1)).alias("cnt")))
+
+
+def _oracle_walk_skipgrams() -> str:
+    walks = _oracle_random_walks()
+    return f"""
+WITH walks AS ({walks}),
+toks AS (SELECT walk_id, i - 1 AS pos,
+  CAST(string_split(path, '->')[i] AS BIGINT) AS v
+  FROM walks, LATERAL UNNEST(generate_series(1,
+    len(string_split(path, '->')))) AS t(i))
+SELECT a.v AS center, b.v AS context, count(*) AS cnt
+FROM toks a JOIN toks b ON a.walk_id = b.walk_id
+  AND abs(a.pos - b.pos) BETWEEN 1 AND 2
+GROUP BY a.v, b.v"""
+
+
+ORACLE_EXT["walk_skipgrams"] = _oracle_walk_skipgrams()
+
+
 def q_sssp_parent_tree(spark, sf_dir):
     """Shortest-path TREE (distances + deterministic parent pointers)
     from customer 1 over the same weighted 3-layer graph as
@@ -2691,6 +2726,7 @@ def _core_queries() -> dict[str, Query]:
         "degree_assortativity": q_degree_assortativity,
         "sssp_parent_tree": q_sssp_parent_tree,
         "random_walks": q_random_walks,
+        "walk_skipgrams": q_walk_skipgrams,
         "lookup_multi_index": q_lookup_multi_index,
         "upsert_returning": q_upsert_returning,
         "delete_tag_rows": q_delete_tag_rows,
