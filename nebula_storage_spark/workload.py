@@ -2242,6 +2242,29 @@ def q_sssp_distances(spark, sf_dir):
     return sssp_fixed(und, source=1, iterations=4)
 
 
+def q_connected_components_doubling(spark, sf_dir):
+    """Pointer-doubling connected components (K rounds cover diameter
+    2^(K-1)) over the same offset bipartite graph as
+    q_connected_components — the O(log d) convergence path for
+    large-diameter graphs."""
+    from .operators.analytics import connected_components_doubling
+    g = tpch_graph(spark, sf_dir)
+    placed = g.edges["placed"].select(SRC, DST)
+    edges = placed.select(F.col(SRC).alias(SRC),
+                          (F.col(DST) + 10_000_000).alias(DST))
+    return connected_components_doubling(edges, iterations=3)
+
+
+def _oracle_cc_doubling() -> str:
+    from .operators.analytics import connected_components_doubling_oracle_sql
+    return connected_components_doubling_oracle_sql(
+        "SELECT o_custkey AS src, o_orderkey + 10000000 AS dst FROM orders",
+        iterations=3)
+
+
+ORACLE_EXT["connected_components_doubling"] = _oracle_cc_doubling()
+
+
 def q_random_walks(spark, sf_dir):
     """Deterministic 6-step random walks from 200 customer seeds over
     the undirected customer↔order graph — the reproducible walk corpus
@@ -2727,6 +2750,7 @@ def _core_queries() -> dict[str, Query]:
         "sssp_parent_tree": q_sssp_parent_tree,
         "random_walks": q_random_walks,
         "walk_skipgrams": q_walk_skipgrams,
+        "connected_components_doubling": q_connected_components_doubling,
         "lookup_multi_index": q_lookup_multi_index,
         "upsert_returning": q_upsert_returning,
         "delete_tag_rows": q_delete_tag_rows,

@@ -875,3 +875,19 @@ def test_random_walks_follow_edges_and_dead_ends_stop(spark):
     assert got == again
     with _pytest.raises(ValueError):
         random_walks(edges, seeds, steps=0)
+
+
+def test_cc_doubling_covers_long_path_in_log_rounds(spark):
+    from nebula_storage_spark.operators.analytics import (
+        connected_components_doubling, connected_components_fixed)
+    # a 9-node path has diameter 8: K doubling rounds cover 2^(K-1)
+    # hops (round 1 is plain propagation, each later round doubles), so
+    # 4 rounds converge where 4 plain rounds cover only 4 hops
+    chain = [(i, i + 1) for i in range(8)]
+    edges = spark.createDataFrame(chain, "_src bigint, _dst bigint")
+    dbl = {r.node: r.label for r in
+           connected_components_doubling(edges, iterations=4).collect()}
+    assert set(dbl.values()) == {0}
+    plain = {r.node: r.label for r in
+             connected_components_fixed(edges, iterations=4).collect()}
+    assert set(plain.values()) != {0}   # plain hasn't converged yet
