@@ -273,6 +273,113 @@ def connected_components_doubling_oracle_sql(edges_sql: str,
             + f"\nSELECT node, label FROM l{iterations}")
 
 
+def maximal_independent_set(edges: DataFrame, rounds: int = 4,
+                            prefix: str = "mis#") -> DataFrame:
+    """Luby's maximal-independent-set algorithm with DETERMINISTIC
+    priorities: md5(node) replaces the per-round RNG draw, ties broken
+    by node id, so the selected set is reproducible on any engine (the
+    classic parallel-sampling/scheduling primitive). Per round, every
+    undecided node whose (priority, id) beats all undecided neighbours
+    joins the set; its neighbours drop out; K rounds decide the vast
+    majority (Luby: expected O(log n) rounds to finish). Output:
+    (node, status) with status ∈ {'in','out','undecided'}.
+
+    Scale: per round = two semi-joins restricting edges to undecided
+    endpoints, one comparison join to find beaten nodes, one semi-join
+    for the fallout — all hash joins on the node key; the undecided
+    frontier shrinks geometrically and is localCheckpoint()ed per round.
+    """
+    a, b = F.col(SRC), F.col(DST)
+    und = (edges.filter(a != b)
+           .select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
+           .distinct()
+           .select(F.col("a").alias(SRC), F.col("b").alias(DST)))
+    both = und.union(und.select(F.col(DST).alias(SRC),
+                                F.col(SRC).alias(DST))).persist()
+    pri = (f"CAST(conv(substring(md5(concat('{prefix}', "
+           f"CAST(node AS STRING))), 1, 15), 16, 10) AS BIGINT)")
+    u = (both.select(F.col(SRC).alias("node")).distinct()
+         .withColumn("h", F.expr(pri)).localCheckpoint())
+    winners, outs = None, None
+    for _ in range(rounds):
+        eu = (both
+              .join(u.select(F.col("node").alias(SRC),
+                             F.col("h").alias("ha")), SRC)
+              .join(u.select(F.col("node").alias(DST),
+                             F.col("h").alias("hb")), DST))
+        beaten = (eu.filter(
+            (F.col("hb") > F.col("ha"))
+            | ((F.col("hb") == F.col("ha")) & (F.col(DST) > F.col(SRC))))
+            .select(F.col(SRC).alias("node")).distinct())
+        win = u.join(beaten, "node", "left_anti").select("node")
+        out = (both.join(win.withColumnRenamed("node", SRC), SRC)
+               .select(F.col(DST).alias("node")).distinct()
+               .join(u.select("node"), "node", "left_semi"))
+        winners = win if winners is None else winners.union(win)
+        outs = out if outs is None else outs.union(out)
+        u = (u.join(win, "node", "left_anti")
+             .join(out, "node", "left_anti").localCheckpoint())
+    nodes = both.select(F.col(SRC).alias("node")).distinct()
+    return (nodes
+            .join(winners.withColumn("_in", F.lit(1)).distinct(),
+                  "node", "left")
+            .join(outs.withColumn("_out", F.lit(1)).distinct(),
+                  "node", "left")
+            .select("node", F.when(F.col("_in").isNotNull(), "in")
+                    .when(F.col("_out").isNotNull(), "out")
+                    .otherwise("undecided").alias("status")))
+
+
+def mis_oracle_sql(edges_sql: str, rounds: int = 4,
+                   prefix: str = "mis#") -> str:
+    """DuckDB oracle for maximal_independent_set: identical md5
+    priorities, rounds unrolled with EXCEPT set algebra."""
+    h = (f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+         f"list_transform(string_split(substr(md5('{prefix}' || "
+         f"CAST(node AS VARCHAR)), 1, 15), ''), "
+         f"c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))), "
+         f"(a, b) -> a * 16 + b)")
+    # MATERIALIZED hints stop DuckDB from inlining the multiply-
+    # referenced chain CTEs (inlining re-opens the parquet source per
+    # reference — exponential across unrolled rounds)
+    parts = [
+        f"raw AS MATERIALIZED ({edges_sql})",
+        "e0 AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a, "
+        "greatest(src, dst) AS b FROM raw WHERE src <> dst)",
+        "e AS MATERIALIZED (SELECT a AS src, b AS dst FROM e0 "
+        "UNION ALL SELECT b, a FROM e0)",
+        f"u0 AS MATERIALIZED (SELECT node, {h} AS h FROM "
+        f"(SELECT DISTINCT src AS node FROM e))",
+    ]
+    win_all, out_all = [], []
+    for t in range(rounds):
+        parts.append(
+            f"beat{t} AS MATERIALIZED (SELECT DISTINCT e.src AS node FROM e "
+            f"JOIN u{t} x ON x.node = e.src JOIN u{t} y ON y.node = e.dst "
+            f"WHERE (y.h, y.node) > (x.h, x.node))")
+        parts.append(
+            f"win{t} AS MATERIALIZED (SELECT node FROM u{t} EXCEPT "
+            f"SELECT node FROM beat{t})")
+        parts.append(
+            f"out{t} AS MATERIALIZED (SELECT DISTINCT e.dst AS node FROM e "
+            f"JOIN win{t} w ON w.node = e.src "
+            f"WHERE e.dst IN (SELECT node FROM u{t}))")
+        parts.append(
+            f"u{t+1} AS MATERIALIZED (SELECT node, h FROM u{t} WHERE node NOT IN "
+            f"(SELECT node FROM win{t}) AND node NOT IN "
+            f"(SELECT node FROM out{t}))")
+        win_all.append(f"SELECT node FROM win{t}")
+        out_all.append(f"SELECT node FROM out{t}")
+    parts.append("wins AS (" + " UNION ".join(win_all) + ")")
+    parts.append("outs AS (" + " UNION ".join(out_all) + ")")
+    return ("WITH " + ",\n".join(parts) + """
+SELECT n.node, CASE WHEN w.node IS NOT NULL THEN 'in'
+  WHEN o.node IS NOT NULL THEN 'out' ELSE 'undecided' END AS status
+FROM (SELECT DISTINCT src AS node FROM e) n
+LEFT JOIN wins w ON w.node = n.node
+LEFT JOIN outs o ON o.node = n.node""")
+
+
 def sssp_fixed(edges: DataFrame, source: int, iterations: int = 4,
                broadcast_max_nodes: int | None = None) -> DataFrame:
     """K rounds of synchronous Bellman-Ford over directed weighted edges

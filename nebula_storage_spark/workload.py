@@ -2242,6 +2242,27 @@ def q_sssp_distances(spark, sf_dir):
     return sssp_fixed(und, source=1, iterations=4)
 
 
+def q_maximal_independent_set(spark, sf_dir):
+    """Luby MIS with deterministic md5 priorities (4 rounds) over the
+    co-order part projection — the parallel sampling/scheduling
+    primitive; the selected set is reproducible on any engine."""
+    from .operators.analytics import maximal_independent_set
+    return maximal_independent_set(_co_order_pairs(spark, sf_dir),
+                                   rounds=4)
+
+
+def _oracle_mis() -> str:
+    from .operators.analytics import mis_oracle_sql
+    return mis_oracle_sql(
+        "SELECT l1.l_partkey AS src, l2.l_partkey AS dst "
+        "FROM lineitem l1 JOIN lineitem l2 "
+        "ON l1.l_orderkey = l2.l_orderkey "
+        "AND l1.l_partkey < l2.l_partkey", rounds=4)
+
+
+ORACLE_EXT["maximal_independent_set"] = _oracle_mis()
+
+
 def q_connected_components_doubling(spark, sf_dir):
     """Pointer-doubling connected components (K rounds cover diameter
     2^(K-1)) over the same offset bipartite graph as
@@ -2751,6 +2772,7 @@ def _core_queries() -> dict[str, Query]:
         "random_walks": q_random_walks,
         "walk_skipgrams": q_walk_skipgrams,
         "connected_components_doubling": q_connected_components_doubling,
+        "maximal_independent_set": q_maximal_independent_set,
         "lookup_multi_index": q_lookup_multi_index,
         "upsert_returning": q_upsert_returning,
         "delete_tag_rows": q_delete_tag_rows,

@@ -891,3 +891,29 @@ def test_cc_doubling_covers_long_path_in_log_rounds(spark):
     plain = {r.node: r.label for r in
              connected_components_fixed(edges, iterations=4).collect()}
     assert set(plain.values()) != {0}   # plain hasn't converged yet
+
+
+def test_mis_independent_and_maximal_when_decided(spark):
+    from nebula_storage_spark.operators.analytics import \
+        maximal_independent_set
+    # K5 + path + isolated-ish pair: enough rounds decide every node
+    k5 = [(a, b) for a in range(5) for b in range(a + 1, 5)]
+    path = [(10, 11), (11, 12), (12, 13)]
+    pair = [(20, 21)]
+    edges = spark.createDataFrame(k5 + path + pair,
+                                  "_src bigint, _dst bigint")
+    got = {r.node: r.status
+           for r in maximal_independent_set(edges, rounds=6).collect()}
+    assert "undecided" not in got.values()
+    chosen = {v for v, s in got.items() if s == "in"}
+    adj = {}
+    for a, b in k5 + path + pair:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    # independence: no two chosen nodes adjacent
+    for v in chosen:
+        assert not (adj[v] & chosen), v
+    # maximality: every excluded node has a chosen neighbour
+    for v, s in got.items():
+        if s == "out":
+            assert adj[v] & chosen, v
