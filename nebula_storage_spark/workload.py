@@ -2242,6 +2242,44 @@ def q_sssp_distances(spark, sf_dir):
     return sssp_fixed(und, source=1, iterations=4)
 
 
+def q_incremental_view_maintenance(spark, sf_dir):
+    """Incremental materialized-view maintenance: a per-customer order
+    aggregate (count + decimal revenue) is first built from the 'old'
+    90% of orders, then a CDC delta batch (the remaining 10%) is applied
+    by aggregating ONLY the delta and merging partial states — never
+    rescanning the base. The oracle recomputes from scratch over all
+    orders: hash-equality proves delta-apply ≡ full recompute, the
+    property that lets a 100 TB rollup absorb a day's arrivals by
+    touching only the day's partition."""
+    g = tpch_graph(spark, sf_dir)
+    orders = g.edge_df("placed").select(
+        F.col(SRC).alias("c_custkey"), F.col(DST).alias("o_orderkey"),
+        "o_totalprice")
+    base = orders.filter(F.col("o_orderkey") % 10 != 0)
+    delta = orders.filter(F.col("o_orderkey") % 10 == 0)
+
+    def agg(df):
+        return df.groupBy("c_custkey").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .alias("_rev"))
+
+    view = agg(base).localCheckpoint()      # the materialized state
+    merged = (view.unionByName(agg(delta))
+              .groupBy("c_custkey")
+              .agg(F.sum("n_orders").alias("n_orders"),
+                   F.sum("_rev").alias("_rev")))
+    return merged.select("c_custkey", "n_orders",
+                         F.round(F.col("_rev"), 2).cast("double")
+                         .alias("revenue"))
+
+
+ORACLE_EXT["incremental_view_maintenance"] = (
+    "SELECT o_custkey AS c_custkey, count(*) AS n_orders, "
+    "CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) "
+    "AS revenue FROM orders GROUP BY o_custkey")
+
+
 def q_maximal_independent_set(spark, sf_dir):
     """Luby MIS with deterministic md5 priorities (4 rounds) over the
     co-order part projection — the parallel sampling/scheduling
@@ -2773,6 +2811,7 @@ def _core_queries() -> dict[str, Query]:
         "walk_skipgrams": q_walk_skipgrams,
         "connected_components_doubling": q_connected_components_doubling,
         "maximal_independent_set": q_maximal_independent_set,
+        "incremental_view_maintenance": q_incremental_view_maintenance,
         "lookup_multi_index": q_lookup_multi_index,
         "upsert_returning": q_upsert_returning,
         "delete_tag_rows": q_delete_tag_rows,
