@@ -1147,6 +1147,59 @@ def q_tpch_q19(spark, sf_dir):
                  .alias("revenue")))
 
 
+def q_tpch_q13(spark, sf_dir):
+    """TPC-H Q13 customer order-count distribution: LEFT join keeps
+    zero-order customers, then a second aggregation over the first —
+    the outer-join + double-groupBy shape."""
+    g = tpch_graph(spark, sf_dir)
+    cust = g.tag_df("customer").select(F.col(VID).alias("c_custkey"))
+    orders = g.edge_df("placed").select(F.col(SRC).alias("c_custkey"),
+                                        F.col(DST).alias("o_orderkey"))
+    per_cust = (cust.join(orders, "c_custkey", "left")
+                .groupBy("c_custkey")
+                .agg(F.count("o_orderkey").alias("c_count")))
+    return (per_cust.groupBy("c_count")
+            .agg(F.count(F.lit(1)).alias("custdist")))
+
+
+def q_tpch_q8(spark, sf_dir):
+    """TPC-H Q8 market share: one nation's share of a region's yearly
+    order revenue, as exact integer basis points (cents DIV cents)."""
+    g = tpch_graph(spark, sf_dir)
+    region = g.tag_df("region").filter(F.col("r_name") == "AMERICA")
+    nation = (g.tag_df("nation")
+              .join(F.broadcast(region.select(F.col(VID)
+                                              .alias("n_regionkey"))),
+                    "n_regionkey")
+              .select(F.col(VID).alias("nationkey")))
+    cust = (g.tag_df("customer")
+            .join(F.broadcast(nation),
+                  F.col("c_nationkey") == F.col("nationkey"))
+            .select(F.col(VID).alias("custkey")))
+    supp = g.tag_df("supplier").select(F.col(VID).alias("l_suppkey"),
+                                       "s_nationkey")
+    orders = g.edge_df("placed").select(
+        F.col(SRC).alias("custkey"), F.col(DST).alias("orderkey"),
+        F.year("o_orderdate").alias("o_year"))
+    li = g.edge_df("contains").select(F.col(SRC).alias("orderkey"),
+                                      "l_suppkey", "l_extendedprice",
+                                      "l_discount")
+    rev = (li.join(orders, "orderkey")
+           .join(cust, "custkey")
+           .join(F.broadcast(supp), "l_suppkey")
+           .select("o_year", F.expr(_REV).alias("r"),
+                   (F.col("s_nationkey") == 3).alias("is_n3")))
+    agg = (rev.groupBy("o_year")
+           .agg(F.sum(F.when(F.col("is_n3"), F.col("r"))
+                      .otherwise(F.lit(0))).alias("n3_rev"),
+                F.sum("r").alias("tot_rev")))
+    return agg.select(
+        "o_year",
+        F.expr("CAST(round(n3_rev * 100, 0) AS BIGINT) * 10000 DIV "
+               "CAST(round(tot_rev * 100, 0) AS BIGINT)")
+        .alias("mkt_share_bp"))
+
+
 def q_store_roundtrip(spark, sf_dir):
     """Engine-owned storage layout: save a store to the warehouse layout
     (hash-partitioned, key-sorted parquet + catalog.json), reload it, and
@@ -2618,6 +2671,26 @@ ORACLE_EXT["k_core"] = _oracle_k_core()
 
 
 ORACLE_ANALYTIC = {
+    "tpch_q13":
+        "SELECT c_count, count(*) AS custdist FROM ("
+        "SELECT c_custkey, count(o_orderkey) AS c_count "
+        "FROM customer LEFT JOIN orders ON c_custkey = o_custkey "
+        "GROUP BY c_custkey) GROUP BY c_count",
+    "tpch_q8":
+        "SELECT o_year, "
+        "CAST(round(n3_rev * 100, 0) AS BIGINT) * 10000 "
+        "// CAST(round(tot_rev * 100, 0) AS BIGINT) AS mkt_share_bp FROM ("
+        "SELECT EXTRACT(year FROM o_orderdate) AS o_year, "
+        f"sum(CASE WHEN s_nationkey = 3 THEN {_REV} ELSE 0 END) AS n3_rev, "
+        f"sum({_REV}) AS tot_rev "
+        "FROM lineitem "
+        "JOIN orders ON l_orderkey = o_orderkey "
+        "JOIN customer ON o_custkey = c_custkey "
+        "JOIN supplier ON l_suppkey = s_suppkey "
+        "JOIN nation ON c_nationkey = n_nationkey "
+        "JOIN region ON n_regionkey = r_regionkey "
+        "WHERE r_name = 'AMERICA' "
+        "GROUP BY EXTRACT(year FROM o_orderdate))",
     "tpch_q5":
         f"SELECT n_name, round(CAST(sum({_REV}) AS DOUBLE), 2) AS revenue "
         "FROM lineitem "
@@ -2879,6 +2952,8 @@ def _core_queries() -> dict[str, Query]:
         "tpch_q14": q_tpch_q14,
         "tpch_q15": q_tpch_q15,
         "tpch_q19": q_tpch_q19,
+        "tpch_q13": q_tpch_q13,
+        "tpch_q8": q_tpch_q8,
     }
 
 
