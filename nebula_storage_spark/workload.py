@@ -1200,6 +1200,43 @@ def q_tpch_q8(spark, sf_dir):
         .alias("mkt_share_bp"))
 
 
+def q_tpch_q17(spark, sf_dir):
+    """TPC-H Q17 small-quantity-order revenue: lineitems under 20% of
+    their part's average quantity — the correlated-subquery shape
+    decorrelated into an aggregate self-join. The threshold compares in
+    exact integer cents ×5 vs sum/count to avoid float averages."""
+    g = tpch_graph(spark, sf_dir)
+    li = g.edge_df("contains").select(F.col(DST).alias("partkey"),
+                                      "l_quantity", "l_extendedprice")
+    avg_q = (li.groupBy("partkey")
+             .agg(F.sum(F.expr("CAST(round(l_quantity * 100, 0) AS BIGINT)"))
+                  .alias("qsum"), F.count(F.lit(1)).alias("qcnt")))
+    joined = li.join(avg_q, "partkey")
+    # l_quantity < 0.2 * avg(qty)  ⇔  5 * qty_cents * cnt < qsum
+    small = joined.filter(
+        F.expr("5 * CAST(round(l_quantity * 100, 0) AS BIGINT) * qcnt "
+               "< qsum"))
+    # /7 rounded half-up entirely in integer cents: engines disagree on
+    # rounding decimal/double quotients, never on (2a+b) DIV 2b
+    return small.agg(
+        F.sum(F.expr("CAST(round(l_extendedprice * 100, 0) AS BIGINT)"))
+        .alias("_cents")).select(
+        (F.expr("CAST((2 * _cents + 7) DIV 14 AS DOUBLE)") / 100)
+        .alias("avg_yearly"))
+
+
+ORACLE_ANALYTIC_Q17 = (
+    "SELECT CAST((2 * _cents + 7) // 14 AS DOUBLE) / 100 AS avg_yearly "
+    "FROM (SELECT sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) "
+    "AS _cents FROM ("
+    "SELECT l.l_extendedprice FROM lineitem l JOIN ("
+    "SELECT l_partkey, sum(CAST(round(l_quantity * 100, 0) AS BIGINT)) "
+    "AS qsum, count(*) AS qcnt FROM lineitem GROUP BY l_partkey) a "
+    "ON l.l_partkey = a.l_partkey "
+    "WHERE 5 * CAST(round(l.l_quantity * 100, 0) AS BIGINT) * a.qcnt "
+    "< a.qsum))")
+
+
 def q_store_roundtrip(spark, sf_dir):
     """Engine-owned storage layout: save a store to the warehouse layout
     (hash-partitioned, key-sorted parquet + catalog.json), reload it, and
@@ -1779,6 +1816,7 @@ def _oracle_hll() -> str:
 ORACLE_EXT["hll_distinct_users"] = _oracle_hll()
 ORACLE_EXT["cms_token_counts"] = _oracle_cms()
 ORACLE_EXT["bloom_vocab_probe"] = _oracle_bloom()
+ORACLE_EXT["tpch_q17"] = ORACLE_ANALYTIC_Q17
 ORACLE_EXT["events_value_percentiles"] = ORACLE_EXT_PCT
 ORACLE_EXT["pagerank"] = _oracle_pagerank()
 ORACLE_EXT["personalized_pagerank"] = _oracle_personalized_pagerank()
@@ -2954,6 +2992,7 @@ def _core_queries() -> dict[str, Query]:
         "tpch_q19": q_tpch_q19,
         "tpch_q13": q_tpch_q13,
         "tpch_q8": q_tpch_q8,
+        "tpch_q17": q_tpch_q17,
     }
 
 
