@@ -80,13 +80,14 @@ def pagerank_fixed(edges: DataFrame, iterations: int = 5,
                              f"({damping_pct} * coalesce(_s, CAST(0 AS BIGINT)))"
                              " DIV 100")).cast("long").alias("rank")))
         if i < iterations - 1:
-            # eager localCheckpoint, not persist: persist caches the data
-            # but keeps the analyzed plan, which accumulates a round of
-            # join lineage per iteration — planning/AQE time grows with
-            # every round and dominates by round 4-5 (measured 10.2s →
-            # 4.0s for 5 rounds at sf0.1). Checkpointing truncates to a
-            # LogicalRDD so each round plans the same constant-size tree.
-            ranks = ranks.localCheckpoint()
+            # persist+count, NOT localCheckpoint: ranks is referenced
+            # once per round, so kept lineage grows only linearly and
+            # cached-plan reuse beats eager RDD materialization
+            # (checkpointing here measured 2x slower warm). The
+            # exponential-growth cases (sssp/cc/k-core reference their
+            # frame 2-4x per round) do need checkpoint truncation.
+            ranks = ranks.persist()
+            ranks.count()
     return ranks
 
 
@@ -124,8 +125,9 @@ def personalized_pagerank(edges: DataFrame, seeds: list[int],
                               "BIGINT))) DIV 100")).cast("long")
                          .alias("rank")))
         if i < iterations - 1:
-            # see pagerank_fixed: truncate lineage, constant-size plans
-            ranks = ranks.localCheckpoint()
+            # see pagerank_fixed: linear lineage → persist wins
+            ranks = ranks.persist()
+            ranks.count()
     return ranks.filter(F.col("rank") > 0)
 
 
@@ -644,8 +646,9 @@ def label_propagation_fixed(edges: DataFrame, iterations: int = 3,
                        .alias("m"))
                   .select("node", F.col("m.l").alias("label")))
         if i < iterations - 1:
-            # see pagerank_fixed: truncate lineage, constant-size plans
-            labels = labels.localCheckpoint()
+            # see pagerank_fixed: linear lineage → persist wins
+            labels = labels.persist()
+            labels.count()
     return labels
 
 
