@@ -1237,6 +1237,51 @@ ORACLE_ANALYTIC_Q17 = (
     "< a.qsum))")
 
 
+def q_tpch_q16_shape(spark, sf_dir):
+    """TPC-H Q16-shaped supplier diversity: distinct suppliers observed
+    per (p_brand, p_size) over the lineitem part↔supplier links (the
+    partsupp surrogate this schema has), excluding one brand — the
+    count-distinct-after-join shape."""
+    g = tpch_graph(spark, sf_dir)
+    part = (g.tag_df("part").filter(F.col("p_brand") != "Brand#1")
+            .select(F.col(VID).alias("partkey"), "p_brand", "p_size"))
+    li = g.edge_df("contains").select(F.col(DST).alias("partkey"),
+                                      "l_suppkey")
+    return (li.join(F.broadcast(part), "partkey")
+            .groupBy("p_brand", "p_size")
+            .agg(F.countDistinct("l_suppkey").alias("supplier_cnt")))
+
+
+ORACLE_ANALYTIC_Q16 = (
+    "SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt "
+    "FROM lineitem JOIN part ON l_partkey = p_partkey "
+    "WHERE p_brand <> 'Brand#1' GROUP BY p_brand, p_size")
+
+
+def q_source_concentration(spark, sf_dir):
+    """Herfindahl-Hirschman concentration of sources per language —
+    the 'is this slice dominated by one crawl domain' governance metric.
+    HHI = Σ share², computed exactly as (Σ c²)·10000 DIV total² in
+    integers (x10000, 10000 = single-source monopoly)."""
+    from .workload_pipeline import _docs
+    docs = _docs(spark, sf_dir)
+    per = (docs.groupBy("lang", "source")
+           .agg(F.count(F.lit(1)).alias("c")))
+    return (per.groupBy("lang")
+            .agg(F.sum(F.col("c") * F.col("c")).alias("_ss"),
+                 F.sum("c").alias("_n"))
+            .select("lang",
+                    F.expr("_ss * 10000 DIV (_n * _n)").alias("hhi_x10000"),
+                    F.col("_n").alias("n_docs")))
+
+
+ORACLE_ANALYTIC_HHI = (
+    "SELECT lang, ss * 10000 // (n * n) AS hhi_x10000, n AS n_docs FROM ("
+    "SELECT lang, sum(c * c) AS ss, sum(c) AS n FROM ("
+    "SELECT lang, source, count(*) AS c FROM documents "
+    "GROUP BY lang, source) GROUP BY lang)")
+
+
 def q_store_roundtrip(spark, sf_dir):
     """Engine-owned storage layout: save a store to the warehouse layout
     (hash-partitioned, key-sorted parquet + catalog.json), reload it, and
@@ -1817,6 +1862,8 @@ ORACLE_EXT["hll_distinct_users"] = _oracle_hll()
 ORACLE_EXT["cms_token_counts"] = _oracle_cms()
 ORACLE_EXT["bloom_vocab_probe"] = _oracle_bloom()
 ORACLE_EXT["tpch_q17"] = ORACLE_ANALYTIC_Q17
+ORACLE_EXT["tpch_q16_shape"] = ORACLE_ANALYTIC_Q16
+ORACLE_EXT["source_concentration"] = ORACLE_ANALYTIC_HHI
 ORACLE_EXT["events_value_percentiles"] = ORACLE_EXT_PCT
 ORACLE_EXT["pagerank"] = _oracle_pagerank()
 ORACLE_EXT["personalized_pagerank"] = _oracle_personalized_pagerank()
@@ -2993,6 +3040,8 @@ def _core_queries() -> dict[str, Query]:
         "tpch_q13": q_tpch_q13,
         "tpch_q8": q_tpch_q8,
         "tpch_q17": q_tpch_q17,
+        "tpch_q16_shape": q_tpch_q16_shape,
+        "source_concentration": q_source_concentration,
     }
 
 
