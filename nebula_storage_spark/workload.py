@@ -589,6 +589,44 @@ def q_stream_window(spark, sf_dir):
     return stream_events_windowed(spark, sf_dir)
 
 
+def q_events_funnel(spark, sf_dir):
+    """Ordered conversion funnel view → click → purchase: a user counts
+    at each stage only if the event happened strictly AFTER their first
+    event of the previous stage (first-touch ordering). Three
+    conditional-min aggregations, each joined back — no window over the
+    whole event stream, so each stage is one hash aggregate + one
+    broadcastable |users|-row join."""
+    ev = load_events(spark, sf_dir).select("user_id", "event_type", "ts")
+    v = (ev.filter(F.col("event_type") == "view")
+         .groupBy("user_id").agg(F.min("ts").alias("v_ts")))
+    c = (ev.filter(F.col("event_type") == "click")
+         .join(v, "user_id")
+         .filter(F.col("ts") > F.col("v_ts"))
+         .groupBy("user_id").agg(F.min("ts").alias("c_ts")))
+    p = (ev.filter(F.col("event_type") == "purchase")
+         .join(c, "user_id")
+         .filter(F.col("ts") > F.col("c_ts"))
+         .groupBy("user_id").agg(F.min("ts").alias("p_ts")))
+    return (v.agg(F.count(F.lit(1)).alias("n_view"))
+            .crossJoin(c.agg(F.count(F.lit(1)).alias("n_view_click")))
+            .crossJoin(p.agg(F.count(F.lit(1))
+                             .alias("n_view_click_purchase"))))
+
+
+ORACLE_FUNNEL = """
+WITH v AS (SELECT user_id, min(ts) AS v_ts FROM events
+  WHERE event_type = 'view' GROUP BY user_id),
+c AS (SELECT e.user_id, min(e.ts) AS c_ts FROM events e
+  JOIN v USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > v.v_ts GROUP BY e.user_id),
+p AS (SELECT e.user_id, min(e.ts) AS p_ts FROM events e
+  JOIN c USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > c.c_ts GROUP BY e.user_id)
+SELECT (SELECT count(*) FROM v) AS n_view,
+  (SELECT count(*) FROM c) AS n_view_click,
+  (SELECT count(*) FROM p) AS n_view_click_purchase"""
+
+
 def q_hll_distinct_users(spark, sf_dir):
     """HLL cardinality estimate of distinct users per event type, next
     to the exact count (the estimate's own accuracy witness). Shuffle
@@ -1864,6 +1902,7 @@ ORACLE_EXT["bloom_vocab_probe"] = _oracle_bloom()
 ORACLE_EXT["tpch_q17"] = ORACLE_ANALYTIC_Q17
 ORACLE_EXT["tpch_q16_shape"] = ORACLE_ANALYTIC_Q16
 ORACLE_EXT["source_concentration"] = ORACLE_ANALYTIC_HHI
+ORACLE_EXT["events_funnel"] = ORACLE_FUNNEL
 ORACLE_EXT["events_value_percentiles"] = ORACLE_EXT_PCT
 ORACLE_EXT["pagerank"] = _oracle_pagerank()
 ORACLE_EXT["personalized_pagerank"] = _oracle_personalized_pagerank()
@@ -3042,6 +3081,7 @@ def _core_queries() -> dict[str, Query]:
         "tpch_q17": q_tpch_q17,
         "tpch_q16_shape": q_tpch_q16_shape,
         "source_concentration": q_source_concentration,
+        "events_funnel": q_events_funnel,
     }
 
 
