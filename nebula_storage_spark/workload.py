@@ -627,6 +627,36 @@ SELECT (SELECT count(*) FROM v) AS n_view,
   (SELECT count(*) FROM p) AS n_view_click_purchase"""
 
 
+def q_events_cohort_retention(spark, sf_dir):
+    """Weekly cohort retention: users grouped by first-seen week, counted
+    in each later week they return — the (cohort_week, week_offset,
+    n_users) retention triangle. Two hash aggregates + one
+    users-sized join; both engines truncate weeks to Monday."""
+    ev = load_events(spark, sf_dir).select("user_id", "ts")
+    # to_date: DuckDB's date_trunc('week') yields DATE while Spark's
+    # yields TIMESTAMP — align the output type for the hash compare
+    weeks = (ev.select("user_id",
+                       F.to_date(F.date_trunc("week", "ts")).alias("wk"))
+             .distinct())
+    first = weeks.groupBy("user_id").agg(F.min("wk").alias("cohort"))
+    return (weeks.join(first, "user_id")
+            .select("cohort",
+                    F.expr("CAST(datediff(wk, cohort) DIV 7 AS BIGINT)")
+                    .alias("week_offset"), "user_id")
+            .groupBy("cohort", "week_offset")
+            .agg(F.countDistinct("user_id").alias("n_users")))
+
+
+ORACLE_COHORT = """
+WITH weeks AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS wk
+  FROM events),
+first AS (SELECT user_id, min(wk) AS cohort FROM weeks GROUP BY user_id)
+SELECT cohort, CAST(date_diff('day', cohort, wk) // 7 AS BIGINT)
+  AS week_offset, count(DISTINCT user_id) AS n_users
+FROM weeks JOIN first USING (user_id)
+GROUP BY cohort, week_offset"""
+
+
 def q_hll_distinct_users(spark, sf_dir):
     """HLL cardinality estimate of distinct users per event type, next
     to the exact count (the estimate's own accuracy witness). Shuffle
@@ -1903,6 +1933,7 @@ ORACLE_EXT["tpch_q17"] = ORACLE_ANALYTIC_Q17
 ORACLE_EXT["tpch_q16_shape"] = ORACLE_ANALYTIC_Q16
 ORACLE_EXT["source_concentration"] = ORACLE_ANALYTIC_HHI
 ORACLE_EXT["events_funnel"] = ORACLE_FUNNEL
+ORACLE_EXT["events_cohort_retention"] = ORACLE_COHORT
 ORACLE_EXT["events_value_percentiles"] = ORACLE_EXT_PCT
 ORACLE_EXT["pagerank"] = _oracle_pagerank()
 ORACLE_EXT["personalized_pagerank"] = _oracle_personalized_pagerank()
@@ -3082,6 +3113,7 @@ def _core_queries() -> dict[str, Query]:
         "tpch_q16_shape": q_tpch_q16_shape,
         "source_concentration": q_source_concentration,
         "events_funnel": q_events_funnel,
+        "events_cohort_retention": q_events_cohort_retention,
     }
 
 
