@@ -21,7 +21,7 @@ whole-stage codegen; no Python UDFs.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window as W, functions as F
+from pyspark.sql import DataFrame, functions as F
 
 _DIST = ("aggregate(zip_with(v, c, (x, y) -> (x - y) * (x - y)), "
          "CAST(0 AS BIGINT), (acc, d) -> acc + d)")
@@ -45,9 +45,15 @@ def kmeans_fixed(emb: DataFrame, k: int = 8, iterations: int = 2,
         f"CAST(round(CAST(x AS DOUBLE) * {scale}) AS BIGINT))")
     pts = emb.select(F.col(id_col).alias("vec_id"),
                      ivec.alias("v")).persist()
-    cent = (pts.orderBy("vec_id").limit(k)
-            .select((F.row_number().over(W.orderBy("vec_id")) - 1)
-                    .alias("cid"), F.col("v").alias("c")))
+    # Seed centroids = first k points in vec_id order.  cid assignment
+    # uses the broadcast triangular rank over the k-row frame (k is a
+    # bounded parameter) — no WindowExec, warning-free at any scale.
+    from ..operators.prefix import broadcast_rank
+    seed_ids = pts.orderBy("vec_id").limit(k).select("vec_id")
+    ranks = broadcast_rank(seed_ids, ["vec_id"], out_col="_rn")
+    cent = (pts.join(F.broadcast(ranks), "vec_id")
+            .select((F.col("_rn") - 1).alias("cid"),
+                    F.col("v").alias("c")))
     asn = None
     for t in range(iterations):
         # argmin over k candidates: min of struct (d2, cid, v) — (d2,

@@ -180,13 +180,18 @@ def build_vocab(docs: DataFrame, size: int = 1000, text_col: str = "text",
                 min_count: int = 1) -> DataFrame:
     """Frequency-ranked vocabulary: (token, token_id, cnt) with token_id =
     dense rank by (count desc, token) — deterministic, engine-portable."""
-    from pyspark.sql import Window as W
     tok = docs.select(F.explode(tokenize(text_col)).alias("token"))
     counts = (tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
               .filter(F.col("cnt") >= min_count))
-    w = W.orderBy(F.col("cnt").desc(), "token")
-    return (counts.withColumn("token_id", F.row_number().over(w).cast("long"))
-            .filter(F.col("token_id") <= size)
+    # Select the top-`size` tokens with orderBy+limit first (planned as
+    # TakeOrderedAndProject — per-partition top-k, no global sort), then
+    # assign ids over the already-`size`-bounded frame with a broadcast
+    # triangular rank: no WindowExec at all, O(size²) pairs of a
+    # size-row frame regardless of corpus size.
+    from ..operators.prefix import broadcast_rank
+    top = counts.orderBy(F.col("cnt").desc(), "token").limit(size).persist()
+    ranks = broadcast_rank(top, ["cnt", "token"], [False, True], "token_id")
+    return (top.join(F.broadcast(ranks), ["cnt", "token"])
             .select("token", "token_id", "cnt"))
 
 
@@ -385,16 +390,15 @@ def pack_sequences(docs: DataFrame, budget: int = 256,
     pretraining batch-packing layout (no padding, docs may straddle a
     boundary). All integer window arithmetic.
 
-    Scale: the global running offset is a prefix sum — here one window;
-    on a cluster the identical result comes from per-partition subtotals
-    + a broadcast scan of partition offsets (two passes, no single-node
-    sort)."""
+    Scale: the global running offset is the two-pass distributed prefix
+    sum (operators/prefix.py): range-partition by id, per-partition
+    running sums in parallel, per-partition subtotals scanned via a
+    broadcast P-row join — identical result to a single global window,
+    but no single-partition WindowExec at any scale."""
+    from ..operators.prefix import global_running_sum
     toks = docs.select(id_col,
                        F.size(tokenize(F.col(text_col))).alias("n_tokens"))
-    w = (W.orderBy(id_col)
-         .rowsBetween(W.unboundedPreceding, W.currentRow))
-    return (toks
-            .withColumn("end_off", F.sum("n_tokens").over(w))
+    return (global_running_sum(toks, [id_col], "n_tokens", "end_off")
             .withColumn("start_off", F.col("end_off") - F.col("n_tokens"))
             .select(id_col, F.col("n_tokens").cast("long").alias("n_tokens"),
                     "start_off",

@@ -677,10 +677,10 @@ def q_cms_token_counts(spark, sf_dir):
     tok = (_docs(spark, sf_dir)
            .select(F.explode(F.split("text", " ")).alias("item")))
     counts = tok.groupBy("item").agg(F.count(F.lit(1)).alias("cnt_exact"))
-    top = (counts
-           .withColumn("_rn", F.row_number().over(
-               W.orderBy(F.col("cnt_exact").desc(), "item")))
-           .filter(F.col("_rn") <= 20).drop("_rn"))
+    # Global top-20 via orderBy+limit: Spark plans TakeOrderedAndProject
+    # (per-partition top-k, driver merges k rows) — no single-partition
+    # window stage at any scale.
+    top = counts.orderBy(F.col("cnt_exact").desc(), "item").limit(20)
     est = count_min_estimates(tok, top.select("item"))
     return top.join(est, "item")
 
@@ -974,9 +974,9 @@ def q_vocab_topk(spark, sf_dir):
     tok = (_docs(spark, sf_dir)
            .select(F.explode(F.split("text", " ")).alias("token")))
     counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
-    w = W.orderBy(F.col("cnt").desc(), "token")
-    return (counts.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") <= 20).drop("_rn"))
+    # TakeOrderedAndProject: each partition keeps its local top-20, the
+    # driver merges 20·P candidate rows — never a single-partition sort.
+    return counts.orderBy(F.col("cnt").desc(), "token").limit(20)
 
 
 def q_dedup_ngram_pruned(spark, sf_dir):
@@ -1556,19 +1556,25 @@ def q_running_total(spark, sf_dir):
 def q_degree_quantiles(spark, sf_dir):
     """Discrete quantiles (p50/p90/p99) of the out-degree distribution —
     value at rank ceil(p·n/100) in (degree, vid) order: integer-rank
-    selection, so engine-portable with no interpolation. The global sort
-    window is over the per-vertex degree frame (|V| rows, not |E|); at
-    cluster scale the same selection runs as range-partitioned rank."""
+    selection, so engine-portable with no interpolation.
+
+    Scale plan: the deg value at rank r is min{d : cum_count(d) >= r},
+    so the |V|-row global sort collapses to a cumulative count over the
+    degree HISTOGRAM (≤ O(√|E|) distinct degree values by the degree-sum
+    bound), computed with the two-pass range-partitioned prefix sum
+    (operators/prefix.py) — no unpartitioned WindowExec anywhere."""
+    from .operators.prefix import global_running_sum
     g = tpch_graph(spark, sf_dir)
     deg = (g.edges["placed"].groupBy(SRC)
            .agg(F.count("*").alias("deg")))
-    r = deg.select(
-        "deg",
-        F.row_number().over(W.orderBy("deg", SRC)).alias("rn"),
-        F.count("*").over(W.partitionBy()).alias("n"))
-    picks = [F.max(F.when(F.col("rn") == F.expr(f"(n * {p} + 99) DIV 100"),
-                          F.col("deg"))).alias(f"p{p}")
-             for p in (50, 90, 99)]
+    hist = deg.groupBy("deg").agg(F.count(F.lit(1)).alias("cnt"))
+    cum = global_running_sum(hist, ["deg"], "cnt", "cum")
+    total = deg.agg(F.count(F.lit(1)).alias("n"))
+    r = cum.crossJoin(F.broadcast(total))
+    picks = [F.min(F.when(
+        F.col("cum") >= F.expr(f"(n * {p} + 99) DIV 100"),
+        F.col("deg"))).alias(f"p{p}")
+        for p in (50, 90, 99)]
     return r.agg(*picks)
 
 
@@ -2671,10 +2677,10 @@ def q_weighted_sample_docs(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     pri = ("CAST(conv(substring(md5(concat('ws#', CAST(doc_id AS STRING))),"
            " 1, 15), 16, 10) AS BIGINT) DIV greatest(n_chars, 1)")
-    w = W.orderBy(F.col("priority"), "doc_id")
+    # Keep the 50 smallest priorities via TakeOrderedAndProject —
+    # per-partition top-k, never a single-partition window.
     return (docs.select("doc_id", "n_chars", F.expr(pri).alias("priority"))
-            .withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") <= 50).drop("_rn"))
+            .orderBy("priority", "doc_id").limit(50))
 
 
 ORACLE_EXT["weighted_sample_docs"] = """
@@ -2955,10 +2961,11 @@ ORACLE_ANALYTIC = {
 }
 
 
-# Queries with a driver-recorded CORRECTNESS row in round 1. The driver
-# samples queries() in insertion order with a budget, so build_queries()
-# surfaces not-yet-driver-verified queries FIRST to maximize the number of
-# operators with a hard correctness signal across rounds.
+# Queries with a driver-recorded CORRECTNESS row in a prior round (r01 ∪ r02,
+# all green). The driver samples queries() in insertion order with a budget,
+# so build_queries() surfaces not-yet-driver-verified queries FIRST to
+# maximize the number of operators with a hard correctness signal across
+# rounds.
 _DRIVER_GREEN_R01 = frozenset({
     "text_features", "lang_id", "doc_fingerprint", "dedup_exact",
     "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_simhash",
@@ -2975,13 +2982,33 @@ _DRIVER_GREEN_R01 = frozenset({
     "fetch_edges", "stats_task", "dedup_distinct",
 })
 
+_DRIVER_GREEN_R02 = frozenset({
+    "add_edges_overwrite", "add_vertices_ifnotexists", "asof_last_purchase",
+    "bloom_vocab_probe", "clustering_coefficient", "cms_token_counts",
+    "connected_components_doubling", "degree_assortativity", "degree_stats",
+    "delete_edges", "delete_tag_rows", "delete_vertices_cascade",
+    "events_hopping_window", "events_value_percentiles", "events_window",
+    "expr_surface", "fetch_string_vids", "fulltext_search", "go_grouped",
+    "go_multi_edge", "hll_distinct_users", "incremental_view_maintenance",
+    "index_rebuild", "kmeans_embeddings", "knn_ivf_nprobe", "kv_ops",
+    "lookup_multi_index", "maximal_independent_set", "pagerank",
+    "personalized_pagerank", "quality_filter", "random_walks",
+    "region_revenue", "scan_vertex_page", "schema_evolution", "sessionize",
+    "sssp_parent_tree", "stream_session_window", "stream_window", "tpch_q1",
+    "tpch_q3_top10", "ttl_lookup", "ttl_purge", "ttl_visibility",
+    "upsert_edge", "upsert_insert", "upsert_returning", "upsert_update_cond",
+    "walk_skipgrams", "weighted_sample_docs",
+})
+
+_DRIVER_GREEN = _DRIVER_GREEN_R01 | _DRIVER_GREEN_R02
+
 
 def build_queries() -> dict[str, Query]:
     from .workload_pipeline import build_pipeline_queries
     out = build_pipeline_queries()
     out.update(_core_queries())
-    ordered = {k: v for k, v in out.items() if k not in _DRIVER_GREEN_R01}
-    ordered.update({k: v for k, v in out.items() if k in _DRIVER_GREEN_R01})
+    ordered = {k: v for k, v in out.items() if k not in _DRIVER_GREEN}
+    ordered.update({k: v for k, v in out.items() if k in _DRIVER_GREEN})
     return ordered
 
 

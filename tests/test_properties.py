@@ -183,3 +183,98 @@ def test_label_propagation_labels_are_node_ids_and_stable(spark, edges):
     assert a == b
     nodes = {v for e in edges for v in e}
     assert {lbl for _, lbl in a} <= nodes
+
+
+@given(st.lists(st.integers(0, 9), min_size=1, max_size=40),
+       st.lists(st.integers(0, 12), min_size=1, max_size=6, unique=True))
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_count_min_never_underestimates(spark, items, queries):
+    """CMS overestimate-only bound: for every queried item, the estimate
+    is >= the true count, and exact when the sketch is collision-free
+    (w >> distinct items)."""
+    from nebula_storage_spark.operators.sketch import count_min_estimates
+    it = spark.createDataFrame([(str(x),) for x in items], "item string")
+    qs = spark.createDataFrame([(str(x),) for x in queries], "item string")
+    truth = {str(q): sum(1 for x in items if x == q) for q in queries}
+    got = {r.item: r.cnt_est
+           for r in count_min_estimates(it, qs, d=3, w=64).collect()}
+    for q, true_cnt in truth.items():
+        assert got[q] >= true_cnt, (q, got[q], true_cnt)
+    exact = {r.item: r.cnt_est
+             for r in count_min_estimates(it, qs, d=3, w=4096).collect()}
+    assert exact == truth
+
+
+@given(st.lists(st.integers(0, 30), min_size=1, max_size=25, unique=True),
+       st.lists(st.integers(0, 60), min_size=1, max_size=25, unique=True))
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_bloom_membership_no_false_negatives(spark, members, probes):
+    """Bloom filter law: a member NEVER tests negative, for any member /
+    probe sets and a small (collision-prone) bit array."""
+    from nebula_storage_spark.operators.sketch import bloom_membership
+    ms = spark.createDataFrame([(str(x),) for x in members], "item string")
+    ps = spark.createDataFrame([(str(x),) for x in probes], "item string")
+    got = {r.item: r.maybe_present
+           for r in bloom_membership(ms, ps, k=3, m_bits=256).collect()}
+    for x in set(probes) & set(members):
+        assert got[str(x)], f"false negative for member {x}"
+
+
+@given(st.lists(st.integers(0, 500), min_size=1, max_size=60),
+       st.integers(1, 7))
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_hll_deterministic_under_repartition(spark, keys, nparts):
+    """HLL sketch merge is commutative/associative, so the estimate must
+    be identical under any input partitioning — and within tolerance of
+    the exact count."""
+    from nebula_storage_spark.operators.sketch import hll_cardinality
+    df = spark.createDataFrame([("g", k) for k in keys],
+                               "grp string, k bigint")
+    a = hll_cardinality(df, "k", ["grp"], p=8).collect()[0]
+    b = hll_cardinality(df.repartition(nparts), "k",
+                        ["grp"], p=8).collect()[0]
+    assert a.n_est == b.n_est
+    assert a.n_exact == len(set(keys))
+
+
+@given(st.lists(st.tuples(st.integers(0, 10**6), st.integers(0, 100)),
+                min_size=1, max_size=50),
+       st.integers(1, 8))
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_global_running_sum_matches_sequential_scan(spark, rows, nparts):
+    """Two-pass distributed prefix sum ≡ the sequential running total,
+    for any unique key set and any range-partition count."""
+    from nebula_storage_spark.operators.prefix import global_running_sum
+    uniq = {}
+    for k, v in rows:
+        uniq[k] = v
+    data = sorted(uniq.items())
+    df = spark.createDataFrame(list(uniq.items()), "k bigint, v bigint")
+    got = {r.k: r.cum for r in global_running_sum(
+        df, ["k"], "v", "cum", num_partitions=nparts).collect()}
+    run = 0
+    for k, v in data:
+        run += v
+        assert got[k] == run, (k, got[k], run)
+
+
+@given(st.lists(st.tuples(st.integers(0, 50), st.integers(0, 3)),
+                min_size=1, max_size=25))
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_broadcast_rank_matches_row_number(spark, rows):
+    """Triangular broadcast rank ≡ row_number() over (v desc, k asc),
+    for any unique-key frame."""
+    from nebula_storage_spark.operators.prefix import broadcast_rank
+    uniq = dict(rows)
+    df = spark.createDataFrame(list(uniq.items()), "k bigint, v bigint")
+    got = {(r.v, r.k): r.rn for r in
+           broadcast_rank(df, ["v", "k"], [False, True], "rn").collect()}
+    expect = {kv: i + 1 for i, kv in enumerate(
+        sorted(((v, k) for k, v in uniq.items()),
+               key=lambda t: (-t[0], t[1])))}
+    assert got == expect
