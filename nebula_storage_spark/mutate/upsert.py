@@ -48,9 +48,25 @@ def upsert(table: DataFrame, batch: DataFrame, keys: Sequence[str],
     """
     keys = list(keys)
     t = table.alias("t")
-    s = F.broadcast(batch.dropDuplicates(keys)).alias("s")
-    joined = t.join(s, [F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}")) for k in keys],
-                    "full_outer")
+    su = batch.dropDuplicates(keys)
+    join_cond = None
+    if insertable:
+        # full-outer preserves both sides, so Spark cannot broadcast
+        # either one — a hint here would only be logged and ignored
+        # (HintErrorLogger noise). Both sides hash-shuffle on the key.
+        s = su.alias("s")
+        join_cond = [F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}"))
+                     for k in keys]
+        joined = t.join(s, join_cond, "full_outer")
+    else:
+        # absent row + !insertable ⇒ E_KEY_NOT_FOUND in the reference:
+        # the table keeps exactly its own rows, which is a LEFT join —
+        # and left joins DO support broadcasting the (tiny) batch side,
+        # so the table never shuffles.
+        s = F.broadcast(su).alias("s")
+        join_cond = [F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}"))
+                     for k in keys]
+        joined = t.join(s, join_cond, "left_outer")
 
     matched = F.lit(True)
     for k in keys:
@@ -58,11 +74,6 @@ def upsert(table: DataFrame, batch: DataFrame, keys: Sequence[str],
     in_batch = F.lit(True)
     for k in keys:
         in_batch = in_batch & F.col(f"s.{k}").isNotNull()
-
-    if not insertable:
-        # absent row + !insertable ⇒ E_KEY_NOT_FOUND in the reference; the
-        # table is unchanged, so simply drop the unmatched batch rows.
-        joined = joined.filter(matched)
 
     if condition is None:
         cond = F.lit(True)

@@ -35,9 +35,16 @@ def asof_join(left: DataFrame, right: DataFrame, on: list[str] | str,
               strict: bool = False) -> DataFrame:
     """payload maps output-column-name -> right-frame column. Returns all
     left columns plus the payload columns (NULL when no right row
-    qualifies)."""
+    qualifies).
+
+    All payload columns are carried through the window as ONE struct and
+    unpacked afterwards, so the attachment is atomic per right row: a
+    NULL inside the matched row's payload stays NULL (it cannot backfill
+    from an older right row), and a no-match left row gets NULL in every
+    payload column."""
     if direction not in ("backward", "forward"):
         raise ValueError("direction must be 'backward' or 'forward'")
+    from pyspark.sql.types import StructField, StructType
     key = [on] if isinstance(on, str) else list(on)
 
     out_names = list(payload)
@@ -45,27 +52,29 @@ def asof_join(left: DataFrame, right: DataFrame, on: list[str] | str,
         if name in left.columns:
             raise ValueError(f"payload name {name!r} collides with a left column")
 
-    # Left rows: side=1, payload columns null (typed from the right schema).
+    pay_type = StructType([StructField(name, right.schema[src].dataType)
+                           for name, src in payload.items()])
+
+    # Left rows: side=1, payload struct null (typed from the right schema).
     l = (left
          .withColumn("_t", F.col(left_ts))
          .withColumn("_side", F.lit(1))
-         .withColumn("_tb", F.lit(None).cast(right.schema[tiebreak].dataType)))
-    for name, src in payload.items():
-        l = l.withColumn(name, F.lit(None).cast(right.schema[src].dataType))
+         .withColumn("_tb", F.lit(None).cast(right.schema[tiebreak].dataType))
+         .withColumn("_pay", F.lit(None).cast(pay_type)))
 
     # Right rows: side=0, left-only columns null.
     r = (right
          .withColumn("_t", F.col(right_ts))
          .withColumn("_side", F.lit(0))
-         .withColumn("_tb", F.col(tiebreak)))
-    for name, src in payload.items():
-        r = r.withColumn(name, F.col(src))
+         .withColumn("_tb", F.col(tiebreak))
+         .withColumn("_pay", F.struct(*[F.col(src).alias(name)
+                                        for name, src in payload.items()])))
     for c in left.columns:
         if c not in key and c not in r.columns:
             r = r.withColumn(c, F.lit(None).cast(dict(left.dtypes)[c]))
 
-    cols = key + ["_t", "_side", "_tb"] + \
-        [c for c in left.columns if c not in key] + out_names
+    cols = key + ["_t", "_side", "_tb", "_pay"] + \
+        [c for c in left.columns if c not in key]
     u = l.select(*cols).unionByName(r.select(*cols))
 
     backward = direction == "backward"
@@ -77,6 +86,11 @@ def asof_join(left: DataFrame, right: DataFrame, on: list[str] | str,
         else F.col("_tb").desc_nulls_first()
     w = (W.partitionBy(*key).orderBy(t_ord, side_ord, tb_ord)
          .rowsBetween(W.unboundedPreceding, W.currentRow))
+    # ONE last(ignorenulls) over the struct: right rows are never null
+    # here (F.struct is non-null even with null members), so the window
+    # always picks the newest qualifying right row as a unit.
+    u = u.withColumn("_pay", F.last("_pay", ignorenulls=True).over(w))
     for name in out_names:
-        u = u.withColumn(name, F.last(name, ignorenulls=True).over(w))
-    return u.filter(F.col("_side") == 1).drop("_t", "_side", "_tb")
+        u = u.withColumn(name, F.col("_pay")[name])
+    return (u.filter(F.col("_side") == 1)
+            .drop("_t", "_side", "_tb", "_pay"))

@@ -31,23 +31,43 @@ from pyspark.sql import DataFrame, functions as F
 def interval_point_join(points: DataFrame, intervals: DataFrame,
                         on: list[str] | str, point_col: str,
                         lo_col: str, hi_col: str,
-                        bin_width: int) -> DataFrame:
+                        bin_width: int,
+                        max_span_bins: int = 10_000) -> DataFrame:
     """Inner-join each point row to every interval row (same key) with
     lo <= point <= hi, inclusive. Numeric (long) point/bound columns.
     Output: all columns of both frames (key columns once); callers must
-    pre-alias any other name collisions."""
+    pre-alias any other name collisions.
+
+    Inverted intervals (lo > hi) match no point by definition and are
+    dropped BEFORE the explode — without the filter, sequence() would
+    silently step -1 and generate a descending bin range. Intervals
+    spanning more than `max_span_bins` bins raise at runtime rather than
+    silently replicating span/bin_width rows each (an unbounded span is
+    a mis-picked bin_width, not a workload): pick a larger bin_width or
+    raise the cap explicitly."""
     if bin_width <= 0:
         raise ValueError("bin_width must be positive")
+    if max_span_bins <= 0:
+        raise ValueError("max_span_bins must be positive")
     key = [on] if isinstance(on, str) else list(on)
     overlap = (set(points.columns) & set(intervals.columns)) - set(key)
     if overlap:
         raise ValueError(f"column collision outside join key: {sorted(overlap)}")
 
     p = points.withColumn("_bin", F.floor(F.col(point_col) / bin_width))
-    i = intervals.withColumn(
-        "_bin",
-        F.explode(F.sequence(F.floor(F.col(lo_col) / bin_width),
-                             F.floor(F.col(hi_col) / bin_width))))
+    lo_bin = F.floor(F.col(lo_col) / bin_width)
+    hi_bin = F.floor(F.col(hi_col) / bin_width)
+    guarded_hi = F.when(
+        hi_bin - lo_bin < F.lit(max_span_bins), hi_bin
+    ).otherwise(F.raise_error(F.concat(
+        F.lit(f"interval_point_join: interval spans >= {max_span_bins} "
+              f"bins at bin_width={bin_width} ([")
+        , F.col(lo_col).cast("string"), F.lit(", "),
+        F.col(hi_col).cast("string"),
+        F.lit("]); raise bin_width or max_span_bins"))))
+    i = (intervals
+         .filter(F.col(lo_col) <= F.col(hi_col))
+         .withColumn("_bin", F.explode(F.sequence(lo_bin, guarded_hi))))
     return (p.join(i, key + ["_bin"])
             .filter((F.col(point_col) >= F.col(lo_col)) &
                     (F.col(point_col) <= F.col(hi_col)))

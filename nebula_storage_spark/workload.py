@@ -689,7 +689,9 @@ def q_events_value_percentiles(spark, sf_dir):
     """Histogram-sketch percentiles (P50/P90/P99) of event value per
     event type: fixed-width bins (the t-digest/HDR-histogram surrogate
     that is exactly mergeable and engine-portable), answer = lower bound
-    of the first bin whose cumulative count reaches ceil(p·n/100).
+    of the first bin whose cumulative count reaches the floor
+    nearest-rank greatest((p·n) DIV 100, 1) — integer truncating
+    division on both engines, so the rank is portable by construction.
     Shuffle is bounded by types × bins regardless of input size; exact
     percentiles over doubles would need a full sort AND differ across
     engines' interpolation rules."""
@@ -2721,10 +2723,15 @@ def q_degree_assortativity(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("m"),
              F.sum("sx").alias("sx"), F.sum("sx2").alias("sx2"),
              F.sum("sxy").alias("sxy")))
+    # Degree-regular graph ⇒ denominator 0 ⇒ r undefined: surface NULL
+    # in both engines (Spark's non-ANSI CAST would silently map the NaN
+    # to 0 while DuckDB's cast errors — a crash-vs-wrong divergence).
     return sums.select(F.expr(
+        "CASE WHEN CAST(2 * m AS DOUBLE) * sx2 - CAST(sx AS DOUBLE) * sx = 0"
+        " THEN NULL ELSE "
         "CAST(floor((CAST(2 * m AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sx)"
         " / (CAST(2 * m AS DOUBLE) * sx2 - CAST(sx AS DOUBLE) * sx)"
-        " * 10000) AS BIGINT)").alias("assortativity_x10000"))
+        " * 10000) AS BIGINT) END").alias("assortativity_x10000"))
 
 
 ORACLE_EXT["degree_assortativity"] = """
@@ -2739,9 +2746,11 @@ ann AS (SELECT d1.d AS da, d2.d AS db FROM e
   JOIN deg d1 ON d1.v = e.a JOIN deg d2 ON d2.v = e.b),
 s AS (SELECT count(*) AS m, sum(da + db) AS sx,
   sum(da * da + db * db) AS sx2, sum(2 * da * db) AS sxy FROM ann)
-SELECT CAST(floor((CAST(2 * m AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sx)
+SELECT CASE WHEN CAST(2 * m AS DOUBLE) * sx2 - CAST(sx AS DOUBLE) * sx = 0
+  THEN NULL ELSE
+  CAST(floor((CAST(2 * m AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sx)
   / (CAST(2 * m AS DOUBLE) * sx2 - CAST(sx AS DOUBLE) * sx)
-  * 10000) AS BIGINT) AS assortativity_x10000 FROM s"""
+  * 10000) AS BIGINT) END AS assortativity_x10000 FROM s"""
 
 
 def q_clustering_coefficient(spark, sf_dir):

@@ -586,6 +586,26 @@ def test_asof_forward_picks_min_tiebreak(spark):
     assert rows[102] == 4
 
 
+def test_asof_null_payload_is_atomic_not_torn(spark):
+    """A NULL inside the matched right row's payload must stay NULL —
+    it must NOT backfill from an older right row (torn attachment mixing
+    two right rows); and matched-but-NULL is distinguishable from
+    no-match via the other payload columns."""
+    from nebula_storage_spark.operators.asof import asof_join
+    left = spark.createDataFrame([(1, 30, 100)],
+                                 "k bigint, t bigint, lid bigint")
+    right = spark.createDataFrame(
+        [(1, 10, 1, 7.0), (1, 20, 2, None)],
+        "k bigint, t bigint, rid bigint, v double")
+    out = asof_join(left, right, "k", "t", "t",
+                    {"m_rid": "rid", "m_v": "v"}, tiebreak="rid")
+    [row] = out.collect()
+    # matched row is rid=2 (t=20); its v is NULL and must remain NULL,
+    # not the 7.0 from the older rid=1 row
+    assert row.m_rid == 2
+    assert row.m_v is None
+
+
 def test_asof_plan_single_shuffle_no_join(spark, sf_dir):
     from nebula_storage_spark.workload import build_queries
     df = build_queries()["asof_last_purchase"](spark, sf_dir)
@@ -627,6 +647,27 @@ def test_range_join_validates_inputs(spark):
         interval_point_join(p, i, "k", "t", "lo", "hi", bin_width=10)
     with _pytest.raises(ValueError, match="bin_width"):
         interval_point_join(p, i.drop("x"), "k", "t", "lo", "hi", bin_width=0)
+
+
+def test_range_join_inverted_interval_dropped_and_span_capped(spark):
+    import pytest as _pytest
+    from nebula_storage_spark.operators.rangejoin import interval_point_join
+    points = spark.createDataFrame([(1, 5, 100)],
+                                   "k bigint, t bigint, pid bigint")
+    # inverted interval (lo > hi) must match nothing — and must not
+    # feed sequence() a descending range
+    inv = spark.createDataFrame([(1, 9, 0, 200), (1, 0, 9, 201)],
+                                "k bigint, lo bigint, hi bigint, iid bigint")
+    got = {r.iid for r in interval_point_join(
+        points, inv, "k", "t", "lo", "hi", bin_width=2).collect()}
+    assert got == {201}
+    # an interval spanning more bins than the cap raises instead of
+    # silently exploding span/bin_width rows
+    wide = spark.createDataFrame([(1, 0, 10_000_000, 300)],
+                                 "k bigint, lo bigint, hi bigint, iid bigint")
+    with _pytest.raises(Exception, match="spans"):
+        interval_point_join(points, wide, "k", "t", "lo", "hi",
+                            bin_width=2, max_span_bins=100).collect()
 
 
 def test_range_join_plan_is_equijoin_not_nested_loop(spark, sf_dir):
