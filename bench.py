@@ -51,6 +51,10 @@ HEADLINERS = [
     "kmeans_embeddings",  # integer fixed-point Lloyd clustering
     "tpch_q5",            # snowflake join, broadcast dims
     "tpch_q10",           # top-k returns with total-order limit
+    "tpch_q18",           # large-order customers (agg-filter semi join)
+    "k_core",             # iterative peel (localCheckpoint rounds)
+    "label_propagation",  # most-frequent-neighbour-label rounds
+    "connected_components_doubling",  # pointer-doubling CC (log rounds)
 ]
 
 

@@ -142,17 +142,56 @@ def build_ivf_index(emb: DataFrame, path: str, id_col: str = "vec_id",
     comp.write.mode("overwrite").parquet(f"{path}/centroids")
 
 
+def append_ivf_index(emb_delta: DataFrame, path: str,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     cell_col: str = "label") -> None:
+    """Incremental IVF maintenance — delta-apply, never rebuild:
+
+    * new vectors APPEND parquet files into exactly the cell partition
+      directories they land in (`partitionBy(cell)` append) — existing
+      cell data is untouched, so the write cost is O(|delta|) no matter
+      how big the index already is;
+    * their centroid component-sum deltas APPEND to the centroids log as
+      a new segment; readers merge segments with one
+      groupBy(cell, pos).sum — centroid sums are additive, the same
+      delta-apply contract `incremental_view_maintenance` proves for
+      aggregates. No read-modify-write anywhere, so a crashed append
+      never corrupts the base index (re-run is the recovery).
+
+    The merged read is exact: component sums and counts are integers,
+    so base+delta sums are bit-identical to a full rebuild's — which is
+    what lets `knn_ivf_incremental` share the full-corpus oracle.
+    """
+    q = quantize_embeddings(emb_delta, vec_col)
+    (q.select(cell_col, id_col, "qvec", "qnorm2")
+     .write.mode("append").partitionBy(cell_col).parquet(f"{path}/cells"))
+    comp = (q.select(cell_col, F.posexplode("qvec").alias("pos", "v"))
+            .groupBy(cell_col, "pos").agg(F.sum("v").alias("cs")))
+    comp.write.mode("append").parquet(f"{path}/centroids")
+
+
 def search_ivf_index(spark, path: str, queries: DataFrame, k: int = 5,
                      id_col: str = "vec_id",
-                     cell_col: str = "label", nprobe: int = 1) -> DataFrame:
+                     cell_col: str = "label", nprobe: int = 3) -> DataFrame:
     """Probe the persisted IVF index: assign each query vector to its
     `nprobe` max-affinity centroids, then scan only those cells'
     partition directories (partition pruning still applies — the pruned
-    set is the nprobe cells). `queries` needs (id_col, embedding)."""
+    set is the nprobe cells). `queries` needs (id_col, embedding).
+
+    Default nprobe=3, measured on the 1 M-vector crossover corpus
+    (BENCH_NOTES.md "ANN crossover"): nprobe=1 reads 1/n_cells of the
+    corpus but its recall@10 was 0.26; nprobe=3 recovered 0.51 recall at
+    a still-7× win over brute force — the right deployment default.
+    Oracle-gated queries pass nprobe=1 explicitly (the oracle SQL
+    replays exactly one probed cell per query)."""
     q = quantize_embeddings(queries)
     qs = q.select(F.col(id_col).alias("q_id"), F.col("qvec").alias("qv"),
                   F.col("qnorm2").alias("_n2a"))
-    comp = spark.read.parquet(f"{path}/centroids")
+    # merge centroid segments (base + any append_ivf_index deltas):
+    # component sums are additive integers, so the merged centroid is
+    # exactly the full-rebuild centroid
+    comp = (spark.read.parquet(f"{path}/centroids")
+            .groupBy(cell_col, "pos").agg(F.sum("cs").alias("cs")))
     cnorm = (comp.groupBy(cell_col)
              .agg(F.sum(F.col("cs").cast("decimal(19,0)")
                         * F.col("cs").cast("decimal(19,0)")).alias("cn2")))

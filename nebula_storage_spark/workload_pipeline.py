@@ -654,7 +654,28 @@ def q_knn_ivf_persisted(spark, sf_dir):
     path = f"/tmp/nebula_spark_ivf/{os.path.basename(sf_dir.rstrip('/'))}"
     build_ivf_index(emb, path)
     queries = emb.filter(F.col("vec_id").isin(KNN_QUERY_IDS))
-    return search_ivf_index(spark, path, queries, k=5)
+    return search_ivf_index(spark, path, queries, k=5, nprobe=1)
+
+
+def q_knn_ivf_incremental(spark, sf_dir):
+    """Incremental IVF maintenance: build the index on 80% of the corpus,
+    delta-append the remaining 20% (touched cell partitions get new
+    files; centroid deltas append as a log segment), then search the
+    merged index. Shares the FULL-corpus knn_ivf oracle — passing proves
+    base+delta ≡ full rebuild, the additive-sketch law that makes the
+    index maintainable at 100 TB without rebuilds."""
+    import os
+    from .pipeline.similarity import (append_ivf_index, build_ivf_index,
+                                      search_ivf_index)
+    emb = _emb(spark, sf_dir)
+    base = emb.filter(F.col("vec_id") % 5 != 0)
+    delta = emb.filter(F.col("vec_id") % 5 == 0)
+    path = (f"/tmp/nebula_spark_ivf_incr/"
+            f"{os.path.basename(sf_dir.rstrip('/'))}")
+    build_ivf_index(base, path)
+    append_ivf_index(delta, path)
+    queries = emb.filter(F.col("vec_id").isin(KNN_QUERY_IDS))
+    return search_ivf_index(spark, path, queries, k=5, nprobe=1)
 
 
 def q_split_assign(spark, sf_dir):
@@ -749,6 +770,7 @@ def build_pipeline_queries():
         "kmeans_embeddings": q_kmeans_embeddings,
         "text_normalize": q_text_normalize,
         "knn_ivf_persisted": q_knn_ivf_persisted,
+        "knn_ivf_incremental": q_knn_ivf_incremental,
         "split_assign": q_split_assign,
         "text_redact": q_text_redact,
         "corpus_stats": q_corpus_stats,
@@ -836,6 +858,9 @@ def build_pipeline_oracles():
             "'[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm_text "
             "FROM documents",
         "knn_ivf_persisted": _oracle_knn_ivf(),
+        # base+delta merged index must equal the full-rebuild answer,
+        # so the incremental query shares the full-corpus oracle
+        "knn_ivf_incremental": _oracle_knn_ivf(),
         "split_assign": """SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(substr(md5('split1#' || CAST(doc_id AS VARCHAR)), 1, 8), ''), c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))), (a, b) -> a * 16 + b) % 100 AS bucket, CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(substr(md5('split1#' || CAST(doc_id AS VARCHAR)), 1, 8), ''), c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))), (a, b) -> a * 16 + b) % 100 < 80 THEN 'train' ELSE 'test' END AS split FROM documents""",
         "text_redact":
             "SELECT doc_id, regexp_replace(regexp_replace(text, "
