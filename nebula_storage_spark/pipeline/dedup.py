@@ -128,17 +128,26 @@ def minhash_signature(sh: DataFrame, num_hashes: int = 12,
     return ex.groupBy(id_col).agg(*aggs)
 
 
+def _banded(sig: DataFrame, bands: int, rows: int,
+            id_col: str) -> DataFrame:
+    """(id, band_idx, band_hash) rows — the LSH band index frame. This
+    is what a deployment PERSISTS (partitioned by band hash): new docs
+    append their band rows, and candidate discovery for a delta is an
+    equi-join of the delta's rows against this index."""
+    band_cols = [
+        F.md5(F.concat_ws("", *[F.col(f"m{b * rows + r}") for r in range(rows)]))
+        .alias(f"b{b}")
+        for b in range(bands)]
+    return sig.select(id_col, F.posexplode(F.array(*band_cols))
+                      .alias("band_idx", "band"))
+
+
 def lsh_candidate_pairs(sig: DataFrame, bands: int = 4, rows: int = 3,
                         id_col: str = "doc_id") -> DataFrame:
     """LSH banding: hash each band of `rows` signature slots; a pair is a
     candidate iff some band matches. Join is on (band_idx, band_hash) —
     O(n) shuffle, never O(n²)."""
-    band_cols = [
-        F.md5(F.concat_ws("", *[F.col(f"m{b * rows + r}") for r in range(rows)]))
-        .alias(f"b{b}")
-        for b in range(bands)]
-    banded = sig.select(id_col, F.posexplode(F.array(*band_cols))
-                        .alias("band_idx", "band"))
+    banded = _banded(sig, bands, rows, id_col)
     a, b = banded.alias("a"), banded.alias("b")
     return (a.join(b, ["band_idx", "band"])
             .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
@@ -159,6 +168,60 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3, num_hashes: int = 12,
     sig = minhash_signature(sh, num_hashes=num_hashes, id_col=id_col)
     cand = lsh_candidate_pairs(sig, bands=bands, rows=rows, id_col=id_col)
     return _verify_jaccard(cand, sh, id_col, threshold_x10000)
+
+
+def minhash_lsh_pairs_incremental(docs: DataFrame, delta_cond,
+                                  n: int = 3, num_hashes: int = 12,
+                                  bands: int = 4, rows: int = 3,
+                                  threshold_x10000: int = 5000,
+                                  id_col: str = "doc_id",
+                                  text_col: str = "text") -> DataFrame:
+    """Incremental near-dup maintenance — delta-apply for the LSH index.
+
+    `delta_cond` marks the newly-arrived docs. The already-ingested
+    base corpus's pairs are known (recomputed here to stand in for the
+    stored result of the previous run), and its band index is persisted
+    in a deployment — so the incremental work is ONLY:
+
+      1. band the delta docs (O(|delta|) signatures);
+      2. equi-join the delta's band rows against the full band index on
+         (band_idx, band_hash) — touches just the buckets a delta doc
+         lands in, never the corpus at large;
+      3. exact-Jaccard-verify the new candidates.
+
+    Output = stored base pairs ∪ delta-involved pairs, which must equal
+    a full rebuild (the LSH band law: a pair's candidacy depends only on
+    its own two signatures) — the query sharing the full-corpus oracle
+    is the proof, mirroring append_ivf_index's contract.
+    """
+    delta_ids = docs.filter(delta_cond).select(id_col)
+    base = docs.filter(~delta_cond)
+
+    sh_all = doc_shingles(docs, n=n, id_col=id_col,
+                          text_col=text_col).persist()
+    sig_all = minhash_signature(sh_all, num_hashes=num_hashes,
+                                id_col=id_col)
+    banded_all = _banded(sig_all, bands, rows, id_col)
+
+    # stored base result (per-doc signatures are independent, so the
+    # base-only signature frame is identical to last run's)
+    sig_base = sig_all.join(delta_ids, id_col, "left_anti")
+    cand_base = lsh_candidate_pairs(sig_base, bands=bands, rows=rows,
+                                    id_col=id_col)
+
+    # incremental candidates: every pair with >= 1 delta member
+    banded_delta = banded_all.join(delta_ids, id_col, "left_semi")
+    cand_delta = (banded_delta.alias("a")
+                  .join(banded_all.alias("b"), ["band_idx", "band"])
+                  .filter(F.col(f"a.{id_col}") != F.col(f"b.{id_col}"))
+                  .select(F.least(F.col(f"a.{id_col}"),
+                                  F.col(f"b.{id_col}")).alias("id_a"),
+                          F.greatest(F.col(f"a.{id_col}"),
+                                     F.col(f"b.{id_col}")).alias("id_b"))
+                  .distinct())
+
+    cand = cand_base.unionByName(cand_delta).distinct()
+    return _verify_jaccard(cand, sh_all, id_col, threshold_x10000)
 
 
 def simhash(docs: DataFrame, bits: int = 64, id_col: str = "doc_id",

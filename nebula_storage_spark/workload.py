@@ -1232,6 +1232,140 @@ def q_tpch_q13(spark, sf_dir):
             .agg(F.count(F.lit(1)).alias("custdist")))
 
 
+def q_tpch_q12_shape(spark, sf_dir):
+    """TPC-H Q12 shape (this schema has no l_shipmode/l_receiptdate:
+    l_returnflag plays shipmode, late = shipped >90 days after the order
+    date): per flag, high- vs low-priority line counts among late lines
+    — the join + conditional-sum shape over a date-arithmetic filter."""
+    g = tpch_graph(spark, sf_dir)
+    orders = g.edge_df("placed").select(F.col(DST).alias("orderkey"),
+                                        "o_orderpriority", "o_orderdate")
+    li = g.edge_df("contains").select(F.col(SRC).alias("orderkey"),
+                                      "l_returnflag", "l_shipdate")
+    late = (li.join(orders, "orderkey")
+            .filter(F.col("l_shipdate")
+                    > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")))
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (late.groupBy("l_returnflag")
+            .agg(F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+                 F.sum(F.when(hi, 0).otherwise(1)).alias("low_line_count")))
+
+
+def q_tpch_q21_shape(spark, sf_dir):
+    """TPC-H Q21 waiting-supplier shape: multi-supplier orders where
+    EXACTLY ONE supplier shipped late (>60 days after the order date) —
+    Q21's exists + not-exists double correlation collapsed into one
+    per-order aggregate pass (distinct suppliers, distinct late
+    suppliers, the lone late suppkey via conditional min), then a count
+    per supplier. Top-20 via TakeOrderedAndProject."""
+    g = tpch_graph(spark, sf_dir)
+    orders = g.edge_df("placed").select(F.col(DST).alias("orderkey"),
+                                        "o_orderdate")
+    li = g.edge_df("contains").select(F.col(SRC).alias("orderkey"),
+                                      "l_suppkey", "l_shipdate")
+    late_supp = F.when(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"),
+        F.col("l_suppkey"))
+    per = (li.join(orders, "orderkey")
+           .groupBy("orderkey")
+           .agg(F.countDistinct("l_suppkey").alias("ns"),
+                F.countDistinct(late_supp).alias("nlate"),
+                F.min(late_supp).alias("late_supp")))
+    supp = g.tag_df("supplier").select(F.col(VID).alias("late_supp"),
+                                       "s_name")
+    return (per.filter((F.col("ns") >= 2) & (F.col("nlate") == 1))
+            .groupBy("late_supp").agg(F.count(F.lit(1)).alias("numwait"))
+            .join(F.broadcast(supp), "late_supp")
+            .select("s_name", "numwait")
+            .orderBy(F.col("numwait").desc(), "s_name").limit(20))
+
+
+def q_tpch_q22_shape(spark, sf_dir):
+    """TPC-H Q22 shape: customers with above-average positive balance
+    and no RECENT orders (none since 2000-01-01) — broadcast
+    scalar-aggregate threshold + LEFT ANTI join (c_mktsegment plays the
+    country code). Money in exact integer cents; the threshold uses
+    truncating DIV so both engines compute the identical bigint."""
+    g = tpch_graph(spark, sf_dir)
+    cents = (F.col("c_acctbal").cast("decimal(18,2)") * 100).cast("bigint")
+    cust = g.tag_df("customer").select(F.col(VID).alias("custkey"),
+                                       "c_mktsegment",
+                                       cents.alias("bal_cents"))
+    thr = (cust.filter(F.col("bal_cents") > 0)
+           .agg(F.expr("sum(bal_cents) DIV count(*)").alias("thr")))
+    orders = (g.edge_df("placed")
+              .filter(F.col("o_orderdate")
+                      >= F.lit("2000-01-01").cast("timestamp"))
+              .select(F.col(SRC).alias("custkey")))
+    rich = (cust.crossJoin(F.broadcast(thr))
+            .filter(F.col("bal_cents") > F.col("thr"))
+            .join(orders, "custkey", "left_anti"))
+    return (rich.groupBy("c_mktsegment")
+            .agg(F.count(F.lit(1)).alias("numcust"),
+                 F.sum("bal_cents").alias("totacctbal_cents")))
+
+
+def q_tpch_q2_shape(spark, sf_dir):
+    """TPC-H Q2 shape (no partsupp table: the observed (part, supplier)
+    offers in lineitem stand in, cost = cheapest observed extendedprice
+    in cents): for each small part, the cheapest supplier — the
+    per-group argmin via min(struct(cost, suppkey)) (one aggregate, no
+    self-join back, ties to min suppkey) + broadcast dims."""
+    g = tpch_graph(spark, sf_dir)
+    cents = (F.col("l_extendedprice").cast("decimal(18,2)") * 100) \
+        .cast("bigint")
+    li = g.edge_df("contains").select(F.col(DST).alias("partkey"),
+                                      "l_suppkey",
+                                      cents.alias("cost_cents"))
+    ps = (li.groupBy("partkey", "l_suppkey")
+          .agg(F.min("cost_cents").alias("cost_cents")))
+    best = (ps.groupBy("partkey")
+            .agg(F.min(F.struct("cost_cents", "l_suppkey")).alias("m"))
+            .select("partkey", F.col("m.cost_cents").alias("cost_cents"),
+                    F.col("m.l_suppkey").alias("s_suppkey")))
+    part = (g.tag_df("part").filter(F.col("p_size") <= 5)
+            .select(F.col(VID).alias("partkey"), "p_name"))
+    supp = g.tag_df("supplier").select(F.col(VID).alias("s_suppkey"),
+                                       "s_name")
+    return (best.join(F.broadcast(part), "partkey")
+            .join(F.broadcast(supp), "s_suppkey")
+            .select("partkey", "p_name", "s_name", "cost_cents"))
+
+
+def q_events_lead_lag(spark, sf_dir):
+    """lag() window family: per user in (ts, event_id) order, the
+    previous event's type and the integer-second gap — the
+    session-feature primitive. Partitioned by user_id, so the sort is
+    per-key (shuffle on user_id) and cluster-safe at any event count."""
+    ev = load_events(spark, sf_dir).filter(F.col("user_id") < 100)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id", "event_id", "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+        (F.unix_timestamp("ts")
+         - F.unix_timestamp(F.lag("ts").over(w))).cast("bigint")
+        .alias("gap_sec"))
+
+
+def q_customer_value_quartiles(spark, sf_dir):
+    """ntile(4) balance quartiles WITHIN market segment (partitioned
+    window, never global), summarized to per-(segment, quartile) counts
+    and exact cent bounds — the banding/binning report shape."""
+    g = tpch_graph(spark, sf_dir)
+    cents = (F.col("c_acctbal").cast("decimal(18,2)") * 100).cast("bigint")
+    cust = g.tag_df("customer").select(F.col(VID).alias("custkey"),
+                                       "c_mktsegment",
+                                       cents.alias("bal_cents"))
+    w = W.partitionBy("c_mktsegment").orderBy(F.col("bal_cents").desc(),
+                                              "custkey")
+    per = cust.select("c_mktsegment", "bal_cents",
+                      F.ntile(4).over(w).alias("quartile"))
+    return (per.groupBy("c_mktsegment", "quartile")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.min("bal_cents").alias("min_cents"),
+                 F.max("bal_cents").alias("max_cents")))
+
+
 def q_tpch_q8(spark, sf_dir):
     """TPC-H Q8 market share: one nation's share of a region's yearly
     order revenue, as exact integer basis points (cents DIV cents)."""
@@ -2846,6 +2980,71 @@ ORACLE_ANALYTIC = {
         "SELECT c_custkey, count(o_orderkey) AS c_count "
         "FROM customer LEFT JOIN orders ON c_custkey = o_custkey "
         "GROUP BY c_custkey) GROUP BY c_count",
+    "tpch_q12_shape":
+        "SELECT l_returnflag, "
+        "sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') "
+        "THEN 1 ELSE 0 END) AS high_line_count, "
+        "sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') "
+        "THEN 0 ELSE 1 END) AS low_line_count "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY "
+        "GROUP BY l_returnflag",
+    "tpch_q21_shape":
+        "WITH per AS (SELECT l_orderkey, "
+        "count(DISTINCT l_suppkey) AS ns, "
+        "count(DISTINCT CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY "
+        "THEN l_suppkey END) AS nlate, "
+        "min(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY "
+        "THEN l_suppkey END) AS late_supp "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "GROUP BY l_orderkey) "
+        "SELECT s_name, count(*) AS numwait FROM per "
+        "JOIN supplier ON s_suppkey = late_supp "
+        "WHERE ns >= 2 AND nlate = 1 GROUP BY s_name "
+        "ORDER BY numwait DESC, s_name LIMIT 20",
+    "tpch_q22_shape":
+        "WITH c AS (SELECT c_custkey, c_mktsegment, "
+        "CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) "
+        "AS bal_cents FROM customer), "
+        "t AS (SELECT sum(bal_cents) // count(*) AS thr FROM c "
+        "WHERE bal_cents > 0) "
+        "SELECT c_mktsegment, count(*) AS numcust, "
+        "sum(bal_cents) AS totacctbal_cents "
+        "FROM c, t WHERE bal_cents > thr "
+        "AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey "
+        "AND o_orderdate >= TIMESTAMP '2000-01-01') "
+        "GROUP BY c_mktsegment",
+    "tpch_q2_shape":
+        "WITH ps AS (SELECT l_partkey AS partkey, l_suppkey, "
+        "min(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) "
+        "AS cost_cents FROM lineitem GROUP BY 1, 2), "
+        "best AS (SELECT partkey, min(cost_cents) AS cost_cents "
+        "FROM ps GROUP BY partkey), "
+        "pick AS (SELECT ps.partkey, ps.cost_cents, "
+        "min(ps.l_suppkey) AS s_suppkey FROM ps "
+        "JOIN best ON ps.partkey = best.partkey "
+        "AND ps.cost_cents = best.cost_cents "
+        "GROUP BY ps.partkey, ps.cost_cents) "
+        "SELECT partkey, p_name, s_name, cost_cents FROM pick "
+        "JOIN part ON p_partkey = partkey "
+        "JOIN supplier ON supplier.s_suppkey = pick.s_suppkey "
+        "WHERE p_size <= 5",
+    "events_lead_lag":
+        "SELECT user_id, event_id, event_type, "
+        "lag(event_type) OVER w AS prev_type, "
+        "CAST(floor(epoch(ts)) - floor(epoch(lag(ts) OVER w)) AS BIGINT) "
+        "AS gap_sec FROM events WHERE user_id < 100 "
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)",
+    "customer_value_quartiles":
+        "WITH c AS (SELECT c_custkey, c_mktsegment, "
+        "CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) "
+        "AS bal_cents FROM customer), "
+        "q AS (SELECT c_mktsegment, bal_cents, ntile(4) OVER "
+        "(PARTITION BY c_mktsegment ORDER BY bal_cents DESC, c_custkey) "
+        "AS quartile FROM c) "
+        "SELECT c_mktsegment, quartile, count(*) AS n, "
+        "min(bal_cents) AS min_cents, max(bal_cents) AS max_cents "
+        "FROM q GROUP BY c_mktsegment, quartile",
     "tpch_q8":
         "SELECT o_year, "
         "CAST(round(n3_rev * 100, 0) AS BIGINT) * 10000 "
@@ -3144,6 +3343,12 @@ def _core_queries() -> dict[str, Query]:
         "tpch_q15": q_tpch_q15,
         "tpch_q19": q_tpch_q19,
         "tpch_q13": q_tpch_q13,
+        "tpch_q12_shape": q_tpch_q12_shape,
+        "tpch_q21_shape": q_tpch_q21_shape,
+        "tpch_q22_shape": q_tpch_q22_shape,
+        "tpch_q2_shape": q_tpch_q2_shape,
+        "events_lead_lag": q_events_lead_lag,
+        "customer_value_quartiles": q_customer_value_quartiles,
         "tpch_q8": q_tpch_q8,
         "tpch_q17": q_tpch_q17,
         "tpch_q16_shape": q_tpch_q16_shape,

@@ -174,6 +174,18 @@ def q_dedup_minhash_lsh(spark, sf_dir):
                              bands=4, rows=3, threshold_x10000=5000)
 
 
+def q_dedup_minhash_incremental(spark, sf_dir):
+    """Incremental LSH near-dup maintenance: docs with doc_id % 5 == 0
+    arrive as the delta; their band rows equi-join the persisted band
+    index (only the touched buckets), and the union with the stored base
+    pairs must equal the full rebuild — gated by sharing the full-corpus
+    MinHash oracle."""
+    from .pipeline.dedup import minhash_lsh_pairs_incremental
+    return minhash_lsh_pairs_incremental(
+        _docs(spark, sf_dir), F.col("doc_id") % 5 == 0,
+        n=3, num_hashes=12, bands=4, rows=3, threshold_x10000=5000)
+
+
 def q_dedup_simhash(spark, sf_dir):
     """Full 64-bit SimHash (two 32-bit halves combined with explicit
     two's-complement arithmetic — the reference-scale fingerprint width)."""
@@ -752,6 +764,7 @@ def build_pipeline_queries():
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_minhash_incremental": q_dedup_minhash_incremental,
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "knn_bruteforce": q_knn_bruteforce,
@@ -837,6 +850,8 @@ def build_pipeline_oracles():
             "row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1",
         "dedup_ngram_jaccard": _oracle_ngram_jaccard(),
         "dedup_minhash_lsh": _oracle_minhash_lsh(),
+        # delta-apply must equal full rebuild -> same oracle
+        "dedup_minhash_incremental": _oracle_minhash_lsh(),
         "dedup_simhash": _oracle_simhash(),
         "dedup_simhash_pairs": _oracle_simhash_pairs(),
         "knn_bruteforce": _oracle_knn_bruteforce(),
