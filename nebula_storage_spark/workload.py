@@ -3210,12 +3210,23 @@ _DRIVER_GREEN_R02 = frozenset({
 
 _DRIVER_GREEN = _DRIVER_GREEN_R01 | _DRIVER_GREEN_R02
 
+# Queries first registered in round 3 — ordered AFTER the long-waiting
+# round-1/2 queries that still lack any driver CORRECTNESS row, so the
+# driver's fixed per-round sample drains the oldest debt first.
+_ADDED_R03 = frozenset({
+    "knn_ivf_incremental", "dedup_minhash_incremental", "tpch_q12_shape",
+    "tpch_q21_shape", "tpch_q22_shape", "tpch_q2_shape", "events_lead_lag",
+    "customer_value_quartiles",
+})
+
 
 def build_queries() -> dict[str, Query]:
     from .workload_pipeline import build_pipeline_queries
     out = build_pipeline_queries()
     out.update(_core_queries())
-    ordered = {k: v for k, v in out.items() if k not in _DRIVER_GREEN}
+    ordered = {k: v for k, v in out.items()
+               if k not in _DRIVER_GREEN and k not in _ADDED_R03}
+    ordered.update({k: v for k, v in out.items() if k in _ADDED_R03})
     ordered.update({k: v for k, v in out.items() if k in _DRIVER_GREEN})
     return ordered
 
