@@ -85,6 +85,57 @@ def _wav_bytes(rate: int, n_channels: int, data_size: int) -> bytes:
             + b"data" + struct.pack("<I", data_size) + bytes(data_size))
 
 
+_MP4_BRANDS = ["isom", "mp41", "mp42", "avc1"]
+_MP4_TIMESCALES = [600, 1000, 24000, 90000]
+
+
+def _mp4_box(typ: bytes, data: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(data)) + typ + data
+
+
+def _mp4_bytes(brand: str, timescale: int, duration: int,
+               filler: bytes) -> bytes:
+    """Structurally valid ISO-BMFF (MP4) stream: ftyp (major brand +
+    one compatible brand), moov containing an mvhd version-0 box (real
+    timescale/duration fields), and an mdat box carrying the filler.
+    Total size = 24 + 116 + 8 + len(filler)."""
+    ftyp = _mp4_box(b"ftyp", brand.encode() + struct.pack(">I", 0)
+                    + b"isom")
+    mvhd = _mp4_box(b"mvhd", bytes(4)              # version 0 + flags
+                    + struct.pack(">II", 0, 0)     # creation/modification
+                    + struct.pack(">II", timescale, duration)
+                    + struct.pack(">I", 0x00010000)  # rate 1.0
+                    + struct.pack(">H", 0x0100)      # volume 1.0
+                    + bytes(10)                       # reserved
+                    + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0,
+                                  0, 0, 0x40000000)   # unity matrix
+                    + bytes(24)                       # pre_defined
+                    + struct.pack(">I", 2))           # next_track_ID
+    moov = _mp4_box(b"moov", mvhd)
+    return ftyp + moov + _mp4_box(b"mdat", filler)
+
+
+def synth_video_payload(docs: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text",
+                        payload_col: str = "payload") -> DataFrame:
+    """Per-document REAL MP4 (ISO-BMFF) bytes: ftyp + moov/mvhd + mdat
+    boxes with valid big-endian size framing; brand, timescale and
+    duration derive from md5(text) hex slices so an engine-portable
+    oracle can predict what `video_meta` must parse back."""
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for t in pdf[text_col]:
+                h = hashlib.md5(t.encode()).hexdigest()
+                brand = _MP4_BRANDS[_h16(h, 0, 2) % 4]
+                ts = _MP4_TIMESCALES[_h16(h, 2, 4) % 4]
+                dur = _h16(h, 4, 10) % 10_000_000 + 1
+                payloads.append(_mp4_bytes(brand, ts, dur, t.encode()))
+            yield pd.DataFrame({id_col: pdf[id_col], payload_col: payloads})
+    return (docs.select(id_col, text_col)
+            .mapInPandas(fn, f"{id_col} bigint, {payload_col} binary"))
+
+
 def synth_image_payload(docs: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text",
                         payload_col: str = "payload") -> DataFrame:
@@ -187,6 +238,75 @@ def parse_wav_header(b: bytes) -> tuple[int, int, int, int]:
     if rate is None or data_size is None:
         raise ValueError("WAVE stream missing fmt/data chunk")
     return rate, nch, bits, data_size // block
+
+
+def parse_mp4_header(b: bytes) -> tuple[str, int, int]:
+    """Read (major_brand, timescale, duration_ticks) from an ISO-BMFF
+    stream by walking the top-level box framing (size.u32be + fourcc)
+    and descending into moov for the mvhd box. Version-0 and version-1
+    mvhd layouts both handled."""
+    if len(b) < 12 or b[4:8] != b"ftyp":
+        raise ValueError("not an ISO-BMFF (MP4) stream")
+    brand = b[8:12].decode("ascii")
+
+    def walk(lo: int, hi: int):
+        i = lo
+        while i + 8 <= hi:
+            size = struct.unpack(">I", b[i:i + 4])[0]
+            if size < 8:
+                raise ValueError("corrupt box size")
+            yield b[i + 4:i + 8], i + 8, i + size
+            i += size
+
+    for typ, lo, hi in walk(0, len(b)):
+        if typ != b"moov":
+            continue
+        for t2, lo2, hi2 in walk(lo, hi):
+            if t2 != b"mvhd":
+                continue
+            version = b[lo2]
+            if version == 1:
+                ts, = struct.unpack(">I", b[lo2 + 20:lo2 + 24])
+                dur, = struct.unpack(">Q", b[lo2 + 24:lo2 + 32])
+            else:
+                ts, dur = struct.unpack(">II", b[lo2 + 12:lo2 + 20])
+            return brand, ts, dur
+    raise ValueError("MP4 stream missing moov/mvhd box")
+
+
+VIDEO_META_SCHEMA = ("doc_id bigint, n_bytes bigint, brand string, "
+                     "timescale int, duration_ticks bigint, "
+                     "duration_ms bigint")
+
+
+def video_meta(docs_with_payload: DataFrame,
+               payload_col: str = "payload") -> DataFrame:
+    """REAL container decode of MP4 payload bytes, Arrow-batched: box
+    walk + mvhd field reads by `parse_mp4_header` (pure-python struct
+    reads — the codec/frame decode stays out, mirroring `image_meta`).
+    duration_ms = ticks·1000 DIV timescale, integer exact."""
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, nb, brs, tss, durs, ms = [], [], [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf[payload_col]):
+                b = bytes(payload)
+                brand, ts, dur = parse_mp4_header(b)
+                ids.append(doc_id)
+                nb.append(len(b))
+                brs.append(brand)
+                tss.append(ts)
+                durs.append(dur)
+                ms.append(dur * 1000 // ts)
+            yield pd.DataFrame({
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "n_bytes": pd.Series(nb, dtype="int64"),
+                "brand": pd.Series(brs, dtype="object"),
+                "timescale": pd.Series(tss, dtype="int32"),
+                "duration_ticks": pd.Series(durs, dtype="int64"),
+                "duration_ms": pd.Series(ms, dtype="int64"),
+            })
+    return (docs_with_payload.select("doc_id", payload_col)
+            .mapInPandas(fn, VIDEO_META_SCHEMA))
 
 
 def decode_image(payload: bytes):

@@ -126,3 +126,57 @@ def stream_session_windows(spark: SparkSession, sf_dir: str,
             .select("user_id", F.col("w.start").alias("session_start"),
                     F.col("w.end").alias("session_end"), "n_events",
                     F.round("sum_value", 2).alias("sum_value")))
+
+
+def stream_click_purchase_join(spark: SparkSession, sf_dir: str,
+                               gap: str = "1 hour") -> DataFrame:
+    """STREAM-STREAM inner join with watermarks and an event-time range
+    condition: each purchase joins the same user's clicks from the
+    preceding `gap` (click-attribution). Both sides are file streams
+    over the same landing directory; on a continuous feed the two
+    watermarks bound the join state (click rows older than purchase
+    watermark − gap are evicted), which is what makes the join runnable
+    forever. AvailableNow drains the snapshot in one micro-batch, so no
+    state is evicted mid-run and the result equals the batch join — the
+    determinism that lets a DuckDB oracle gate a stream-stream join.
+
+    Output: (user_id, click_id, purchase_id, gap_sec).
+    """
+    import os
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = f"{sf_dir}/events.parquet"
+    stream_dir = (f"/tmp/nebula_stream/"
+                  f"{os.path.basename(sf_dir.rstrip('/'))}/events")
+    os.makedirs(stream_dir, exist_ok=True)
+    link = f"{stream_dir}/events.parquet"
+    if not os.path.islink(link):
+        os.symlink(path, link)
+    schema = spark.read.parquet(path).schema
+    from nebula_storage_spark.graph import normalize_event_ts
+
+    def side(event_type: str, prefix: str) -> DataFrame:
+        raw = spark.readStream.schema(schema).parquet(stream_dir)
+        ev = normalize_event_ts(raw)
+        return (ev.filter(F.col("event_type") == event_type)
+                .select(F.col("user_id").alias(f"{prefix}_user"),
+                        F.col("event_id").alias(f"{prefix}_id"),
+                        F.col("ts").alias(f"{prefix}_ts"))
+                .withWatermark(f"{prefix}_ts", gap))
+
+    clicks = side("click", "c")
+    purchases = side("purchase", "p")
+    j = clicks.join(
+        purchases,
+        F.expr(f"c_user = p_user AND c_ts <= p_ts "
+               f"AND c_ts >= p_ts - INTERVAL {gap}"),
+        "inner")
+    name = f"stream_join_{next(_COUNTER)}"
+    q = (j.writeStream.format("memory").queryName(name)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return (spark.table(name)
+            .select(F.col("c_user").alias("user_id"),
+                    F.col("c_id").alias("click_id"),
+                    F.col("p_id").alias("purchase_id"),
+                    (F.unix_timestamp("p_ts") - F.unix_timestamp("c_ts"))
+                    .cast("bigint").alias("gap_sec")))

@@ -589,6 +589,14 @@ def q_stream_window(spark, sf_dir):
     return stream_events_windowed(spark, sf_dir)
 
 
+def q_stream_join(spark, sf_dir):
+    """Watermarked stream-stream inner join (click→purchase attribution
+    within 1 hour) run to completion with AvailableNow — equals the
+    batch range join, which is the oracle."""
+    from .streaming import stream_click_purchase_join
+    return stream_click_purchase_join(spark, sf_dir)
+
+
 def q_events_funnel(spark, sf_dir):
     """Ordered conversion funnel view → click → purchase: a user counts
     at each stage only if the event happened strictly AFTER their first
@@ -2043,6 +2051,15 @@ FROM s GROUP BY user_id, session_idx""",
         "SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS cnt, "
         "round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) "
         "AS sum_value FROM events GROUP BY date_trunc('hour', ts), event_type",
+    # the AvailableNow single-batch drain makes the stream-stream join
+    # equal its batch counterpart: every (click, purchase-within-1h) pair
+    "stream_join":
+        "SELECT c.user_id, c.event_id AS click_id, p.event_id AS "
+        "purchase_id, CAST(floor(epoch(p.ts)) - floor(epoch(c.ts)) "
+        "AS BIGINT) AS gap_sec "
+        "FROM events c JOIN events p ON c.user_id = p.user_id "
+        "AND c.event_type = 'click' AND p.event_type = 'purchase' "
+        "AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR",
     # gaps-and-islands with Spark's merge rule: two events share a session
     # iff their gap is STRICTLY under the 30-minute gap (session windows
     # are half-open [start, last+gap) — a touching event starts a new one)
@@ -3216,7 +3233,7 @@ _DRIVER_GREEN = _DRIVER_GREEN_R01 | _DRIVER_GREEN_R02
 _ADDED_R03 = frozenset({
     "knn_ivf_incremental", "dedup_minhash_incremental", "tpch_q12_shape",
     "tpch_q21_shape", "tpch_q22_shape", "tpch_q2_shape", "events_lead_lag",
-    "customer_value_quartiles",
+    "customer_value_quartiles", "mm_video_meta", "stream_join",
 })
 
 
@@ -3272,6 +3289,7 @@ def _core_queries() -> dict[str, Query]:
         "expr_surface": q_expr_surface,
         "sessionize": q_sessionize,
         "stream_window": q_stream_window,
+        "stream_join": q_stream_join,
         "stream_session_window": q_stream_session_window,
         "hll_distinct_users": q_hll_distinct_users,
         "cms_token_counts": q_cms_token_counts,

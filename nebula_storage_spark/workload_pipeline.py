@@ -604,6 +604,16 @@ def q_mm_frame_sample(spark, sf_dir):
     return frame_sample(with_binary_payload(_docs(spark, sf_dir)), stride=5)
 
 
+def q_mm_video_meta(spark, sf_dir):
+    """Round-trip through REAL ISO-BMFF bytes: synth_video_payload
+    writes genuine MP4 box streams (ftyp + moov/mvhd + mdat, md5-derived
+    brand/timescale/duration), video_meta walks the boxes back; the
+    oracle predicts the same fields from the md5 derivation — agreement
+    proves the parser read what the muxer wrote."""
+    from .pipeline.multimodal import synth_video_payload, video_meta
+    return video_meta(synth_video_payload(_docs(spark, sf_dir)))
+
+
 def _dd_hexint(expr: str) -> str:
     """DuckDB hex-string → BIGINT (no conv() there): fold hex digits via
     strpos on the alphabet — parity-probed against Spark's conv()."""
@@ -638,6 +648,23 @@ SELECT doc_id,
   AS channels,
   CASE WHEN is_png THEN 'png' ELSE 'jpeg' END AS format
 FROM d"""
+
+
+def _oracle_mm_video_meta() -> str:
+    brand = (f"CASE {_dd_hexint('substr(hh, 1, 2)')} % 4 "
+             "WHEN 0 THEN 'isom' WHEN 1 THEN 'mp41' "
+             "WHEN 2 THEN 'mp42' ELSE 'avc1' END")
+    ts = (f"CASE {_dd_hexint('substr(hh, 3, 2)')} % 4 "
+          "WHEN 0 THEN 600 WHEN 1 THEN 1000 "
+          "WHEN 2 THEN 24000 ELSE 90000 END")
+    dur = f"{_dd_hexint('substr(hh, 5, 6)')} % 10000000 + 1"
+    return f"""
+WITH h AS (SELECT doc_id, md5(text) AS hh,
+  CAST(octet_length(encode(text)) AS BIGINT) AS L FROM documents),
+d AS (SELECT doc_id, L, {brand} AS brand, CAST({ts} AS INTEGER)
+  AS timescale, CAST({dur} AS BIGINT) AS duration_ticks FROM h)
+SELECT doc_id, 144 + L AS n_bytes, brand, timescale, duration_ticks,
+  duration_ticks * 1000 // timescale AS duration_ms FROM d"""
 
 
 def _oracle_mm_frame_sample() -> str:
@@ -795,6 +822,7 @@ def build_pipeline_queries():
         "mm_resize": q_mm_resize,
         "mm_audio_stats": q_mm_audio_stats,
         "mm_frame_sample": q_mm_frame_sample,
+        "mm_video_meta": q_mm_video_meta,
     }
 
 
@@ -891,6 +919,7 @@ def build_pipeline_oracles():
         "doc_token_ids": _oracle_doc_token_ids(),
         "dedup_clusters": _oracle_dedup_clusters(),
         "mm_image_meta": _oracle_mm_image_meta(),
+        "mm_video_meta": _oracle_mm_video_meta(),
         "mm_resize": f"""
 WITH {_MM_IMG_CTE}
 SELECT doc_id, width, height,

@@ -497,6 +497,30 @@ def test_parse_real_png_jpeg_wav_fixtures():
         parse_image_header(b"not an image at all")
 
 
+def test_parse_mp4_boxes_v0_v1_and_rejects_garbage():
+    """The MP4 box walker reads our muxer's v0 mvhd, a hand-built v1
+    (64-bit duration) mvhd, skips preceding boxes inside moov, and
+    rejects non-BMFF bytes."""
+    import struct
+    import pytest
+    from nebula_storage_spark.pipeline.multimodal import (
+        _mp4_box, _mp4_bytes, parse_mp4_header)
+    assert parse_mp4_header(_mp4_bytes("mp42", 90000, 123456, b"xyz")) \
+        == ("mp42", 90000, 123456)
+    # version-1 mvhd: 64-bit times, timescale at +20, duration u64 at +24
+    mvhd_v1 = _mp4_box(b"mvhd", bytes([1, 0, 0, 0]) + bytes(16)
+                       + struct.pack(">I", 600)
+                       + struct.pack(">Q", 2 ** 33) + bytes(80))
+    free = _mp4_box(b"free", b"skip me")
+    moov = _mp4_box(b"moov", free + mvhd_v1)
+    ftyp = _mp4_box(b"ftyp", b"isom" + struct.pack(">I", 0) + b"isom")
+    assert parse_mp4_header(ftyp + moov) == ("isom", 600, 2 ** 33)
+    with pytest.raises(ValueError):
+        parse_mp4_header(b"RIFF not an mp4 stream..")
+    with pytest.raises(ValueError):
+        parse_mp4_header(ftyp + _mp4_box(b"moov", free))  # no mvhd
+
+
 def test_image_meta_round_trip_through_real_bytes(spark):
     """synth payload -> real header parse must reproduce the md5-derived
     parameters (the same invariant the DuckDB oracle checks at sf0.01)."""
