@@ -579,6 +579,29 @@ def q_expr_surface(spark, sf_dir):
         .cast("long").alias("null_probe"))
 
 
+def q_hof_surface(spark, sf_dir):
+    """§2.3 container-expression surface over a REAL array column (the
+    token list): list comprehension (transform∘filter), any/all
+    predicates (exists/forall), reduce (aggregate) — the Spark
+    equivalents of the reference's ListComprehension / Predicate /
+    Reduce expression kinds (query/QueryBaseProcessor.inl:374-417).
+    All JVM codegen HOFs; zero Python in the loop."""
+    from .workload_pipeline import _docs
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.expr("CAST(size(filter(split(text, ' '), t -> length(t) > 5)) "
+               "AS BIGINT)").alias("n_long"),
+        F.expr("exists(split(text, ' '), t -> t rlike '^[0-9]+$')")
+        .alias("any_number"),
+        F.expr("forall(split(text, ' '), t -> length(t) < 20)")
+        .alias("all_short"),
+        F.expr("CAST(aggregate(split(text, ' '), 0L, "
+               "(a, t) -> a + length(t)) AS BIGINT)").alias("total_chars"),
+        F.expr("array_join(transform(filter(split(text, ' '), "
+               "t -> length(t) >= 4), t -> upper(substring(t, 1, 2))), ',')")
+        .alias("prefixes"))
+
+
 def q_sessionize(spark, sf_dir):
     from .operators import sessionize
     return sessionize(load_events(spark, sf_dir), gap_seconds=1800)
@@ -987,6 +1010,42 @@ def q_vocab_topk(spark, sf_dir):
     # TakeOrderedAndProject: each partition keeps its local top-20, the
     # driver merges 20·P candidate rows — never a single-partition sort.
     return counts.orderBy(F.col("cnt").desc(), "token").limit(20)
+
+
+def q_bpe_pair_counts(spark, sf_dir):
+    """First BPE merge step: corpus frequency of adjacent character
+    pairs inside tokens (word-internal bigrams), top-30 — the inner
+    loop of BPE vocabulary training as one explode + hash aggregate;
+    top-k via TakeOrderedAndProject, never a global window. At 100 TB
+    the aggregate state is bounded by the character-bigram alphabet."""
+    from .workload_pipeline import _docs
+    tok = (_docs(spark, sf_dir)
+           .select(F.explode(F.split("text", " ")).alias("t"))
+           .filter(F.length("t") >= 2))
+    pairs = tok.select(F.explode(F.expr(
+        "transform(sequence(1, length(t) - 1), "
+        "i -> substring(t, i, 2))")).alias("pair"))
+    counts = pairs.groupBy("pair").agg(F.count(F.lit(1)).alias("cnt"))
+    return counts.orderBy(F.col("cnt").desc(), "pair").limit(30)
+
+
+def q_doc_rarity_score(spark, sf_dir):
+    """Integer perplexity surrogate: rarity(token) = corpus_total DIV
+    corpus_count (high for rare tokens), doc score = mean token rarity
+    (truncating DIV) — the unigram-LM quality-filter signal without any
+    float log. One vocabulary aggregate + one re-join of the token
+    stream; the scalar total rides a 1-row broadcast."""
+    from .workload_pipeline import _docs
+    tok = (_docs(spark, sf_dir)
+           .select("doc_id", F.explode(F.split("text", " ")).alias("t")))
+    counts = tok.groupBy("t").agg(F.count(F.lit(1)).alias("cnt"))
+    total = counts.agg(F.sum("cnt").alias("total"))
+    rarity = (counts.crossJoin(F.broadcast(total))
+              .select("t", F.expr("total DIV cnt").alias("rarity")))
+    return (tok.join(rarity, "t")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_tokens"),
+                 F.expr("sum(rarity) DIV count(*)").alias("rarity_score")))
 
 
 def q_dedup_ngram_pruned(spark, sf_dir):
@@ -2088,6 +2147,38 @@ def _oracle_hll() -> str:
 ORACLE_EXT["hll_distinct_users"] = _oracle_hll()
 ORACLE_EXT["cms_token_counts"] = _oracle_cms()
 ORACLE_EXT["bloom_vocab_probe"] = _oracle_bloom()
+ORACLE_EXT["hof_surface"] = """
+SELECT doc_id,
+  CAST(len(list_filter(string_split(text, ' '), t -> len(t) > 5))
+    AS BIGINT) AS n_long,
+  len(list_filter(string_split(text, ' '),
+    t -> regexp_matches(t, '^[0-9]+$'))) > 0 AS any_number,
+  len(list_filter(string_split(text, ' '),
+    t -> NOT (len(t) < 20))) = 0 AS all_short,
+  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+    list_transform(string_split(text, ' '), t -> CAST(len(t) AS BIGINT))),
+    (a, b) -> a + b) AS BIGINT) AS total_chars,
+  array_to_string(list_transform(list_filter(string_split(text, ' '),
+    t -> len(t) >= 4), t -> upper(substr(t, 1, 2))), ',') AS prefixes
+FROM documents"""
+
+ORACLE_EXT["bpe_pair_counts"] = """
+WITH tok AS (SELECT unnest(string_split(text, ' ')) AS t FROM documents),
+p AS (SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+        i -> substr(t, i, 2))) AS pair FROM tok WHERE len(t) >= 2)
+SELECT pair, count(*) AS cnt FROM p GROUP BY pair
+ORDER BY cnt DESC, pair LIMIT 30"""
+
+ORACLE_EXT["doc_rarity_score"] = """
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+  FROM documents),
+c AS (SELECT t, count(*) AS cnt FROM tok GROUP BY t),
+tot AS (SELECT sum(cnt) AS total FROM c),
+r AS (SELECT t, total // cnt AS rarity FROM c, tot)
+SELECT doc_id, count(*) AS n_tokens,
+  sum(rarity) // count(*) AS rarity_score
+FROM tok JOIN r USING (t) GROUP BY doc_id"""
+
 ORACLE_EXT["tpch_q17"] = ORACLE_ANALYTIC_Q17
 ORACLE_EXT["tpch_q16_shape"] = ORACLE_ANALYTIC_Q16
 ORACLE_EXT["source_concentration"] = ORACLE_ANALYTIC_HHI
@@ -3234,6 +3325,7 @@ _ADDED_R03 = frozenset({
     "knn_ivf_incremental", "dedup_minhash_incremental", "tpch_q12_shape",
     "tpch_q21_shape", "tpch_q22_shape", "tpch_q2_shape", "events_lead_lag",
     "customer_value_quartiles", "mm_video_meta", "stream_join",
+    "bpe_pair_counts", "doc_rarity_score", "hof_surface",
 })
 
 
@@ -3359,6 +3451,9 @@ def _core_queries() -> dict[str, Query]:
         "store_roundtrip": q_store_roundtrip,
         "store_checkpoint": q_store_checkpoint,
         "vocab_topk": q_vocab_topk,
+        "bpe_pair_counts": q_bpe_pair_counts,
+        "doc_rarity_score": q_doc_rarity_score,
+        "hof_surface": q_hof_surface,
         "dedup_ngram_pruned": q_dedup_ngram_pruned,
         "range_click_attribution": q_range_click_attribution,
         "triangle_counts": q_triangle_counts,

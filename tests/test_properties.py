@@ -278,3 +278,30 @@ def test_broadcast_rank_matches_row_number(spark, rows):
         sorted(((v, k) for k, v in uniq.items()),
                key=lambda t: (-t[0], t[1])))}
     assert got == expect
+
+
+@given(st.lists(st.tuples(st.integers(0, 3), st.integers(0, 40)),
+                min_size=1, max_size=20),
+       st.lists(st.tuples(st.integers(0, 3), st.integers(-5, 45),
+                          st.integers(-5, 45)),
+                min_size=1, max_size=15),
+       st.integers(1, 12))
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_interval_point_join_matches_naive(spark, points, intervals, width):
+    """Bin-bucketed interval join ≡ the naive inequality join, for any
+    keys, any (possibly inverted) intervals, and any bin width."""
+    from nebula_storage_spark.operators.rangejoin import interval_point_join
+    p = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(points)],
+        "k bigint, t bigint, pid bigint")
+    iv = spark.createDataFrame(
+        [(k, lo, hi, i) for i, (k, lo, hi) in enumerate(intervals)],
+        "k bigint, lo bigint, hi bigint, iid bigint")
+    got = {(r.pid, r.iid) for r in interval_point_join(
+        p, iv, "k", "t", "lo", "hi", bin_width=width).collect()}
+    expect = {(pi, ii)
+              for pi, (pk, pt) in enumerate(points)
+              for ii, (ik, lo, hi) in enumerate(intervals)
+              if pk == ik and lo <= pt <= hi}
+    assert got == expect
