@@ -57,17 +57,19 @@ def _lc_table(p: int) -> list[int]:
     return [round(m * math.log(m / v)) for v in range(1, m + 1)]
 
 
-def hll_cardinality(df: DataFrame, key_col: str, group_cols: list[str],
-                    p: int = 8, prefix: str = "hll#") -> DataFrame:
-    """Per-group HLL cardinality estimate next to the exact distinct
-    count (n_est, n_exact) — the exact column doubles as the operator's
-    own accuracy witness. p ∈ [4, 16]."""
+def hll_registers(df: DataFrame, key_col: str, group_cols: list[str],
+                  p: int = 8, prefix: str = "hll#") -> DataFrame:
+    """The materializable HLL STATE: per-group max-rank registers
+    (group_cols…, __bucket, __r), ≤ 2^p rows per group regardless of
+    input size. Registers merge by MAX — commutative, associative,
+    idempotent — so a stored register table plus a delta's registers
+    re-maxed is bit-identical to recomputing from all data: the law that
+    makes COUNT(DISTINCT) maintainable incrementally at 100 TB."""
     if not 4 <= p <= 16:
-        raise ValueError("hll_cardinality needs 4 <= p <= 16")
+        raise ValueError("hll needs 4 <= p <= 16")
     m = 1 << p
     wb = _W_BITS[p]                  # rank field width; rho ∈ [1, wb+1]
     top = wb + 1
-    a = _a_const(p)
     h = (f"CAST(conv(substring(md5(concat('{prefix}', "
          f"CAST({key_col} AS STRING))), 1, 15), 16, 10) AS BIGINT)")
     d = df.select(*group_cols, F.expr(h).alias("__h"))
@@ -76,10 +78,26 @@ def hll_cardinality(df: DataFrame, key_col: str, group_cols: list[str],
                  F.expr(f"__h DIV {m}").alias("__w"))
     rho = F.when(F.col("__w") == 0, F.lit(top)) \
         .otherwise(F.lit(top) - F.length(F.expr("bin(__w)")))
-    ranks = (d.select(*group_cols, "__bucket", rho.alias("__rho"))
-             .groupBy(*group_cols, "__bucket")
-             .agg(F.max("__rho").alias("__r")))
-    sums = (ranks.groupBy(*group_cols)
+    return (d.select(*group_cols, "__bucket", rho.alias("__rho"))
+            .groupBy(*group_cols, "__bucket")
+            .agg(F.max("__rho").alias("__r")))
+
+
+def hll_merge_registers(a: DataFrame, b: DataFrame,
+                        group_cols: list[str]) -> DataFrame:
+    """Merge two register tables (delta-apply): union → per-bucket MAX."""
+    return (a.unionByName(b)
+            .groupBy(*group_cols, "__bucket")
+            .agg(F.max("__r").alias("__r")))
+
+
+def hll_estimate(registers: DataFrame, group_cols: list[str],
+                 p: int = 8) -> DataFrame:
+    """Finish a register table into per-group estimates (n_est)."""
+    m = 1 << p
+    top = _W_BITS[p] + 1
+    a = _a_const(p)
+    sums = (registers.groupBy(*group_cols)
             .agg(F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {top} - __r)"))
                  .alias("__s_obs"),
                  F.count(F.lit(1)).alias("__nb")))
@@ -88,11 +106,20 @@ def hll_cardinality(df: DataFrame, key_col: str, group_cols: list[str],
            f"shiftleft(CAST(1 AS BIGINT), {top}))")
     # standard HLL decision rule: below 2.5m with zero buckets present,
     # linear counting on the zero-bucket count V (table lookup) wins
-    est = sums.select(
+    return sums.select(
         *group_cols,
         F.expr(f"CASE WHEN ({m} - __nb) > 0 AND ({raw}) * 2 <= {5 * m} "
                f"THEN element_at(array({lc}), CAST({m} - __nb AS INT)) "
                f"ELSE {raw} END").cast("long").alias("n_est"))
+
+
+def hll_cardinality(df: DataFrame, key_col: str, group_cols: list[str],
+                    p: int = 8, prefix: str = "hll#") -> DataFrame:
+    """Per-group HLL cardinality estimate next to the exact distinct
+    count (n_est, n_exact) — the exact column doubles as the operator's
+    own accuracy witness. p ∈ [4, 16]."""
+    regs = hll_registers(df, key_col, group_cols, p=p, prefix=prefix)
+    est = hll_estimate(regs, group_cols, p=p)
     exact = (df.groupBy(*group_cols)
              .agg(F.countDistinct(key_col).alias("n_exact")))
     return est.join(exact, group_cols)

@@ -698,6 +698,31 @@ def q_hll_distinct_users(spark, sf_dir):
     return hll_cardinality(ev, "user_id", ["event_type"], p=8)
 
 
+def q_hll_incremental(spark, sf_dir):
+    """Incremental sketch maintenance: HLL registers computed on 80% of
+    the events ("stored"), registers on the 20% delta, merged by
+    per-bucket MAX — the estimate must equal the full-corpus sketch
+    (register merge is commutative/associative/idempotent), so this
+    query shares hll_distinct_users' oracle. Completes the delta-apply
+    family: aggregates (incremental_view_maintenance), ANN index
+    (knn_ivf_incremental), LSH dedup (dedup_minhash_incremental),
+    COUNT(DISTINCT) sketches (here)."""
+    from .operators.sketch import (hll_estimate, hll_merge_registers,
+                                   hll_registers)
+    ev = load_events(spark, sf_dir).select("event_type", "user_id",
+                                           "event_id")
+    base = ev.filter(F.col("event_id") % 5 != 0)
+    delta = ev.filter(F.col("event_id") % 5 == 0)
+    regs = hll_merge_registers(
+        hll_registers(base, "user_id", ["event_type"], p=8),
+        hll_registers(delta, "user_id", ["event_type"], p=8),
+        ["event_type"])
+    est = hll_estimate(regs, ["event_type"], p=8)
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact"))
+    return est.join(exact, ["event_type"])
+
+
 def q_cms_token_counts(spark, sf_dir):
     """Count-min sketch frequency estimates for the corpus's top-20
     tokens, next to the exact counts. The sketch compresses any token
@@ -2145,6 +2170,8 @@ def _oracle_hll() -> str:
 
 
 ORACLE_EXT["hll_distinct_users"] = _oracle_hll()
+# register merge law: base+delta re-max == full recompute -> same oracle
+ORACLE_EXT["hll_incremental"] = _oracle_hll()
 ORACLE_EXT["cms_token_counts"] = _oracle_cms()
 ORACLE_EXT["bloom_vocab_probe"] = _oracle_bloom()
 ORACLE_EXT["hof_surface"] = """
@@ -3326,6 +3353,7 @@ _ADDED_R03 = frozenset({
     "tpch_q21_shape", "tpch_q22_shape", "tpch_q2_shape", "events_lead_lag",
     "customer_value_quartiles", "mm_video_meta", "stream_join",
     "bpe_pair_counts", "doc_rarity_score", "hof_surface",
+    "hll_incremental",
 })
 
 
@@ -3384,6 +3412,7 @@ def _core_queries() -> dict[str, Query]:
         "stream_join": q_stream_join,
         "stream_session_window": q_stream_session_window,
         "hll_distinct_users": q_hll_distinct_users,
+        "hll_incremental": q_hll_incremental,
         "cms_token_counts": q_cms_token_counts,
         "bloom_vocab_probe": q_bloom_vocab_probe,
         "events_value_percentiles": q_events_value_percentiles,
