@@ -776,3 +776,57 @@ def pagerank_oracle_sql(edges_sql: str, iterations: int = 5,
             f"FROM nodes n LEFT JOIN c{t} c USING (node))")
     return ("WITH " + ",\n".join(parts)
             + f"\nSELECT node, rank FROM r{iterations}")
+
+
+def transitive_closure(edges: DataFrame, rounds: int = 8) -> DataFrame:
+    """All reachability pairs (src, dst) for paths up to 2^rounds hops,
+    by path doubling: P_{k+1} = P_k ∪ (P_k ⋈ P_k). Each round is one
+    equi-join + distinct; lineage is truncated per round
+    (localCheckpoint — the frame is referenced twice per round, the
+    exponential-lineage case).
+
+    Scale posture: the OUTPUT is inherently O(|closure|), which on a
+    well-connected graph is O(V²) — this is a bounded-subgraph operator
+    (like common_neighbors' explicit pair list), not a whole-graph one.
+    Whole-graph strong connectivity at 100 TB uses the coloring
+    algorithm over the same doubling primitive (forward max-label
+    propagation — connected_components_doubling's machinery on the
+    directed graph).
+    """
+    p = (edges.select(SRC, DST).filter(F.col(SRC) != F.col(DST))
+         .distinct().localCheckpoint())
+    for _ in range(rounds):
+        hop2 = (p.alias("a")
+                .join(p.alias("b"), F.col(f"a.{DST}") == F.col(f"b.{SRC}"))
+                .select(F.col(f"a.{SRC}").alias(SRC),
+                        F.col(f"b.{DST}").alias(DST)))
+        nxt = (p.unionByName(hop2)
+               .filter(F.col(SRC) != F.col(DST))
+               .distinct().localCheckpoint())
+        # fixpoint: doubling converges once no new pair appears; checking
+        # costs one count of an already-materialized frame
+        if nxt.count() == p.count():
+            p = nxt
+            break
+        p = nxt
+    return p
+
+
+def scc_components(edges: DataFrame, rounds: int = 8) -> DataFrame:
+    """Strongly connected components via mutual reachability:
+    scc_id(v) = min({u : v→u and u→v} ∪ {v}) — deterministic (min
+    member id labels the component), exact for SCC diameters ≤ 2^rounds.
+    Output: (node, scc_id) for every node incident to an edge."""
+    tc = transitive_closure(edges, rounds=rounds).persist()
+    nodes = (edges.select(F.col(SRC).alias("node"))
+             .unionByName(edges.select(F.col(DST).alias("node")))
+             .distinct())
+    mutual = (tc.alias("f")
+              .join(tc.alias("r"),
+                    (F.col(f"f.{SRC}") == F.col(f"r.{DST}"))
+                    & (F.col(f"f.{DST}") == F.col(f"r.{SRC}")))
+              .select(F.col(f"f.{SRC}").alias("node"),
+                      F.col(f"f.{DST}").alias("peer")))
+    return (nodes.select("node", F.col("node").alias("peer"))
+            .unionByName(mutual)
+            .groupBy("node").agg(F.min("peer").alias("scc_id")))

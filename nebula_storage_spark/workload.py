@@ -698,6 +698,36 @@ def q_hll_distinct_users(spark, sf_dir):
     return hll_cardinality(ev, "user_id", ["event_type"], p=8)
 
 
+def q_scc_components(spark, sf_dir):
+    """Strongly connected components over a derived directed graph:
+    within each (event_type, user_id%4) class, users form a successor
+    cycle in first-event order (last wraps to first), so classes sharing
+    users merge into larger SCCs. scc_id = min mutual-reachability peer,
+    computed by path doubling (exact for SCC diameter ≤ 2^8). The
+    closure is a bounded-subgraph operator by contract — whole-graph
+    strong connectivity at 100 TB runs the coloring algorithm instead
+    (analytics.transitive_closure docstring)."""
+    from .operators.analytics import scc_components
+    ev = load_events(spark, sf_dir).filter(F.col("user_id") < 150)
+    firsts = (ev.select("event_type", (F.col("user_id") % 4).alias("grp"),
+                        "user_id", "ts")
+              .groupBy("event_type", "grp", "user_id")
+              .agg(F.min("ts").alias("first_ts")))
+    w = W.partitionBy("event_type", "grp").orderBy("first_ts", "user_id")
+    wn = W.partitionBy("event_type", "grp")
+    ranked = firsts.select("event_type", "grp", "user_id",
+                           F.row_number().over(w).alias("rn"),
+                           F.count(F.lit(1)).over(wn).alias("n"))
+    a, b = ranked.alias("a"), ranked.alias("b")
+    edges = (a.join(b, (F.col("a.event_type") == F.col("b.event_type"))
+                    & (F.col("a.grp") == F.col("b.grp"))
+                    & (F.col("b.rn") == F.col("a.rn") % F.col("a.n") + 1))
+             .select(F.col("a.user_id").alias(SRC),
+                     F.col("b.user_id").alias(DST))
+             .distinct())
+    return scc_components(edges, rounds=8)
+
+
 def q_hll_incremental(spark, sf_dir):
     """Incremental sketch maintenance: HLL registers computed on 80% of
     the events ("stored"), registers on the 20% delta, merged by
@@ -2172,6 +2202,26 @@ def _oracle_hll() -> str:
 ORACLE_EXT["hll_distinct_users"] = _oracle_hll()
 # register merge law: base+delta re-max == full recompute -> same oracle
 ORACLE_EXT["hll_incremental"] = _oracle_hll()
+ORACLE_EXT["scc_components"] = """
+WITH RECURSIVE f AS (SELECT event_type, user_id % 4 AS grp, user_id,
+    min(ts) AS first_ts FROM events WHERE user_id < 150
+  GROUP BY event_type, user_id % 4, user_id),
+r AS (SELECT event_type, grp, user_id,
+    row_number() OVER (PARTITION BY event_type, grp
+                       ORDER BY first_ts, user_id) AS rn,
+    count(*) OVER (PARTITION BY event_type, grp) AS n FROM f),
+e AS (SELECT DISTINCT a.user_id AS src, b.user_id AS dst
+  FROM r a JOIN r b ON a.event_type = b.event_type AND a.grp = b.grp
+  AND b.rn = a.rn % a.n + 1),
+e2 AS (SELECT src, dst FROM e WHERE src <> dst),
+tc AS (SELECT src, dst FROM e2
+  UNION SELECT tc.src, e2.dst FROM tc JOIN e2 ON tc.dst = e2.src),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+m AS (SELECT fw.src AS node, fw.dst AS peer FROM tc fw
+      JOIN tc bw ON fw.src = bw.dst AND fw.dst = bw.src
+      UNION ALL SELECT node, node FROM nodes)
+SELECT node, min(peer) AS scc_id FROM m GROUP BY node"""
+
 ORACLE_EXT["cms_token_counts"] = _oracle_cms()
 ORACLE_EXT["bloom_vocab_probe"] = _oracle_bloom()
 ORACLE_EXT["hof_surface"] = """
@@ -3353,7 +3403,7 @@ _ADDED_R03 = frozenset({
     "tpch_q21_shape", "tpch_q22_shape", "tpch_q2_shape", "events_lead_lag",
     "customer_value_quartiles", "mm_video_meta", "stream_join",
     "bpe_pair_counts", "doc_rarity_score", "hof_surface",
-    "hll_incremental",
+    "hll_incremental", "scc_components",
 })
 
 
@@ -3413,6 +3463,7 @@ def _core_queries() -> dict[str, Query]:
         "stream_session_window": q_stream_session_window,
         "hll_distinct_users": q_hll_distinct_users,
         "hll_incremental": q_hll_incremental,
+        "scc_components": q_scc_components,
         "cms_token_counts": q_cms_token_counts,
         "bloom_vocab_probe": q_bloom_vocab_probe,
         "events_value_percentiles": q_events_value_percentiles,

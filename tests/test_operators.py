@@ -1018,3 +1018,23 @@ def test_minhash_incremental_equals_full_rebuild(spark, sf_dir):
             for r in minhash_lsh_pairs_incremental(
                 docs, F.col("doc_id") % 3 == 0).collect()}
     assert incr == full
+
+
+def test_scc_known_graph_and_closure_fixpoint(spark):
+    """Two 3-cycles joined by a ONE-WAY bridge stay separate SCCs; a
+    dangling DAG node is its own singleton; the closure fixpoint check
+    stops doubling early without changing the answer."""
+    from nebula_storage_spark.operators.analytics import (
+        scc_components, transitive_closure)
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1),        # cycle A
+         (4, 5), (5, 6), (6, 4),        # cycle B
+         (3, 4),                        # one-way bridge A -> B
+         (6, 9)],                       # DAG tail
+        "_src bigint, _dst bigint")
+    got = {r.node: r.scc_id for r in scc_components(e, rounds=6).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 4, 9: 9}
+    tc = {(r._src, r._dst) for r in transitive_closure(e, rounds=6).collect()}
+    # everything in A reaches everything in B and the tail, never back
+    assert (1, 9) in tc and (3, 4) in tc
+    assert (4, 1) not in tc and (9, 6) not in tc
