@@ -1836,6 +1836,64 @@ def q_degree_quantiles(spark, sf_dir):
     return r.agg(*picks)
 
 
+def q_price_size_correlation(spark, sf_dir):
+    """Exact-integer Pearson correlation (the stat family's bivariate
+    member): price in cents and size accumulated as five int64 sums, one
+    final IEEE expression floor(r·10⁴) — identical integer inputs give
+    the identical double in any engine (the degree_assortativity
+    recipe on a plain table). NULL when either column is constant."""
+    g = tpch_graph(spark, sf_dir)
+    p = g.tag_df("part")
+    x = F.col("p_size").cast("bigint")
+    y = (F.col("p_retailprice").cast("decimal(18,2)") * 100).cast("bigint")
+    s = p.agg(F.count(F.lit(1)).alias("n"),
+              F.sum(x).alias("sx"), F.sum(x * x).alias("sx2"),
+              F.sum(y).alias("sy"), F.sum(y * y).alias("sy2"),
+              F.sum(x * y).alias("sxy"))
+    den = ("sqrt(CAST(n * sx2 - sx * sx AS DOUBLE))"
+           " * sqrt(CAST(n * sy2 - sy * sy AS DOUBLE))")
+    return s.select(F.expr(
+        f"CASE WHEN n * sx2 - sx * sx = 0 OR n * sy2 - sy * sy = 0 "
+        f"THEN NULL ELSE CAST(floor("
+        f"CAST(n * sxy - sx * sy AS DOUBLE) / ({den}) * 10000) AS BIGINT) "
+        f"END").alias("corr_x10000"))
+
+
+def q_zorder_pruning(spark, sf_dir):
+    """Z-order (Morton) layout for multi-dimensional data skipping: the
+    part table is rewritten range-partitioned + sorted by the bit
+    interleave of (p_size, price-bucket), so a conjunctive range filter
+    on BOTH dimensions concentrates into few row groups — the
+    multi-dim analog of the reference's single-dim order-preserving
+    index keys (utils/IndexKeyUtils.h:141-214). The z-value is pure
+    integer bit arithmetic, identical in any engine; correctness is
+    layout-independent (the oracle just filters), the LAYOUT is the
+    point (row-group min/max pruning on z-clustered files at 100 TB)."""
+    import os
+    g = tpch_graph(spark, sf_dir)
+    p = g.tag_df("part")
+    # 8-bit normalized dims -> 16-bit Morton code via shift-and-mask
+    zx = "CAST(p_size AS BIGINT) % 256"
+    zy = ("CAST(CAST(p_retailprice AS DECIMAL(18,2)) DIV 10 AS BIGINT) "
+          "% 256")
+    interleave = " + ".join(
+        f"((({zx}) DIV {1 << i}) % 2) * {1 << (2 * i)}"
+        f" + ((({zy}) DIV {1 << i}) % 2) * {1 << (2 * i + 1)}"
+        for i in range(8))
+    path = (f"/tmp/nebula_spark_zorder/"
+            f"{os.path.basename(sf_dir.rstrip('/'))}")
+    (p.withColumn("_z", F.expr(interleave))
+     .repartitionByRange(8, "_z").sortWithinPartitions("_z")
+     .write.mode("overwrite").parquet(path))
+    back = spark.read.parquet(path)
+    return (back.filter((F.col("p_size").between(5, 12))
+                        & (F.col("p_retailprice") >= 920)
+                        & (F.col("p_retailprice") < 950))
+            .select(F.col(VID), "p_size",
+                    F.col("p_retailprice").cast("decimal(18,2)")
+                    .alias("price")))
+
+
 def q_common_neighbors(spark, sf_dir):
     """Common-neighbor counts for 30 customer pairs over the 2-hop
     (placed, contains) walk — the co-purchase / link-prediction
@@ -2202,6 +2260,28 @@ def _oracle_hll() -> str:
 ORACLE_EXT["hll_distinct_users"] = _oracle_hll()
 # register merge law: base+delta re-max == full recompute -> same oracle
 ORACLE_EXT["hll_incremental"] = _oracle_hll()
+
+ORACLE_EXT["price_size_correlation"] = (
+    "WITH s AS (SELECT count(*) AS n, "
+    "sum(CAST(p_size AS BIGINT)) AS sx, "
+    "sum(CAST(p_size AS BIGINT) * CAST(p_size AS BIGINT)) AS sx2, "
+    "sum(CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS sy, "
+    "sum(CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT) * "
+    "CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS sy2, "
+    "sum(CAST(p_size AS BIGINT) * "
+    "CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS sxy "
+    "FROM part) "
+    "SELECT CASE WHEN n * sx2 - sx * sx = 0 OR n * sy2 - sy * sy = 0 "
+    "THEN NULL ELSE CAST(floor(CAST(n * sxy - sx * sy AS DOUBLE) / "
+    "(sqrt(CAST(n * sx2 - sx * sx AS DOUBLE)) * "
+    "sqrt(CAST(n * sy2 - sy * sy AS DOUBLE))) * 10000) AS BIGINT) END "
+    "AS corr_x10000 FROM s")
+
+ORACLE_EXT["zorder_pruning"] = (
+    "SELECT p_partkey AS _vid, p_size, "
+    "CAST(p_retailprice AS DECIMAL(18,2)) AS price FROM part "
+    "WHERE p_size BETWEEN 5 AND 12 AND p_retailprice >= 920 "
+    "AND p_retailprice < 950")
 ORACLE_EXT["scc_components"] = """
 WITH RECURSIVE f AS (SELECT event_type, user_id % 4 AS grp, user_id,
     min(ts) AS first_ts FROM events WHERE user_id < 150
@@ -3403,7 +3483,8 @@ _ADDED_R03 = frozenset({
     "tpch_q21_shape", "tpch_q22_shape", "tpch_q2_shape", "events_lead_lag",
     "customer_value_quartiles", "mm_video_meta", "stream_join",
     "bpe_pair_counts", "doc_rarity_score", "hof_surface",
-    "hll_incremental", "scc_components",
+    "hll_incremental", "scc_components", "price_size_correlation",
+    "zorder_pruning",
 })
 
 
@@ -3464,6 +3545,8 @@ def _core_queries() -> dict[str, Query]:
         "hll_distinct_users": q_hll_distinct_users,
         "hll_incremental": q_hll_incremental,
         "scc_components": q_scc_components,
+        "price_size_correlation": q_price_size_correlation,
+        "zorder_pruning": q_zorder_pruning,
         "cms_token_counts": q_cms_token_counts,
         "bloom_vocab_probe": q_bloom_vocab_probe,
         "events_value_percentiles": q_events_value_percentiles,
