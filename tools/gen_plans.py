@@ -163,6 +163,15 @@ SHOWCASE = {
         "degree-sum bound) with the same range-partitioned prefix sum — "
         "the |V|-row global sort window of round 2 is gone; the scalar "
         "total joins in via a 1-row broadcast (verdict item #4)."),
+    "zorder_pruning": (
+        ("PushedFilters", "ReadSchema", "Scan parquet"),
+        "Multi-dimensional data skipping: the store was rewritten "
+        "range-partitioned + sorted on the Morton interleave of "
+        "(p_size, price-bucket), so BOTH range predicates reach the "
+        "rewritten files as PushedFilters and row-group min/max skips "
+        "the z-clusters outside the query box — the multi-dim analog "
+        "of the reference's order-preserving index keys "
+        "(IndexKeyUtils.h:141-214)."),
 }
 
 
