@@ -239,7 +239,8 @@ def hyperplanes(n_planes: int, dim: int, seed: int = 42) -> list[list[int]]:
 def hyperplane_lsh_topk(emb: DataFrame, query_ids, k: int = 5,
                         n_planes: int = 8, band_planes: int = 2,
                         dim: int = 64, id_col: str = "vec_id",
-                        vec_col: str = "embedding") -> DataFrame:
+                        vec_col: str = "embedding",
+                        probe_flips: int = 0) -> DataFrame:
     """ANN top-k via random-hyperplane (SimHash-for-cosine) LSH: the
     LSH-bucketed scale path next to knn_bruteforce (exact) and knn_ivf
     (cell-probed).
@@ -255,6 +256,13 @@ def hyperplane_lsh_topk(emb: DataFrame, query_ids, k: int = 5,
     Scale: the bucket join replaces the all-pairs cross join — corpus
     work per query drops to the occupancy of its ~n_planes/band_planes
     buckets; band frames shuffle on (band, key) which AQE coalesces.
+
+    `probe_flips` > 0 enables MULTIPROBE: each query band additionally
+    probes the buckets whose key differs in one of the lowest
+    `probe_flips` bits — the standard multiprobe recall dial (near-miss
+    vectors land one sign-flip away). Candidate work grows only on the
+    (tiny) query side, ×(1 + probe_flips) band rows; the corpus index
+    is untouched — the LSH counterpart of IVF's nprobe.
     """
     planes = hyperplanes(n_planes, dim)
     n_bands = n_planes // band_planes
@@ -275,6 +283,12 @@ def hyperplane_lsh_topk(emb: DataFrame, query_ids, k: int = 5,
                    F.posexplode(F.array(*band_keys)).alias("band", "bkey"))
     qb = (sig.filter(F.col(id_col).isin(list(query_ids)))
           .select(F.col(id_col).alias("q_id"), "band", "bkey"))
+    if probe_flips:
+        variants = F.array(F.col("bkey"),
+                           *[F.col("bkey").bitwiseXOR(F.lit(1 << i))
+                             for i in range(probe_flips)])
+        qb = (qb.select("q_id", "band", F.explode(variants).alias("bkey"))
+              .distinct())
     cand = (F.broadcast(qb)
             .join(sig.select(F.col(id_col).alias("n_id"), "band", "bkey"),
                   ["band", "bkey"])

@@ -3484,7 +3484,7 @@ _ADDED_R03 = frozenset({
     "customer_value_quartiles", "mm_video_meta", "stream_join",
     "bpe_pair_counts", "doc_rarity_score", "hof_surface",
     "hll_incremental", "scc_components", "price_size_correlation",
-    "zorder_pruning",
+    "zorder_pruning", "knn_lsh_multiprobe",
 })
 
 

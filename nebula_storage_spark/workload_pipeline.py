@@ -482,7 +482,17 @@ def q_knn_hyperplane_lsh(spark, sf_dir):
                                dim=EMB_DIM)
 
 
-def _oracle_knn_hyperplane_lsh() -> str:
+def q_knn_lsh_multiprobe(spark, sf_dir):
+    """Multiprobe LSH recall dial: each query band also probes its two
+    single-bit-flip neighbor buckets (near-miss vectors sit one sign
+    flip away), 3× candidate rows on the query side only — the LSH
+    counterpart of knn_ivf_nprobe, under the same oracle gate."""
+    from .pipeline import hyperplane_lsh_topk
+    return hyperplane_lsh_topk(_emb(spark, sf_dir), KNN_QUERY_IDS, k=5,
+                               dim=EMB_DIM, probe_flips=2)
+
+
+def _oracle_knn_hyperplane_lsh(probe_flips: int = 0) -> str:
     from .pipeline import hyperplanes
     planes = hyperplanes(8, EMB_DIM)
     band_planes, n_bands = 2, 4
@@ -501,14 +511,20 @@ def _oracle_knn_hyperplane_lsh() -> str:
     bb = " UNION ALL ".join(
         f"SELECT vec_id, {b} AS band, band{b} AS bkey FROM sig"
         for b in range(n_bands))
+    # multiprobe: the query side also probes single-bit-flip buckets
+    qbb = " UNION ".join(
+        ["SELECT vec_id, band, bkey FROM bb"]
+        + [f"SELECT vec_id, band, xor(bkey, {1 << i}) AS bkey FROM bb"
+           for i in range(probe_flips)])
     return f"""
 WITH {_QVEC_CTE},
 sig AS (SELECT vec_id,
   {band_cols}
 FROM nn),
 bb AS ({bb}),
+qbb AS ({qbb}),
 cand AS (SELECT DISTINCT qb.vec_id AS q_id, cb.vec_id AS n_id
-         FROM bb qb JOIN bb cb ON qb.band = cb.band AND qb.bkey = cb.bkey
+         FROM qbb qb JOIN bb cb ON qb.band = cb.band AND qb.bkey = cb.bkey
          WHERE qb.vec_id IN {_QIDS} AND qb.vec_id != cb.vec_id),
 p AS (SELECT cand.q_id, cand.n_id, {_PAIR_COS} AS c
       FROM cand JOIN nn a ON a.vec_id = cand.q_id
@@ -798,6 +814,7 @@ def build_pipeline_queries():
         "knn_ivf": q_knn_ivf,
         "knn_ivf_nprobe": q_knn_ivf_nprobe,
         "knn_hyperplane_lsh": q_knn_hyperplane_lsh,
+        "knn_lsh_multiprobe": q_knn_lsh_multiprobe,
         "decontaminate": q_decontaminate,
         "repetition_stats": q_repetition_stats,
         "tfidf_top_terms": q_tfidf_top_terms,
@@ -886,6 +903,7 @@ def build_pipeline_oracles():
         "knn_ivf": _oracle_knn_ivf(),
         "knn_ivf_nprobe": _oracle_knn_ivf(nprobe=2),
         "knn_hyperplane_lsh": _oracle_knn_hyperplane_lsh(),
+        "knn_lsh_multiprobe": _oracle_knn_hyperplane_lsh(probe_flips=2),
         "decontaminate": _oracle_decontaminate(),
         "repetition_stats": _oracle_repetition_stats(),
         "tfidf_top_terms": _oracle_tfidf_top_terms(),
