@@ -459,6 +459,29 @@ def q_index_rebuild(spark, sf_dir):
                   yield_cols=[VID, "p_name", "p_size"], dedup_cols=[VID])
 
 
+def q_index_incremental(spark, sf_dir):
+    """RebuildIndexTask op-log catch-up (admin/RebuildIndexTask.cpp
+    drains writes buffered during the snapshot scan): build the bucketed
+    (p_size) index from a snapshot missing every 7th part, then drain the
+    buffered ops — adds = the missing rows, deletes = every 5th part,
+    delete-after-add wins — as ONE dynamic-partition-overwrite touching
+    only the delta's `_bucket=` directories. Final index ≡ a rebuild
+    from the post-op store, which is the oracle."""
+    import os
+    from .operators.index_rebuild import (apply_index_delta,
+                                          rebuild_index_bucketed)
+    g = tpch_graph(spark, sf_dir)
+    p = g.tag_df("part").select("p_size", VID, "p_name")
+    path = (f"/tmp/nebula_spark_idx_incr/"
+            f"{os.path.basename(sf_dir.rstrip('/'))}")
+    rebuild_index_bucketed(p.filter(F.col(VID) % 7 != 0), ["p_size"],
+                           path, include_cols=[VID, "p_name"])
+    adds = p.filter(F.col(VID) % 7 == 0)
+    dels = p.filter(F.col(VID) % 5 == 0).select("p_size", VID)
+    return apply_index_delta(spark, path, adds, dels, ["p_size"],
+                             key_col=VID)
+
+
 def q_index_rebuild_edge(spark, sf_dir):
     """RebuildEdgeIndexTask parity (row 26's edge variant): rewrite the
     `contains` edge set as an (l_shipdate, _src) sorted projection —
@@ -2277,6 +2300,10 @@ ORACLE_EXT["price_size_correlation"] = (
     "sqrt(CAST(n * sy2 - sy * sy AS DOUBLE))) * 10000) AS BIGINT) END "
     "AS corr_x10000 FROM s")
 
+ORACLE_EXT["index_incremental"] = (
+    "SELECT p_size, p_partkey AS _vid, p_name FROM part "
+    "WHERE p_partkey % 5 <> 0")
+
 ORACLE_EXT["zorder_pruning"] = (
     "SELECT p_partkey AS _vid, p_size, "
     "CAST(p_retailprice AS DECIMAL(18,2)) AS price FROM part "
@@ -3484,7 +3511,7 @@ _ADDED_R03 = frozenset({
     "customer_value_quartiles", "mm_video_meta", "stream_join",
     "bpe_pair_counts", "doc_rarity_score", "hof_surface",
     "hll_incremental", "scc_components", "price_size_correlation",
-    "zorder_pruning", "knn_lsh_multiprobe",
+    "zorder_pruning", "knn_lsh_multiprobe", "index_incremental",
 })
 
 
@@ -3547,6 +3574,7 @@ def _core_queries() -> dict[str, Query]:
         "scc_components": q_scc_components,
         "price_size_correlation": q_price_size_correlation,
         "zorder_pruning": q_zorder_pruning,
+        "index_incremental": q_index_incremental,
         "cms_token_counts": q_cms_token_counts,
         "bloom_vocab_probe": q_bloom_vocab_probe,
         "events_value_percentiles": q_events_value_percentiles,
