@@ -95,6 +95,8 @@ def apply_index_delta(spark: SparkSession, path: str, adds: DataFrame,
               .unionByName(adds_live.select(*cur.columns)))
     saved = spark.conf.get("spark.sql.sources.partitionOverwriteMode",
                            "static")
+    present = {r._bucket for r in
+               merged.select("_bucket").distinct().collect()}
     try:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode",
                        "dynamic")
@@ -103,4 +105,14 @@ def apply_index_delta(spark: SparkSession, path: str, adds: DataFrame,
          .write.mode("overwrite").partitionBy("_bucket").parquet(path))
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", saved)
+    # dynamic overwrite only replaces partitions PRESENT in the written
+    # data — a touched bucket whose rows were all deleted must be
+    # dropped explicitly or its stale files survive (on a cluster this
+    # is the storage API's prefix delete / a table format's remove log)
+    import os
+    import shutil
+    for b in set(touched) - present:
+        d = os.path.join(path, f"_bucket={b}")
+        if os.path.isdir(d):
+            shutil.rmtree(d)
     return spark.read.parquet(path).drop("_bucket")

@@ -1038,3 +1038,28 @@ def test_scc_known_graph_and_closure_fixpoint(spark):
     # everything in A reaches everything in B and the tail, never back
     assert (1, 9) in tc and (3, 4) in tc
     assert (4, 1) not in tc and (9, 6) not in tc
+
+
+def test_index_delta_oplog_semantics(spark, tmp_path):
+    """Op-log catch-up laws: add new key, update existing key, delete
+    existing key, and add+delete of the SAME key (delete logged after
+    the add wins) — against a bucketed projection on disk."""
+    from nebula_storage_spark.operators.index_rebuild import (
+        apply_index_delta, rebuild_index_bucketed)
+    path = str(tmp_path / "idx")
+    base = spark.createDataFrame(
+        [(10, 1, "a"), (20, 2, "b"), (30, 3, "c")],
+        "k bigint, _vid bigint, payload string")
+    rebuild_index_bucketed(base, ["k"], path, n_buckets=4,
+                           include_cols=["_vid", "payload"])
+    adds = spark.createDataFrame(
+        [(40, 4, "new"), (20, 2, "b2"), (50, 5, "doomed")],
+        "k bigint, _vid bigint, payload string")
+    dels = spark.createDataFrame([(30, 3), (50, 5), (99, 77)],
+                                 "k bigint, _vid bigint")
+    out = apply_index_delta(spark, path, adds, dels, ["k"],
+                            key_col="_vid", n_buckets=4)
+    got = {(r.k, r._vid, r.payload) for r in out.collect()}
+    assert got == {(10, 1, "a"),      # untouched
+                   (20, 2, "b2"),     # updated
+                   (40, 4, "new")}    # added; 3 deleted, 5 add+delete
