@@ -528,11 +528,12 @@ def sssp_parents_oracle_sql(edges_sql: str, source: int,
             + f"\nSELECT node, dist, parent FROM d{iterations}")
 
 
-def triangle_counts(edges: DataFrame,
-                    broadcast_max_edges: int | None = None) -> DataFrame:
-    """Per-vertex triangle participation counts over the undirected
-    simple graph induced by (src, dst). Output: (node, n_triangles),
-    nodes in ≥1 triangle only.
+def _enumerate_triangles(edges: DataFrame,
+                         broadcast_max_edges: int | None = None) -> DataFrame:
+    """Enumerate each triangle of the undirected simple graph induced by
+    (src, dst) exactly once. Output: (u, v, w) — u is the triangle's
+    lowest-(degree, id) vertex, v/w its peers in that same order (NOT id
+    order; canonicalize with least/greatest per pair if needed).
 
     Degree-ordered node-iterator ("node-iterator++"/Latapy): orient each
     edge from its lower-(degree, id) endpoint to the higher; every
@@ -604,9 +605,59 @@ def triangle_counts(edges: DataFrame,
                            F.col("dst").alias("c_dst")))
         tri = wedges.join(e3, (F.col("v") == F.col("c_src")) &
                           (F.col("w") == F.col("c_dst")))
-    tri = tri.select("u", "v", "w")
+    return tri.select("u", "v", "w")
+
+
+def triangle_counts(edges: DataFrame,
+                    broadcast_max_edges: int | None = None) -> DataFrame:
+    """Per-vertex triangle participation counts. Output:
+    (node, n_triangles), nodes in ≥1 triangle only. Enumeration plan and
+    100 TB posture: see `_enumerate_triangles`."""
+    tri = _enumerate_triangles(edges, broadcast_max_edges)
     return (tri.select(F.explode(F.array("u", "v", "w")).alias("node"))
             .groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles")))
+
+
+def triangle_edge_support(edges: DataFrame,
+                          broadcast_max_edges: int | None = None
+                          ) -> DataFrame:
+    """Per-EDGE triangle support — the k-truss building block (an edge
+    belongs to the k-truss iff its support ≥ k−2; the reference has no
+    truss operator, this extends the analytics family the same way
+    triangle_counts does). Output: (a, b, support) with a < b by id,
+    edges in ≥1 triangle only.
+
+    Each enumerated triangle contributes one count to each of its three
+    edges; the explode is 3 rows per triangle, then one hash aggregate
+    on the canonical (least, greatest) pair — same skew bound as the
+    enumeration itself (O(sqrt(|E|)) oriented fanout), no extra joins."""
+    tri = _enumerate_triangles(edges, broadcast_max_edges)
+    sides = tri.select(F.explode(F.array(
+        F.struct(F.least("u", "v").alias("a"),
+                 F.greatest("u", "v").alias("b")),
+        F.struct(F.least("u", "w").alias("a"),
+                 F.greatest("u", "w").alias("b")),
+        F.struct(F.least("v", "w").alias("a"),
+                 F.greatest("v", "w").alias("b")))).alias("e"))
+    return (sides.select(F.col("e.a").alias("a"), F.col("e.b").alias("b"))
+            .groupBy("a", "b").agg(F.count(F.lit(1)).alias("support")))
+
+
+def triangle_edge_support_oracle_sql(edges_sql: str) -> str:
+    """DuckDB oracle: id-ordered a<b<c triple join (orientation-free
+    enumeration of the same triangle set), each triangle exploded into
+    its three id-canonical edges. `edges_sql` must yield (src, dst)."""
+    return (
+        f"WITH e0 AS ({edges_sql}), "
+        "e AS (SELECT DISTINCT least(src, dst) AS a, "
+        "greatest(src, dst) AS b FROM e0 WHERE src <> dst), "
+        "t AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z "
+        "FROM e e1 JOIN e e2 ON e2.a = e1.b "
+        "JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b) "
+        "SELECT a, b, count(*) AS support FROM ("
+        "SELECT x AS a, y AS b FROM t "
+        "UNION ALL SELECT x, z FROM t "
+        "UNION ALL SELECT y, z FROM t) GROUP BY a, b")
 
 
 def triangle_counts_oracle_sql(edges_sql: str) -> str:

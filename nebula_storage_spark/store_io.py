@@ -26,7 +26,7 @@ import json
 import os
 import shutil
 
-from pyspark.sql import SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .catalog import Catalog, EdgeDef, FieldDef, TagDef
 from .graph import DST, SRC, VID, GraphStore
@@ -191,3 +191,24 @@ def restore_checkpoint(spark: SparkSession, root: str, name: str,
         raise ValueError(f"no checkpoint {name!r}")
     return load_store(spark, dst_root, resident=resident,
                       num_partitions=num_partitions)
+
+
+def compact_small_files(spark: SparkSession, src_dir: str, dest_dir: str,
+                        key: str, target_files: int) -> DataFrame:
+    """Small-file compaction maintenance (reference: admin/CompactTask.h
+    triggers a RocksDB range compaction per part; the Spark-warehouse
+    analog is bin-packing a directory of tiny parquet files into
+    `target_files` range-partitioned files). Range partitioning on `key`
+    (sampled boundaries, one shuffle) leaves the output sorted-by-range —
+    each file then carries tight min/max footer stats on `key`, so the
+    compaction doubles as a data-skipping layout: a later point/range
+    filter on `key` prunes to one file instead of scanning all of them.
+
+    Write-new-then-swap: the compacted copy lands in `dest_dir` and the
+    source is left untouched until the caller retargets readers — the
+    same crash-safe ordering the checkpoint lifecycle uses above.
+    Returns the compacted readback."""
+    df = spark.read.parquet(src_dir)
+    (df.repartitionByRange(target_files, key)
+     .write.mode("overwrite").parquet(dest_dir))
+    return spark.read.parquet(dest_dir)

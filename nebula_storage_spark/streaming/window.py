@@ -180,3 +180,43 @@ def stream_click_purchase_join(spark: SparkSession, sf_dir: str,
                     F.col("p_id").alias("purchase_id"),
                     (F.unix_timestamp("p_ts") - F.unix_timestamp("c_ts"))
                     .cast("bigint").alias("gap_sec")))
+
+
+def stream_events_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STATIC enrichment join: the event file stream joined to the
+    batch customer dimension (broadcast — the dim is re-read per
+    micro-batch, so a slowly-changing dim is picked up without a restart),
+    then watermarked hourly counts per market segment. This is the
+    canonical "enrich the change feed against a reference table" pattern
+    the reference's ES-listener pipeline (kvstore/plugins/elasticsearch/
+    ESListener.h:19-66) leaves to the external consumer; here it is one
+    declarative plan. AvailableNow drains the snapshot deterministically.
+
+    Output: (hour, c_mktsegment, cnt).
+    """
+    import os
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = f"{sf_dir}/events.parquet"
+    stream_dir = (f"/tmp/nebula_stream/"
+                  f"{os.path.basename(sf_dir.rstrip('/'))}/events")
+    os.makedirs(stream_dir, exist_ok=True)
+    link = f"{stream_dir}/events.parquet"
+    if not os.path.islink(link):
+        os.symlink(path, link)
+    schema = spark.read.parquet(path).schema
+    raw = spark.readStream.schema(schema).parquet(stream_dir)
+    from nebula_storage_spark.graph import normalize_event_ts
+    ev = normalize_event_ts(raw).select("ts", "user_id")
+    dim = (spark.read.parquet(f"{sf_dir}/customer.parquet")
+           .select(F.col("c_custkey").alias("user_id"), "c_mktsegment"))
+    joined = (ev.withWatermark("ts", "1 hour")
+              .join(F.broadcast(dim), "user_id"))
+    agg = (joined.groupBy(F.window("ts", "1 hour").alias("w"),
+                          "c_mktsegment")
+           .agg(F.count(F.lit(1)).alias("cnt")))
+    name = f"stream_enrich_{next(_COUNTER)}"
+    q = (agg.writeStream.format("memory").queryName(name)
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return (spark.table(name)
+            .select(F.col("w.start").alias("hour"), "c_mktsegment", "cnt"))

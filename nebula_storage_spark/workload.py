@@ -3512,13 +3512,20 @@ _ADDED_R03 = frozenset({
     "bpe_pair_counts", "doc_rarity_score", "hof_surface",
     "hll_incremental", "scc_components", "price_size_correlation",
     "zorder_pruning", "knn_lsh_multiprobe", "index_incremental",
+    # session-2 additions (workload_ext.py) — same round-3 ordering rule
+    "tpch_q9_shape", "tpch_q11_shape", "tpch_q20_shape",
+    "harmonic_centrality", "edge_triangle_support",
+    "revenue_grouping_sets", "scd2_history", "store_compaction",
+    "inverted_index_search", "bm25_topk", "dedup_fuzzy", "stream_enrich",
 })
 
 
 def build_queries() -> dict[str, Query]:
     from .workload_pipeline import build_pipeline_queries
+    from .workload_ext import EXT3_QUERIES
     out = build_pipeline_queries()
     out.update(_core_queries())
+    out.update(EXT3_QUERIES)
     ordered = {k: v for k, v in out.items()
                if k not in _DRIVER_GREEN and k not in _ADDED_R03}
     ordered.update({k: v for k, v in out.items() if k in _ADDED_R03})
@@ -3675,8 +3682,10 @@ def _core_queries() -> dict[str, Query]:
 
 def build_oracles() -> dict[str, str]:
     from .workload_pipeline import build_pipeline_oracles
+    from .workload_ext import build_ext3_oracles
     out: dict[str, str] = build_pipeline_oracles()
     for d in (ORACLE_GO, ORACLE_LOOKUP, ORACLE_AGG, ORACLE_MUTATE,
               ORACLE_TTL, ORACLE_ANALYTIC, ORACLE_EXT):
         out.update(d)
+    out.update(build_ext3_oracles())
     return out

@@ -1063,3 +1063,42 @@ def test_index_delta_oplog_semantics(spark, tmp_path):
     assert got == {(10, 1, "a"),      # untouched
                    (20, 2, "b2"),     # updated
                    (40, 4, "new")}    # added; 3 deleted, 5 add+delete
+
+
+def test_triangle_edge_support_counts_shared_edge(spark):
+    from nebula_storage_spark.operators.analytics import (
+        triangle_counts, triangle_edge_support)
+    # two triangles sharing edge (1,2): support((1,2)) = 2, others 1;
+    # sum of supports == 3 * number of triangles
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 2), (1, 3), (2, 3)],
+        "_src bigint, _dst bigint")
+    sup = {(r.a, r.b): r.support
+           for r in triangle_edge_support(edges).collect()}
+    assert sup == {(0, 1): 1, (0, 2): 1, (1, 2): 2, (1, 3): 1, (2, 3): 1}
+    n_tri = sum(r.n_triangles
+                for r in triangle_counts(edges).collect()) // 3
+    assert sum(sup.values()) == 3 * n_tri
+
+
+def test_compact_small_files_reduces_files_preserves_rows(spark, tmp_path):
+    import glob
+    from nebula_storage_spark.store_io import compact_small_files
+    src = str(tmp_path / "small")
+    dst = str(tmp_path / "packed")
+    df = spark.range(0, 1000).withColumnRenamed("id", "k")
+    df.repartition(16).write.parquet(src)
+    assert len(glob.glob(f"{src}/part-*.parquet")) == 16
+    out = compact_small_files(spark, src, dst, "k", 3)
+    files = glob.glob(f"{dst}/part-*.parquet")
+    assert 1 <= len(files) <= 3
+    assert out.count() == 1000
+    assert out.agg({"k": "min"}).first()[0] == 0
+    # range partitioning leaves per-file key ranges disjoint (the
+    # data-skipping layout): each file's [min,max] must not overlap
+    spans = sorted(
+        (spark.read.parquet(f).agg({"k": "min"}).first()[0],
+         spark.read.parquet(f).agg({"k": "max"}).first()[0])
+        for f in files)
+    for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+        assert hi1 < lo2
