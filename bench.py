@@ -55,6 +55,10 @@ HEADLINERS = [
     "k_core",             # iterative peel (localCheckpoint rounds)
     "label_propagation",  # most-frequent-neighbour-label rounds
     "connected_components_doubling",  # pointer-doubling CC (log rounds)
+    "tpch_q9_shape",      # profit rollup: broadcast dims + integer money
+    "edge_triangle_support",  # per-edge triangle counts (k-truss step)
+    "bm25_topk",          # integer BM25 ranking (TakeOrdered top-k)
+    "harmonic_centrality",  # BFS-ball centrality (frontier expansion)
 ]
 
 

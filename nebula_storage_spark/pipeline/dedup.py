@@ -340,3 +340,56 @@ def containment_pairs(docs: DataFrame, n: int = 3,
     return (cand.join(av, "id_a").join(bv, "id_b")
             .select("id_a", "id_b", cx.alias("containment_x10000"))
             .filter(F.col("containment_x10000") >= threshold_x10000))
+
+
+def setsim_prefix_join(tok: DataFrame, threshold_pct: int = 60,
+                       id_col: str = "doc_id") -> DataFrame:
+    """EXACT set-similarity self-join via prefix filtering (the AllPairs
+    / PPJoin candidate-pruning principle): `tok` is the distinct
+    (id, t) token-set frame; output is every pair with Jaccard >=
+    threshold_pct/100 as (doc_a, doc_b, j_x100), truncating integer
+    Jaccard, doc_a < doc_b.
+
+    Tokens are totally ordered by (document-frequency, token); a pair
+    meeting the threshold MUST share one of each side's first
+    n - ceil(pct·n/100) + 1 tokens in that order, so candidate
+    generation is an equi-join on prefix tokens only — provably
+    lossless (unlike MinHash's probabilistic recall) and never
+    all-pairs. Rarest-first ordering puts prefixes on low-df tokens,
+    which keeps the candidate join groups small on a Zipfian
+    vocabulary; verification counts the true intersection."""
+    tok = tok.select(F.col(id_col).alias("doc_id"), "t").distinct()
+    dfreq = tok.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
+    per_doc = (tok.join(F.broadcast(dfreq), "t")
+               .groupBy("doc_id")
+               .agg(F.sort_array(F.collect_list(F.struct("df", "t")))
+                    .alias("toks"),
+                    F.count(F.lit(1)).alias("n")))
+    pref = per_doc.select(
+        "doc_id",
+        F.explode(F.expr(
+            f"slice(toks, 1, n - ({threshold_pct} * n + 99) DIV 100 + 1)"))
+        .alias("p"))
+    cand = (pref.alias("a")
+            .join(pref.alias("b"),
+                  (F.col("a.p.t") == F.col("b.p.t"))
+                  & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"))
+            .distinct())
+    inter = (cand
+             .join(tok.select(F.col("doc_id").alias("doc_a"), "t"), "doc_a")
+             .join(tok.select(F.col("doc_id").alias("doc_b"), "t"),
+                   ["doc_b", "t"])
+             .groupBy("doc_a", "doc_b")
+             .agg(F.count(F.lit(1)).alias("i")))
+    sizes = per_doc.select("doc_id", "n")
+    union = F.col("na") + F.col("nb") - F.col("i")
+    return (inter
+            .join(sizes.select(F.col("doc_id").alias("doc_a"),
+                               F.col("n").alias("na")), "doc_a")
+            .join(sizes.select(F.col("doc_id").alias("doc_b"),
+                               F.col("n").alias("nb")), "doc_b")
+            .filter(100 * F.col("i") >= threshold_pct * union)
+            .select("doc_a", "doc_b",
+                    F.expr("(100 * i) DIV (na + nb - i)").alias("j_x100")))

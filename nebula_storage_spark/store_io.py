@@ -212,3 +212,29 @@ def compact_small_files(spark: SparkSession, src_dir: str, dest_dir: str,
     (df.repartitionByRange(target_files, key)
      .write.mode("overwrite").parquet(dest_dir))
     return spark.read.parquet(dest_dir)
+
+
+def snapshot_diff(old: DataFrame, new: DataFrame, key: str,
+                  cols: list[str]) -> DataFrame:
+    """Row-level diff between two snapshots of the same table (time
+    travel between checkpoints — the read-side complement of the BR
+    lifecycle above): one full-outer join on the key, null-safe column
+    compares, rows classified added / deleted / changed ('same' rows are
+    dropped). One shuffle on the key; at 100 TB both sides are the
+    bucketed store, so the join is co-partitioned."""
+    o = old.select(F.col(key), F.lit(True).alias("_in_old"),
+                   *[F.col(c).alias(f"_o_{c}") for c in cols])
+    n = new.select(F.col(key), F.lit(True).alias("_in_new"),
+                   *[F.col(c).alias(f"_n_{c}") for c in cols])
+    j = o.join(n, key, "full_outer")
+    same = F.lit(True)
+    for c in cols:
+        same = same & F.col(f"_o_{c}").eqNullSafe(F.col(f"_n_{c}"))
+    change = (F.when(F.col("_in_old").isNull(), "added")
+              .when(F.col("_in_new").isNull(), "deleted")
+              .when(~same, "changed").otherwise("same"))
+    out_cols = [F.col(key), change.alias("change")]
+    for c in cols:
+        out_cols += [F.col(f"_o_{c}").alias(f"old_{c}"),
+                     F.col(f"_n_{c}").alias(f"new_{c}")]
+    return j.select(*out_cols).filter(F.col("change") != "same")

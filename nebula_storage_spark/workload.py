@@ -3517,6 +3517,9 @@ _ADDED_R03 = frozenset({
     "harmonic_centrality", "edge_triangle_support",
     "revenue_grouping_sets", "scd2_history", "store_compaction",
     "inverted_index_search", "bm25_topk", "dedup_fuzzy", "stream_enrich",
+    "events_fill_forward", "events_rolling_avg", "events_anomaly_zscore",
+    "doc_mixture_sample", "dedup_chunk_exact", "store_snapshot_diff",
+    "dedup_setsim_prefix", "events_last_state",
 })
 
 

@@ -618,6 +618,133 @@ ORACLE_CHUNK_DEDUP = (
     "FROM c GROUP BY md5(chunk) HAVING count(DISTINCT doc_id) > 1")
 
 
+
+
+# ---------------------------------------------------------------------------
+# snapshot diff, exact set-similarity join, min_by/max_by surface
+# ---------------------------------------------------------------------------
+
+def q_store_snapshot_diff(spark, sf_dir):
+    """Time travel between snapshots: mutate -> save -> checkpoint v1 ->
+    destructive second mutation (drop most nations, rename one, add one)
+    -> snapshot_diff(restore(v1), live) classifies every divergence as
+    added / deleted / changed (store_io.snapshot_diff: one full-outer
+    join on the key, null-safe compares). The read-side complement of
+    the BR lifecycle gated by store_checkpoint."""
+    import os
+    import shutil
+    from .graph import GraphStore
+    from .store_io import (create_checkpoint, load_store,
+                           restore_checkpoint, save_store, snapshot_diff)
+    g = tpch_graph(spark, sf_dir)
+    root = f"/tmp/nebula_spark_ckpt_diff/{os.path.basename(sf_dir.rstrip('/'))}"
+    shutil.rmtree(root, ignore_errors=True)
+    # state v1: even-keyed nations tagged #M1
+    sub = GraphStore(catalog=g.catalog)
+    m1 = g.vertices["nation"].withColumn(
+        "n_name", F.when(F.col(VID) % 2 == 0,
+                         F.concat(F.col("n_name"), F.lit("#M1")))
+        .otherwise(F.col("n_name")))
+    sub.add_vertices_df("nation", m1)
+    sub.add_vertices_df("region", g.vertices["region"])
+    sub.edges["nation_region"] = g.edges["nation_region"]
+    save_store(sub, root, num_partitions=4)
+    create_checkpoint(root, "v1")
+    # live: keep vids < 5 (rename vid 1), add a brand-new vid 99
+    live = load_store(spark, root, resident=False)
+    kept = (live.vertices["nation"].filter(F.col(VID) < 5)
+            .withColumn("n_name",
+                        F.when(F.col(VID) == 1,
+                               F.concat(F.col("n_name"), F.lit("#M2")))
+                        .otherwise(F.col("n_name"))))
+    novel = (kept.filter(F.col(VID) == 0)
+             .select(F.lit(99).cast(kept.schema[VID].dataType).alias(VID),
+                     F.lit("NEW_NATION").alias("n_name"),
+                     *[F.col(c) for c in kept.columns
+                       if c not in (VID, "n_name")]))
+    live.vertices["nation"] = kept.unionByName(novel)
+    save_store(live, root, num_partitions=4)
+    old = restore_checkpoint(spark, root, "v1",
+                             resident=False).tag_df("nation")
+    new = load_store(spark, root, resident=False).tag_df("nation")
+    return snapshot_diff(old, new, VID, ["n_name"])
+
+
+ORACLE_SNAPSHOT_DIFF = (
+    "WITH v1 AS (SELECT n_nationkey AS _vid, "
+    "CASE WHEN n_nationkey % 2 = 0 THEN n_name || '#M1' ELSE n_name END "
+    "AS name FROM nation), "
+    "live AS (SELECT _vid, CASE WHEN _vid = 1 THEN name || '#M2' "
+    "ELSE name END AS name FROM v1 WHERE _vid < 5 "
+    "UNION ALL SELECT 99, 'NEW_NATION') "
+    "SELECT coalesce(v1._vid, live._vid) AS _vid, "
+    "CASE WHEN v1._vid IS NULL THEN 'added' "
+    "WHEN live._vid IS NULL THEN 'deleted' ELSE 'changed' END AS change, "
+    "v1.name AS old_n_name, live.name AS new_n_name "
+    "FROM v1 FULL OUTER JOIN live ON v1._vid = live._vid "
+    "WHERE v1._vid IS NULL OR live._vid IS NULL OR v1.name <> live.name")
+
+
+def q_dedup_setsim_prefix(spark, sf_dir):
+    """EXACT set-similarity self-join via prefix filtering (AllPairs/
+    PPJoin candidate pruning): docs as distinct token sets, tokens
+    totally ordered by (document-frequency, token); a pair with Jaccard
+    >= 0.6 MUST share one of each side's first n - ceil(0.6 n) + 1
+    tokens in that order, so candidates come from an equi-join on
+    prefix tokens only — provably lossless (unlike MinHash's
+    probabilistic recall) yet never all-pairs. Verification counts the
+    real intersection and keeps 100*|a∩b| >= 60*|a∪b|; the rarest-first
+    order makes prefixes land on low-df tokens, which is what keeps the
+    candidate join groups small on a real (Zipfian) vocabulary.
+    Output: (doc_a, doc_b, j_x100) — truncating integer Jaccard."""
+    from .pipeline.dedup import setsim_prefix_join
+    docs = _docs(spark, sf_dir)
+    tok = docs.select("doc_id",
+                      F.explode(F.split("text", " ")).alias("t"))
+    return setsim_prefix_join(tok, threshold_pct=60)
+
+
+ORACLE_SETSIM = (
+    "WITH tok AS (SELECT DISTINCT doc_id, "
+    "unnest(string_split(text, ' ')) AS t FROM documents), "
+    "n AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id), "
+    "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i "
+    "FROM tok a JOIN tok b ON a.t = b.t AND a.doc_id < b.doc_id "
+    "GROUP BY 1, 2) "
+    "SELECT doc_a, doc_b, (100 * i) // (na.n + nb.n - i) AS j_x100 "
+    "FROM inter JOIN n na ON doc_a = na.doc_id "
+    "JOIN n nb ON doc_b = nb.doc_id "
+    "WHERE 100 * i >= 60 * (na.n + nb.n - i)")
+
+
+def q_events_last_state(spark, sf_dir):
+    """Per-user latest/earliest state via max_by/min_by (the argmax
+    aggregate family — one hash aggregate, NO window, NO join-back: the
+    per-key-latest pattern that replaces row_number()-rank-1 at scale).
+    The ordering key is a zero-padded (epoch, event_id) string — total,
+    unique, and compared identically by both engines."""
+    ev = load_events(spark, sf_dir)
+    key = F.concat(
+        F.lpad(F.unix_timestamp("ts").cast("string"), 12, "0"),
+        F.lpad(F.col("event_id").cast("string"), 10, "0"))
+    return (ev.withColumn("k", key)
+            .groupBy("user_id")
+            .agg(F.expr("max_by(event_type, k)").alias("last_type"),
+                 F.expr("min_by(event_type, k)").alias("first_type"),
+                 F.count(F.lit(1)).alias("n_events")))
+
+
+ORACLE_LAST_STATE = (
+    "SELECT user_id, "
+    "arg_max(event_type, lpad(CAST(CAST(floor(epoch(ts)) AS BIGINT) "
+    "AS VARCHAR), 12, '0') || lpad(CAST(event_id AS VARCHAR), 10, '0')) "
+    "AS last_type, "
+    "arg_min(event_type, lpad(CAST(CAST(floor(epoch(ts)) AS BIGINT) "
+    "AS VARCHAR), 12, '0') || lpad(CAST(event_id AS VARCHAR), 10, '0')) "
+    "AS first_type, count(*) AS n_events "
+    "FROM events GROUP BY user_id")
+
+
 EXT3_QUERIES = {
     "tpch_q9_shape": q_tpch_q9_shape,
     "tpch_q11_shape": q_tpch_q11_shape,
@@ -636,6 +763,9 @@ EXT3_QUERIES = {
     "events_anomaly_zscore": q_events_anomaly_zscore,
     "doc_mixture_sample": q_doc_mixture_sample,
     "dedup_chunk_exact": q_dedup_chunk_exact,
+    "store_snapshot_diff": q_store_snapshot_diff,
+    "dedup_setsim_prefix": q_dedup_setsim_prefix,
+    "events_last_state": q_events_last_state,
 }
 
 
@@ -658,4 +788,7 @@ def build_ext3_oracles() -> dict[str, str]:
         "events_anomaly_zscore": ORACLE_ANOMALY_Z,
         "doc_mixture_sample": ORACLE_MIXTURE,
         "dedup_chunk_exact": ORACLE_CHUNK_DEDUP,
+        "store_snapshot_diff": ORACLE_SNAPSHOT_DIFF,
+        "dedup_setsim_prefix": ORACLE_SETSIM,
+        "events_last_state": ORACLE_LAST_STATE,
     }

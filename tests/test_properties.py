@@ -305,3 +305,45 @@ def test_interval_point_join_matches_naive(spark, points, intervals, width):
               for ii, (ik, lo, hi) in enumerate(intervals)
               if pk == ik and lo <= pt <= hi}
     assert got == expect
+
+
+@given(st.lists(st.sets(st.integers(min_value=0, max_value=12),
+                        min_size=1, max_size=8),
+                min_size=2, max_size=8),
+       st.sampled_from([50, 60, 75]))
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_setsim_prefix_join_is_lossless(spark, docs, pct):
+    """Prefix filtering is EXACT: the candidate pruning may discard
+    pairs, but every pair with Jaccard >= pct/100 must survive, and
+    nothing below the threshold may appear — equality with the
+    brute-force all-pairs answer, at any threshold."""
+    from nebula_storage_spark.pipeline.dedup import setsim_prefix_join
+    rows = [(i, f"t{t}") for i, s in enumerate(docs) for t in s]
+    tok = spark.createDataFrame(rows, "doc_id bigint, t string")
+    got = {(r.doc_a, r.doc_b): r.j_x100
+           for r in setsim_prefix_join(tok, threshold_pct=pct).collect()}
+    want = {}
+    for a in range(len(docs)):
+        for b in range(a + 1, len(docs)):
+            i = len(docs[a] & docs[b])
+            u = len(docs[a] | docs[b])
+            if 100 * i >= pct * u:
+                want[(a, b)] = (100 * i) // u
+    assert got == want
+
+
+def test_snapshot_diff_classifies_added_deleted_changed(spark):
+    from nebula_storage_spark.store_io import snapshot_diff
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", None)],
+        "k bigint, name string, x int")
+    new = spark.createDataFrame(
+        [(1, "a", 10), (2, "B", 20), (4, "d", 40)],
+        "k bigint, name string, x int")
+    got = {r.k: (r.change, r.old_name, r.new_name)
+           for r in snapshot_diff(old, new, "k", ["name", "x"]).collect()}
+    # k=1 identical -> absent; NULL x on k=3 must not mask the delete
+    assert got == {2: ("changed", "b", "B"),
+                   3: ("deleted", "c", None),
+                   4: ("added", None, "d")}
