@@ -252,17 +252,24 @@ def make_stats_task(spark, sf_dir: str, job_id: int,
 
 
 def make_compact_task(spark, table_dir: str, job_id: int, task_id: int = 0,
-                      target_files: int = 8) -> AdminTask:
+                      target_files: int = 8,
+                      key: str | None = None) -> AdminTask:
     """CompactTask analog (`admin/CompactTask.cpp:23-43`): RocksDB
     compaction's Spark equivalent is small-file compaction — rewrite a
     parquet directory at a controlled file count so scans stop paying
     per-file open cost. At 100 TB this is the difference between a scan
-    reading 1e6 tiny files and 1e4 right-sized ones."""
+    reading 1e6 tiny files and 1e4 right-sized ones. With `key` set the
+    rewrite range-partitions on it (store_io.compact_small_files), so
+    the compaction also yields disjoint per-file min/max stats — the
+    data-skipping layout; without a key it is a pure coalesce (no
+    shuffle)."""
     def gen():
         def compact():
             df = spark.read.parquet(table_dir)
             tmp = table_dir.rstrip("/") + f".compact-{uuid.uuid4().hex[:8]}"
-            df.coalesce(target_files).write.mode("overwrite").parquet(tmp)
+            w = (df.repartitionByRange(target_files, key)
+                 if key else df.coalesce(target_files))
+            w.write.mode("overwrite").parquet(tmp)
             n_new = spark.read.parquet(tmp).count()
             import shutil
             shutil.rmtree(table_dir)

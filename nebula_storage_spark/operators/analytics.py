@@ -881,3 +881,53 @@ def scc_components(edges: DataFrame, rounds: int = 8) -> DataFrame:
     return (nodes.select("node", F.col("node").alias("peer"))
             .unionByName(mutual)
             .groupBy("node").agg(F.min("peer").alias("scc_id")))
+
+
+def k_truss_fixed(edges: DataFrame, k: int = 4, rounds: int = 2,
+                  broadcast_max_edges: int | None = None) -> DataFrame:
+    """Fixed-round k-truss peel: each round recounts per-edge triangle
+    support on the surviving edge set and removes edges with support
+    < k-2 (for k >= 3 triangle-free edges drop in round 1, since their
+    support is 0). The edge set shrinks monotonically, so `rounds`
+    rounds approximate the k-truss fixpoint from above — the same
+    fixed-round contract as k_core_fixed, and like it convergent in few
+    rounds on bounded-degeneracy graphs. Each round costs one
+    degree-ordered triangle enumeration (skew bound O(sqrt(|E|))).
+    Output: (a, b, support) — the surviving edges with the support
+    measured in the final recount."""
+    a, b = F.col(SRC), F.col(DST)
+    cur = (edges.filter(a != b)
+           .select(F.least(a, b).alias(SRC), F.greatest(a, b).alias(DST))
+           .distinct())
+    out = None
+    for _ in range(rounds):
+        sup = triangle_edge_support(cur, broadcast_max_edges)
+        out = sup.filter(F.col("support") >= k - 2)
+        cur = out.select(F.col("a").alias(SRC), F.col("b").alias(DST))
+    return out
+
+
+def k_truss_oracle_sql(edges_sql: str, k: int = 4, rounds: int = 2) -> str:
+    """DuckDB oracle: the peel unrolled round by round with the
+    id-ordered triple-join support count (orientation-free enumeration
+    of the same triangle set each round)."""
+    parts = [
+        f"e0 AS (SELECT DISTINCT least(src, dst) AS a, "
+        f"greatest(src, dst) AS b FROM ({edges_sql}) WHERE src <> dst)"]
+    prev = "e0"
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"t{r} AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z "
+            f"FROM {prev} e1 JOIN {prev} e2 ON e2.a = e1.b "
+            f"JOIN {prev} e3 ON e3.a = e1.a AND e3.b = e2.b)")
+        parts.append(
+            f"s{r} AS (SELECT a, b, count(*) AS support FROM ("
+            f"SELECT x AS a, y AS b FROM t{r} "
+            f"UNION ALL SELECT x, z FROM t{r} "
+            f"UNION ALL SELECT y, z FROM t{r}) GROUP BY a, b)")
+        parts.append(
+            f"e{r} AS (SELECT a, b, support FROM s{r} "
+            f"WHERE support >= {k - 2})")
+        prev = f"e{r}"
+    return ("WITH " + ", ".join(parts)
+            + f" SELECT a, b, support FROM e{rounds}")

@@ -3519,7 +3519,7 @@ _ADDED_R03 = frozenset({
     "inverted_index_search", "bm25_topk", "dedup_fuzzy", "stream_enrich",
     "events_fill_forward", "events_rolling_avg", "events_anomaly_zscore",
     "doc_mixture_sample", "dedup_chunk_exact", "store_snapshot_diff",
-    "dedup_setsim_prefix", "events_last_state",
+    "dedup_setsim_prefix", "events_last_state", "k_truss_edges",
 })
 
 

@@ -745,6 +745,27 @@ ORACLE_LAST_STATE = (
     "FROM events GROUP BY user_id")
 
 
+
+
+def q_k_truss_edges(spark, sf_dir):
+    """Iterative k-truss (k=4, 2 peel rounds) over the co-order part
+    projection: rounds of per-edge support recount + filter — the
+    cohesive-subgraph operator one level up from edge_triangle_support
+    (analytics.k_truss_fixed; oracle unrolls the same rounds)."""
+    from .operators.analytics import k_truss_fixed
+    from .workload import _co_order_pairs
+    return k_truss_fixed(_co_order_pairs(spark, sf_dir), k=4, rounds=2)
+
+
+def _oracle_k_truss() -> str:
+    from .operators.analytics import k_truss_oracle_sql
+    return k_truss_oracle_sql(
+        "SELECT l1.l_partkey AS src, l2.l_partkey AS dst "
+        "FROM lineitem l1 JOIN lineitem l2 "
+        "ON l1.l_orderkey = l2.l_orderkey "
+        "AND l1.l_partkey < l2.l_partkey", k=4, rounds=2)
+
+
 EXT3_QUERIES = {
     "tpch_q9_shape": q_tpch_q9_shape,
     "tpch_q11_shape": q_tpch_q11_shape,
@@ -766,6 +787,7 @@ EXT3_QUERIES = {
     "store_snapshot_diff": q_store_snapshot_diff,
     "dedup_setsim_prefix": q_dedup_setsim_prefix,
     "events_last_state": q_events_last_state,
+    "k_truss_edges": q_k_truss_edges,
 }
 
 
@@ -791,4 +813,5 @@ def build_ext3_oracles() -> dict[str, str]:
         "store_snapshot_diff": ORACLE_SNAPSHOT_DIFF,
         "dedup_setsim_prefix": ORACLE_SETSIM,
         "events_last_state": ORACLE_LAST_STATE,
+        "k_truss_edges": _oracle_k_truss(),
     }

@@ -1102,3 +1102,33 @@ def test_compact_small_files_reduces_files_preserves_rows(spark, tmp_path):
         for f in files)
     for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
         assert hi1 < lo2
+
+
+def test_k_truss_peels_pendant_triangle_keeps_k4(spark):
+    from nebula_storage_spark.operators.analytics import k_truss_fixed
+    # K4 on {0,1,2,3}: every edge in 2 triangles -> survives k=4.
+    # Pendant triangle {3,10,11}: support 1 each -> peeled in round 1,
+    # and the recount confirms K4 is stable in round 2.
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    pendant = [(3, 10), (3, 11), (10, 11)]
+    edges = spark.createDataFrame(k4 + pendant, "_src bigint, _dst bigint")
+    got = {(r.a, r.b): r.support
+           for r in k_truss_fixed(edges, k=4, rounds=2).collect()}
+    assert got == {(a, b): 2 for a, b in k4}
+
+
+def test_retrieval_and_fuzzy_plans_are_scale_safe(spark, sf_dir):
+    """Plan-shape regression guards for the round-3 retrieval/dedup
+    additions: top-k must be TakeOrderedAndProject (never a global
+    sort), and the blocked pair-generation joins must be equi-joins
+    (never CartesianProduct / BroadcastNestedLoopJoin)."""
+    from nebula_storage_spark.workload_ext import (q_bm25_topk,
+                                                   q_dedup_fuzzy,
+                                                   q_dedup_setsim_prefix)
+    bm25 = q_bm25_topk(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in bm25
+    assert "Sort [score" not in bm25          # no global sort of all docs
+    for q in (q_dedup_fuzzy, q_dedup_setsim_prefix):
+        plan = q(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, q.__name__
+        assert "BroadcastNestedLoopJoin" not in plan, q.__name__
