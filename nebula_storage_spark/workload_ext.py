@@ -766,6 +766,68 @@ def _oracle_k_truss() -> str:
         "AND l1.l_partkey < l2.l_partkey", k=4, rounds=2)
 
 
+
+
+def q_events_pivot(spark, sf_dir):
+    """PIVOT with an explicit value list (groupBy().pivot(values) — the
+    reshape surface; giving Spark the values up front keeps it one pass,
+    no distinct-collect planning step): per-user event-type counts as
+    columns. One hash aggregate; absent combos are 0, not NULL."""
+    ev = load_events(spark, sf_dir).filter(F.col("user_id") < 100)
+    types = ["view", "click", "purchase", "signup", "error"]
+    piv = (ev.groupBy("user_id")
+           .pivot("event_type", types)
+           .agg(F.count(F.lit(1)))
+           .na.fill(0, types))
+    return piv.select("user_id",
+                      *[F.col(t).alias(f"n_{t}") for t in types])
+
+
+ORACLE_PIVOT = (
+    "SELECT user_id, "
+    "sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view, "
+    "sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click, "
+    "sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) "
+    "AS n_purchase, "
+    "sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signup, "
+    "sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error "
+    "FROM events WHERE user_id < 100 GROUP BY user_id")
+
+
+def q_source_logs_parse(spark, sf_dir):
+    """Text-log ingestion (the unstructured entry of the sources family,
+    next to csv/json/orc): events serialized one log line per row,
+    read back with spark.read.text, fields re-extracted with
+    regexp_extract (JVM codegen — the standard raw-log landing-zone
+    pattern), then aggregated. The aggregate must match the original
+    table exactly — proving the parse is lossless."""
+    import os
+    ev = load_events(spark, sf_dir)
+    log_dir = (f"/tmp/nebula_logs/"
+               f"{os.path.basename(sf_dir.rstrip('/'))}/events")
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("bigint")
+    lines = ev.select(F.concat(
+        F.lit("ts="), F.unix_timestamp("ts").cast("string"),
+        F.lit(" user="), F.col("user_id").cast("string"),
+        F.lit(" type="), F.col("event_type"),
+        F.lit(" cents="), cents.cast("string")).alias("value"))
+    lines.write.mode("overwrite").text(log_dir)
+    raw = spark.read.text(log_dir)
+    parsed = raw.select(
+        F.regexp_extract("value", r" type=(\w+) ", 1).alias("event_type"),
+        F.regexp_extract("value", r" cents=(-?\d+)$", 1).cast("bigint")
+        .alias("cents"))
+    return (parsed.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("cnt"),
+                 F.sum("cents").alias("sum_cents")))
+
+
+ORACLE_LOGS_PARSE = (
+    "SELECT event_type, count(*) AS cnt, "
+    "sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS sum_cents "
+    "FROM events GROUP BY event_type")
+
+
 EXT3_QUERIES = {
     "tpch_q9_shape": q_tpch_q9_shape,
     "tpch_q11_shape": q_tpch_q11_shape,
@@ -788,6 +850,8 @@ EXT3_QUERIES = {
     "dedup_setsim_prefix": q_dedup_setsim_prefix,
     "events_last_state": q_events_last_state,
     "k_truss_edges": q_k_truss_edges,
+    "events_pivot": q_events_pivot,
+    "source_logs_parse": q_source_logs_parse,
 }
 
 
@@ -814,4 +878,6 @@ def build_ext3_oracles() -> dict[str, str]:
         "dedup_setsim_prefix": ORACLE_SETSIM,
         "events_last_state": ORACLE_LAST_STATE,
         "k_truss_edges": _oracle_k_truss(),
+        "events_pivot": ORACLE_PIVOT,
+        "source_logs_parse": ORACLE_LOGS_PARSE,
     }
