@@ -556,7 +556,12 @@ def q_doc_mixture_sample(spark, sf_dir):
     (floor(sqrt(cnt)) * 200) DIV sum-of-weights, picked docs are the
     target-many smallest md5 priorities per source. isqrt of an exact
     integer is IEEE-identical cross-engine; selection is a per-source
-    window (partitioned — never global)."""
+    window (partitioned — never global), and because every per-source
+    target is bounded by the 200-doc total, a CONSTANT rank<=200
+    pre-filter runs first: Spark executes that as WindowGroupLimit
+    (map-side partial top-k per source), so a billion-doc source never
+    feeds more than 200 rows per partition into the full sort — the
+    variable-target filter then trims the survivors."""
     from pyspark.sql import Window as W
     docs = _docs(spark, sf_dir).select("doc_id", "source")
     w_s = (docs.groupBy("source")
@@ -572,6 +577,7 @@ def q_doc_mixture_sample(spark, sf_dir):
         W.partitionBy("source")
         .orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id"))
     return (docs.withColumn("rn", rn)
+            .filter(F.col("rn") <= 200)         # constant → WindowGroupLimit
             .join(F.broadcast(target), "source")
             .filter(F.col("rn") <= F.col("target"))
             .select("doc_id", "source"))
