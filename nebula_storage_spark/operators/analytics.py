@@ -935,3 +935,71 @@ def k_truss_oracle_sql(edges_sql: str, k: int = 4, rounds: int = 2) -> str:
         prev = f"e{r}"
     return ("WITH " + ", ".join(parts)
             + f" SELECT a, b, support FROM e{rounds}")
+
+
+def weighted_pagerank_fixed(edges: DataFrame, iterations: int = 5,
+                            scale: int = 10 ** 9, damping_pct: int = 85,
+                            weight_col: str = "w",
+                            broadcast_max_nodes: int | None = None
+                            ) -> DataFrame:
+    """Weighted PageRank: each out-edge carries an integer weight and a
+    node's rank distributes proportionally — contribution over edge
+    (u→v) is (rank(u) * w_uv) DIV sw(u), where sw(u) is u's out-weight
+    sum. Same integer fixed-point / size-gated-broadcast loop as
+    pagerank_fixed (one shuffle per round: the contribution stream), so
+    the K-round result stays bit-identical cross-engine. Edges with
+    non-positive weight are dropped (contribution would be 0 or
+    ill-defined). Overflow bound: rank ≤ N·scale and w ≤ sw, so
+    rank*w < N·scale·sw — pick scale so N·scale·max_w < 2^63."""
+    jump = ((100 - damping_pct) * scale) // 100
+    e0 = (edges.filter(F.col(weight_col) > 0)
+          .select(SRC, DST, F.col(weight_col).cast("long").alias("_w")))
+    nodes = (e0.select(F.col(SRC).alias("node"))
+             .union(e0.select(F.col(DST).alias("node")))
+             .distinct().persist())
+    sw = e0.groupBy(SRC).agg(F.sum("_w").alias("_sw"))
+    e = e0.join(sw, SRC).persist()
+    hint = _round_hint(nodes.count(), broadcast_max_nodes)
+    ranks = nodes.select("node", F.lit(scale).cast("long").alias("rank"))
+    for i in range(iterations):
+        contribs = (e.join(hint(ranks), e[SRC] == ranks["node"])
+                    .select(F.col(DST).alias("node"),
+                            F.expr("rank * _w DIV _sw").alias("_c")))
+        summed = contribs.groupBy("node").agg(F.sum("_c").alias("_s"))
+        ranks = (nodes.join(hint(summed), "node", "left")
+                 .select("node",
+                         (F.lit(jump) + F.expr(
+                             f"({damping_pct} * coalesce(_s, CAST(0 AS "
+                             "BIGINT))) DIV 100")).cast("long")
+                         .alias("rank")))
+        if i < iterations - 1:
+            ranks = ranks.persist()
+            ranks.count()
+    return ranks
+
+
+def weighted_pagerank_oracle_sql(edges_sql: str, iterations: int = 5,
+                                 scale: int = 10 ** 9,
+                                 damping_pct: int = 85) -> str:
+    """DuckDB oracle for weighted_pagerank_fixed — K unrolled steps.
+    `edges_sql` must yield (src, dst, w)."""
+    jump = ((100 - damping_pct) * scale) // 100
+    parts = [
+        f"e AS (SELECT src, dst, CAST(w AS BIGINT) AS w "
+        f"FROM ({edges_sql}) WHERE w > 0)",
+        "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e)",
+        "sw AS (SELECT src, sum(w) AS sw FROM e GROUP BY src)",
+        f"r0 AS (SELECT node, CAST({scale} AS BIGINT) AS rank FROM nodes)",
+    ]
+    for t in range(1, iterations + 1):
+        parts.append(
+            f"c{t} AS (SELECT e.dst AS node, "
+            f"sum(r.rank * e.w // s.sw) AS s "
+            f"FROM e JOIN sw s USING (src) JOIN r{t-1} r ON r.node = e.src "
+            f"GROUP BY e.dst)")
+        parts.append(
+            f"r{t} AS (SELECT n.node, CAST({jump} + ({damping_pct} * "
+            f"coalesce(c.s, 0)) // 100 AS BIGINT) AS rank "
+            f"FROM nodes n LEFT JOIN c{t} c USING (node))")
+    return ("WITH " + ",\n".join(parts)
+            + f"\nSELECT node, rank FROM r{iterations}")

@@ -3530,7 +3530,7 @@ _ADDED_R03 = frozenset({
     "events_fill_forward", "events_rolling_avg", "events_anomaly_zscore",
     "doc_mixture_sample", "dedup_chunk_exact", "store_snapshot_diff",
     "dedup_setsim_prefix", "events_last_state", "k_truss_edges",
-    "events_pivot", "source_logs_parse",
+    "events_pivot", "source_logs_parse", "weighted_pagerank",
 })
 
 

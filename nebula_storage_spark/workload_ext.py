@@ -834,6 +834,38 @@ ORACLE_LOGS_PARSE = (
     "FROM events GROUP BY event_type")
 
 
+
+
+def q_weighted_pagerank(spark, sf_dir):
+    """Weighted PageRank (rank distributes proportionally to edge
+    weight — the importance metric for weighted interaction graphs)
+    over the directed customer→order→part layered graph: placed edges
+    weigh 1, contains edges weigh l_quantity (integral, so the
+    rank·w DIV Σw arithmetic is bit-exact vs the unrolled oracle).
+    Same layer offsets as sssp_distances."""
+    from .operators.analytics import weighted_pagerank_fixed
+    g = tpch_graph(spark, sf_dir)
+    placed = g.edge_df("placed").select(
+        F.col(SRC).alias(SRC), (F.col(DST) + 10_000_000).alias(DST),
+        F.lit(1).cast("long").alias("w"))
+    contains = g.edge_df("contains").select(
+        (F.col(SRC) + 10_000_000).alias(SRC),
+        (F.col(DST) + 20_000_000).alias(DST),
+        F.col("l_quantity").cast("long").alias("w"))
+    return weighted_pagerank_fixed(placed.unionByName(contains),
+                                   iterations=4)
+
+
+def _oracle_weighted_pagerank() -> str:
+    from .operators.analytics import weighted_pagerank_oracle_sql
+    return weighted_pagerank_oracle_sql(
+        "SELECT o_custkey AS src, o_orderkey + 10000000 AS dst, 1 AS w "
+        "FROM orders UNION ALL "
+        "SELECT l_orderkey + 10000000 AS src, l_partkey + 20000000 AS dst, "
+        "CAST(CAST(l_quantity AS DECIMAL(18,2)) AS BIGINT) AS w "
+        "FROM lineitem", iterations=4)
+
+
 EXT3_QUERIES = {
     "tpch_q9_shape": q_tpch_q9_shape,
     "tpch_q11_shape": q_tpch_q11_shape,
@@ -858,6 +890,7 @@ EXT3_QUERIES = {
     "k_truss_edges": q_k_truss_edges,
     "events_pivot": q_events_pivot,
     "source_logs_parse": q_source_logs_parse,
+    "weighted_pagerank": q_weighted_pagerank,
 }
 
 
@@ -886,4 +919,5 @@ def build_ext3_oracles() -> dict[str, str]:
         "k_truss_edges": _oracle_k_truss(),
         "events_pivot": ORACLE_PIVOT,
         "source_logs_parse": ORACLE_LOGS_PARSE,
+        "weighted_pagerank": _oracle_weighted_pagerank(),
     }
