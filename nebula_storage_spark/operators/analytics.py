@@ -1003,3 +1003,84 @@ def weighted_pagerank_oracle_sql(edges_sql: str, iterations: int = 5,
             f"FROM nodes n LEFT JOIN c{t} c USING (node))")
     return ("WITH " + ",\n".join(parts)
             + f"\nSELECT node, rank FROM r{iterations}")
+
+
+def hits_fixed(edges: DataFrame, iterations: int = 3,
+               scale: int = 10 ** 6,
+               broadcast_max_nodes: int | None = None) -> DataFrame:
+    """HITS hubs & authorities, integer fixed-point: per iteration
+    auth'(v) = Σ_{u→v} hub(u) then rescaled to auth = auth'·scale DIV
+    max(auth') (the max-normalization variant — a deterministic integer
+    rescale, where the classic L2 norm would force IEEE sqrt into every
+    round), and symmetrically hub from the new auth. Output:
+    (node, auth, hub). Same per-round shape as pagerank_fixed: one join
+    of the persisted edge frame against the size-gated-broadcast score
+    frame + one aggregate; the max is a 1-row scalar crossJoin.
+    Overflow bound: raw sums ≤ N·scale — safe to N ~ 2^43 at scale 1e6.
+    """
+    nodes = (edges.select(F.col(SRC).alias("node"))
+             .union(edges.select(F.col(DST).alias("node")))
+             .distinct().persist())
+    e = edges.select(SRC, DST).persist()
+    hint = _round_hint(nodes.count(), broadcast_max_nodes)
+
+    def rescale(df: DataFrame, col: str) -> DataFrame:
+        m = df.agg(F.max(col).alias("_m"))
+        return (df.crossJoin(F.broadcast(m))
+                .select("node", F.expr(
+                    f"CAST({col} * {scale} DIV greatest(_m, 1) AS BIGINT)")
+                    .alias(col)))
+
+    hub = nodes.select("node", F.lit(scale).cast("long").alias("hub"))
+    auth = None
+    for i in range(iterations):
+        araw = (e.join(hint(hub), e[SRC] == hub["node"])
+                .select(F.col(DST).alias("node"), "hub")
+                .groupBy("node").agg(F.sum("hub").alias("auth")))
+        auth = rescale(
+            nodes.join(hint(araw), "node", "left")
+            .select("node", F.coalesce("auth", F.lit(0)).cast("long")
+                    .alias("auth")), "auth")
+        hraw = (e.join(hint(auth), e[DST] == auth["node"])
+                .select(F.col(SRC).alias("node"), "auth")
+                .groupBy("node").agg(F.sum("auth").alias("hub")))
+        hub = rescale(
+            nodes.join(hint(hraw), "node", "left")
+            .select("node", F.coalesce("hub", F.lit(0)).cast("long")
+                    .alias("hub")), "hub")
+        if i < iterations - 1:
+            auth = auth.persist()
+            hub = hub.persist()
+            auth.count(), hub.count()
+    return auth.join(hub, "node")
+
+
+def hits_oracle_sql(edges_sql: str, iterations: int = 3,
+                    scale: int = 10 ** 6) -> str:
+    """DuckDB oracle for hits_fixed — the same max-normalized integer
+    iterations unrolled. `edges_sql` must yield (src, dst)."""
+    parts = [
+        f"e AS ({edges_sql})",
+        "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e)",
+        f"h0 AS (SELECT node, CAST({scale} AS BIGINT) AS hub FROM nodes)",
+    ]
+    for t in range(1, iterations + 1):
+        parts += [
+            f"ar{t} AS (SELECT e.dst AS node, sum(h.hub) AS auth "
+            f"FROM e JOIN h{t-1} h ON h.node = e.src GROUP BY e.dst)",
+            f"af{t} AS (SELECT n.node, coalesce(a.auth, 0) AS auth "
+            f"FROM nodes n LEFT JOIN ar{t} a USING (node))",
+            f"a{t} AS (SELECT node, CAST(auth * {scale} // "
+            f"greatest((SELECT max(auth) FROM af{t}), 1) AS BIGINT) "
+            f"AS auth FROM af{t})",
+            f"hr{t} AS (SELECT e.src AS node, sum(a.auth) AS hub "
+            f"FROM e JOIN a{t} a ON a.node = e.dst GROUP BY e.src)",
+            f"hf{t} AS (SELECT n.node, coalesce(h.hub, 0) AS hub "
+            f"FROM nodes n LEFT JOIN hr{t} h USING (node))",
+            f"h{t} AS (SELECT node, CAST(hub * {scale} // "
+            f"greatest((SELECT max(hub) FROM hf{t}), 1) AS BIGINT) "
+            f"AS hub FROM hf{t})",
+        ]
+    return ("WITH " + ",\n".join(parts)
+            + f"\nSELECT node, auth, hub FROM a{iterations} "
+            f"JOIN h{iterations} USING (node)")

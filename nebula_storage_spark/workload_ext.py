@@ -866,6 +866,80 @@ def _oracle_weighted_pagerank() -> str:
         "FROM lineitem", iterations=4)
 
 
+
+
+def q_hits_scores(spark, sf_dir):
+    """HITS hubs & authorities (integer fixed-point, max-normalized per
+    round — analytics.hits_fixed) over the customer→order graph: high-
+    hub customers place many well-cited orders, orders inherit authority
+    from strong hubs. 3 exact iterations gated by the unrolled oracle;
+    the companion ranking metric to (weighted) PageRank."""
+    from .operators.analytics import hits_fixed
+    g = tpch_graph(spark, sf_dir)
+    edges = g.edge_df("placed").select(
+        F.col(SRC).alias(SRC), (F.col(DST) + 10_000_000).alias(DST))
+    return hits_fixed(edges, iterations=3)
+
+
+def _oracle_hits() -> str:
+    from .operators.analytics import hits_oracle_sql
+    return hits_oracle_sql(
+        "SELECT o_custkey AS src, o_orderkey + 10000000 AS dst "
+        "FROM orders", iterations=3)
+
+
+def q_dq_checks(spark, sf_dir):
+    """Data-quality audit (the constraint layer a 100 TB ingest needs in
+    front of it): five declarative checks — FK orphans both directions
+    (left-anti joins), primary-key duplicates, domain violations,
+    nullability — each one aggregate/anti-join, reported as
+    (check_name, violations). At scale each check is one co-partitioned
+    anti-join or a map-side conditional count; zero violations here is
+    itself the assertion the synthetic data satisfies its own schema."""
+    g = tpch_graph(spark, sf_dir)
+    orders = g.edge_df("placed")
+    li = g.edge_df("contains")
+    cust = g.tag_df("customer").select(F.col(VID).alias("custkey"))
+    checks = []
+
+    def one(name, df):
+        checks.append(df.agg(F.count(F.lit(1)).cast("long")
+                             .alias("violations"))
+                      .select(F.lit(name).alias("check_name"),
+                              "violations"))
+
+    one("lineitem_fk_orphan",
+        li.join(orders.select(F.col(DST).alias(SRC)), SRC, "left_anti"))
+    one("orders_fk_orphan",
+        orders.join(cust, orders[SRC] == cust["custkey"], "left_anti"))
+    one("orders_pk_dup",
+        orders.groupBy(DST).agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1))
+    one("lineitem_nonpositive_price",
+        li.filter(F.col("l_extendedprice") <= 0))
+    one("lineitem_null_shipdate",
+        li.filter(F.col("l_shipdate").isNull()))
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out
+
+
+ORACLE_DQ = (
+    "SELECT 'lineitem_fk_orphan' AS check_name, count(*) AS violations "
+    "FROM lineitem WHERE NOT EXISTS "
+    "(SELECT 1 FROM orders WHERE o_orderkey = l_orderkey) "
+    "UNION ALL SELECT 'orders_fk_orphan', count(*) FROM orders "
+    "WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey) "
+    "UNION ALL SELECT 'orders_pk_dup', count(*) FROM ("
+    "SELECT o_orderkey FROM orders GROUP BY o_orderkey "
+    "HAVING count(*) > 1) "
+    "UNION ALL SELECT 'lineitem_nonpositive_price', count(*) "
+    "FROM lineitem WHERE l_extendedprice <= 0 "
+    "UNION ALL SELECT 'lineitem_null_shipdate', count(*) "
+    "FROM lineitem WHERE l_shipdate IS NULL")
+
+
 EXT3_QUERIES = {
     "tpch_q9_shape": q_tpch_q9_shape,
     "tpch_q11_shape": q_tpch_q11_shape,
@@ -891,6 +965,8 @@ EXT3_QUERIES = {
     "events_pivot": q_events_pivot,
     "source_logs_parse": q_source_logs_parse,
     "weighted_pagerank": q_weighted_pagerank,
+    "hits_scores": q_hits_scores,
+    "dq_checks": q_dq_checks,
 }
 
 
@@ -920,4 +996,6 @@ def build_ext3_oracles() -> dict[str, str]:
         "events_pivot": ORACLE_PIVOT,
         "source_logs_parse": ORACLE_LOGS_PARSE,
         "weighted_pagerank": _oracle_weighted_pagerank(),
+        "hits_scores": _oracle_hits(),
+        "dq_checks": ORACLE_DQ,
     }
