@@ -3531,7 +3531,7 @@ _ADDED_R03 = frozenset({
     "doc_mixture_sample", "dedup_chunk_exact", "store_snapshot_diff",
     "dedup_setsim_prefix", "events_last_state", "k_truss_edges",
     "events_pivot", "source_logs_parse", "weighted_pagerank",
-    "hits_scores", "dq_checks",
+    "hits_scores", "dq_checks", "events_m4_downsample",
 })
 
 

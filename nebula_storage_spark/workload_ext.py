@@ -940,6 +940,53 @@ ORACLE_DQ = (
     "FROM lineitem WHERE l_shipdate IS NULL")
 
 
+
+
+def q_events_m4_downsample(spark, sf_dir):
+    """M4 downsampling (the visualization-correct time-series reduction:
+    per pixel-bucket keep min, max, first, last — the four values any
+    line rendering of the bucket can need): 200 buckets over the event
+    stream per type. Bucket edges come from the global [min,max] time
+    span as a 1-row broadcast scalar; first/last use min_by/max_by over
+    the zero-padded (epoch, event_id) total-order key, so ties cannot
+    flip the result. One scalar agg + one hash aggregate — reduces any
+    event count to 200·|types| rows."""
+    ev = (load_events(spark, sf_dir)
+          .select("event_type", "event_id",
+                  F.unix_timestamp("ts").alias("sec"),
+                  (F.col("value").cast("decimal(18,2)") * 100)
+                  .cast("bigint").alias("cents")))
+    span = ev.agg(F.min("sec").alias("lo"), F.max("sec").alias("hi"))
+    key = F.concat(F.lpad(F.col("sec").cast("string"), 12, "0"),
+                   F.lpad(F.col("event_id").cast("string"), 10, "0"))
+    return (ev.crossJoin(F.broadcast(span))
+            .withColumn("bucket",
+                        F.expr("(sec - lo) * 200 DIV (hi - lo + 1)"))
+            .withColumn("k", key)
+            .groupBy("event_type", "bucket")
+            .agg(F.min("cents").alias("vmin"),
+                 F.max("cents").alias("vmax"),
+                 F.expr("min_by(cents, k)").alias("vfirst"),
+                 F.expr("max_by(cents, k)").alias("vlast"),
+                 F.count(F.lit(1)).alias("n")))
+
+
+ORACLE_M4 = (
+    "WITH ev AS (SELECT event_type, event_id, "
+    "CAST(floor(epoch(ts)) AS BIGINT) AS sec, "
+    "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents "
+    "FROM events), "
+    "span AS (SELECT min(sec) AS lo, max(sec) AS hi FROM ev), "
+    "b AS (SELECT event_type, "
+    "(sec - lo) * 200 // (hi - lo + 1) AS bucket, cents, "
+    "lpad(CAST(sec AS VARCHAR), 12, '0') || "
+    "lpad(CAST(event_id AS VARCHAR), 10, '0') AS k "
+    "FROM ev, span) "
+    "SELECT event_type, bucket, min(cents) AS vmin, max(cents) AS vmax, "
+    "arg_min(cents, k) AS vfirst, arg_max(cents, k) AS vlast, "
+    "count(*) AS n FROM b GROUP BY event_type, bucket")
+
+
 EXT3_QUERIES = {
     "tpch_q9_shape": q_tpch_q9_shape,
     "tpch_q11_shape": q_tpch_q11_shape,
@@ -967,6 +1014,7 @@ EXT3_QUERIES = {
     "weighted_pagerank": q_weighted_pagerank,
     "hits_scores": q_hits_scores,
     "dq_checks": q_dq_checks,
+    "events_m4_downsample": q_events_m4_downsample,
 }
 
 
@@ -998,4 +1046,5 @@ def build_ext3_oracles() -> dict[str, str]:
         "weighted_pagerank": _oracle_weighted_pagerank(),
         "hits_scores": _oracle_hits(),
         "dq_checks": ORACLE_DQ,
+        "events_m4_downsample": ORACLE_M4,
     }

@@ -347,3 +347,38 @@ def test_snapshot_diff_classifies_added_deleted_changed(spark):
     assert got == {2: ("changed", "b", "B"),
                    3: ("deleted", "c", None),
                    4: ("added", None, "d")}
+
+
+@given(st.lists(st.tuples(st.integers(0, 7), st.integers(0, 7)),
+                min_size=3, max_size=20))
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_k_truss_is_monotone_in_k(spark, edges):
+    """(k+1)-truss ⊆ k-truss on the same graph at the same round count —
+    raising the support threshold can only remove edges."""
+    from nebula_storage_spark.operators.analytics import k_truss_fixed
+    df = spark.createDataFrame(
+        [(a, b) for a, b in edges if a != b] or [(0, 1)],
+        "_src bigint, _dst bigint")
+    t3 = {(r.a, r.b) for r in k_truss_fixed(df, k=3, rounds=2).collect()}
+    t4 = {(r.a, r.b) for r in k_truss_fixed(df, k=4, rounds=2).collect()}
+    assert t4 <= t3
+
+
+@given(st.lists(st.tuples(st.integers(0, 6), st.integers(10, 16)),
+                min_size=2, max_size=15))
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_hits_scores_bounded_and_max_normalized(spark, edges):
+    """After every max-normalized round, scores sit in [0, scale] and —
+    whenever any score is positive — some node holds exactly `scale`."""
+    from nebula_storage_spark.operators.analytics import hits_fixed
+    df = spark.createDataFrame(edges, "_src bigint, _dst bigint")
+    rows = hits_fixed(df, iterations=2, scale=1000).collect()
+    auths = [r.auth for r in rows]
+    hubs = [r.hub for r in rows]
+    assert all(0 <= v <= 1000 for v in auths + hubs)
+    if any(v > 0 for v in auths):
+        assert max(auths) == 1000
+    if any(v > 0 for v in hubs):
+        assert max(hubs) == 1000
