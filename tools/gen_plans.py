@@ -189,6 +189,16 @@ SHOWCASE = {
         "query terms' postings are ever shuffled; the AND is a count "
         "aggregate on doc_id. Persisted term-partitioned postings turn "
         "this into a two-partition read at 100 TB."),
+    "dedup_setsim_prefix": (
+        ("SortMergeJoin", "BroadcastHashJoin", "Exchange", "Generate",
+         "CartesianProduct"),
+        "EXACT set-similarity join via prefix filtering: candidates come "
+        "from an equi-join on each doc's n-ceil(0.6n)+1 rarest tokens "
+        "(Generate = the prefix explode), then the true intersection is "
+        "counted — no CartesianProduct anywhere, yet provably lossless "
+        "(hypothesis-tested vs brute force; sf0.1: 7.1 M qualifying "
+        "pairs hash-equal to DuckDB's all-pairs answer). The AllPairs/"
+        "PPJoin principle as three shuffles."),
     "zorder_pruning": (
         ("PushedFilters", "ReadSchema", "Scan parquet"),
         "Multi-dimensional data skipping: the store was rewritten "

@@ -32,30 +32,35 @@ def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     runs = int(sys.argv[2]) if len(sys.argv) > 2 else 3
     spark = get_spark("stream-throughput")
-    from nebula_storage_spark.streaming.window import stream_events_windowed
+    from nebula_storage_spark.streaming.window import (
+        stream_events_enriched, stream_events_windowed)
 
-    best = None
-    for _ in range(runs):
-        for q in spark.streams.active:
-            q.stop()
-        t0 = time.perf_counter()
-        out = stream_events_windowed(spark, sf_dir)
-        n_out = out.count()
-        wall = time.perf_counter() - t0
-        # the just-terminated AvailableNow query is no longer active;
-        # recentProgress lives on the query handle, so re-derive totals
-        # from the run's input count instead
-        n_in = spark.read.parquet(f"{sf_dir}/events.parquet").count()
-        rec = {
-            "rows_in": n_in,
-            "rows_out": n_out,
-            "wall_sec": round(wall, 3),
-            "rows_per_sec_wall": round(n_in / wall),
-            "sf_dir": sf_dir,
-        }
-        if best is None or rec["wall_sec"] < best["wall_sec"]:
-            best = rec
-    print(json.dumps(best))
+    n_in = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    results = {}
+    for name, fn in (("windowed_agg", stream_events_windowed),
+                     ("stream_static_enrich", stream_events_enriched)):
+        best = None
+        for _ in range(runs):
+            for q in spark.streams.active:
+                q.stop()
+            t0 = time.perf_counter()
+            out = fn(spark, sf_dir)
+            n_out = out.count()
+            wall = time.perf_counter() - t0
+            # the just-terminated AvailableNow query is no longer
+            # active; recentProgress lives on the query handle, so
+            # totals re-derive from the run's input count instead
+            rec = {
+                "rows_in": n_in,
+                "rows_out": n_out,
+                "wall_sec": round(wall, 3),
+                "rows_per_sec_wall": round(n_in / wall),
+            }
+            if best is None or rec["wall_sec"] < best["wall_sec"]:
+                best = rec
+        results[name] = best
+    results["sf_dir"] = sf_dir
+    print(json.dumps(results))
 
 
 if __name__ == "__main__":
