@@ -3532,15 +3532,21 @@ _ADDED_R03 = frozenset({
     "dedup_setsim_prefix", "events_last_state", "k_truss_edges",
     "events_pivot", "source_logs_parse", "weighted_pagerank",
     "hits_scores", "dq_checks", "events_m4_downsample",
+    # session-3 additions (workload_ext4.py)
+    "closeness_centrality", "modularity_brands", "bigram_lm_rarity",
+    "basket_affinity", "source_tv_distance", "skyline_parts",
+    "events_mad_outliers",
 })
 
 
 def build_queries() -> dict[str, Query]:
     from .workload_pipeline import build_pipeline_queries
     from .workload_ext import EXT3_QUERIES
+    from .workload_ext4 import EXT4_QUERIES
     out = build_pipeline_queries()
     out.update(_core_queries())
     out.update(EXT3_QUERIES)
+    out.update(EXT4_QUERIES)
     ordered = {k: v for k, v in out.items()
                if k not in _DRIVER_GREEN and k not in _ADDED_R03}
     ordered.update({k: v for k, v in out.items() if k in _ADDED_R03})
@@ -3703,4 +3709,6 @@ def build_oracles() -> dict[str, str]:
               ORACLE_TTL, ORACLE_ANALYTIC, ORACLE_EXT):
         out.update(d)
     out.update(build_ext3_oracles())
+    from .workload_ext4 import build_ext4_oracles
+    out.update(build_ext4_oracles())
     return out

@@ -1,0 +1,392 @@
+"""Round-3 session-3 query extensions: second-order (node2vec) walks,
+closeness/modularity analytics, bigram-LM scoring, market-basket lift,
+distribution drift, Pareto skyline, and robust (MAD) outliers.
+
+Same determinism contract as workload.py / workload_ext.py: exact
+integer cents / fixed-point DIV arithmetic everywhere, md5-PRF for any
+"random" choice, at most one final rounded IEEE expression — so every
+query is bit-exact against the DuckDB oracle at any partitioning.
+
+Reference anchors: these extend the analytics/pipeline families beyond
+the reference's storage surface (nebula-storage has no walk/skyline/LM
+surface; its AggregateNode and index scans are cited per-query where a
+shape is parity-relevant, e.g. storage/exec/AggregateNode.h for the
+grouped-aggregate shapes).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W, functions as F
+
+from .graph import DST, SRC, VID, load_events, tpch_graph
+from .workload import _co_order_pairs, _seeds
+
+_EV_CENTS = "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"
+_RETAIL_CENTS = "CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+
+
+def _docs(spark, sf_dir):
+    from .workload_pipeline import _docs as d
+    return d(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# closeness centrality (rides the harmonic BFS ball)
+# ---------------------------------------------------------------------------
+
+def q_closeness_centrality(spark, sf_dir):
+    """Closeness centrality over the 2-hop BFS ball: n_reached, total
+    hop distance, and the Wasserman-Faust-style closeness ratio
+    (n_reached x10000 DIV total_dist) per start. Same frontier BFS as
+    bfs_distances/harmonic_centrality (per-round anti-join against the
+    visited set), one extra hash aggregate — integer throughout."""
+    from .operators import bfs_min_hop
+    g = tpch_graph(spark, sf_dir)
+    bfs = bfs_min_hop(g, _seeds(spark, 20), ["placed", "contains"])
+    return (bfs.groupBy("start_vid")
+            .agg(F.count(F.lit(1)).alias("n_reached"),
+                 F.sum("dist").alias("total_dist"))
+            .select("start_vid", "n_reached", "total_dist",
+                    F.expr("(n_reached * 10000) DIV total_dist")
+                    .alias("closeness_x10000")))
+
+
+def _oracle_closeness() -> str:
+    from .workload import ORACLE_EXT
+    return (f"WITH b AS ({ORACLE_EXT['bfs_distances']}) "
+            "SELECT start_vid, count(*) AS n_reached, "
+            "sum(dist) AS total_dist, "
+            "(count(*) * 10000) // sum(dist) AS closeness_x10000 "
+            "FROM b GROUP BY start_vid")
+
+
+# ---------------------------------------------------------------------------
+# modularity of a community assignment (communities = part brand)
+# ---------------------------------------------------------------------------
+
+def q_modularity_brands(spark, sf_dir):
+    """Newman modularity decomposition of the co-order part projection
+    under the brand partition (community(p) = p_brand): per community,
+    intra-community edge count e_c, degree sum d_c, and the exact
+    integer modularity contribution 4m*e_c - d_c^2 (so Q = sum(contrib)
+    / (4m^2) — numerator/denominator kept integer, no negative DIV,
+    since Spark DIV truncates toward zero while DuckDB // floors).
+    Plan: the pair expansion is the one shuffle; brands attach via two
+    broadcast joins of the part dim; three hash aggregates."""
+    g = tpch_graph(spark, sf_dir)
+    brand = g.vertices["part"].select(F.col(VID).alias("pk"),
+                                      F.col("p_brand").alias("community"))
+    pairs = _co_order_pairs(spark, sf_dir)
+    lab = (pairs
+           .join(F.broadcast(brand.withColumnsRenamed(
+               {"pk": SRC, "community": "c1"})), SRC)
+           .join(F.broadcast(brand.withColumnsRenamed(
+               {"pk": DST, "community": "c2"})), DST))
+    m = lab.agg(F.count(F.lit(1)).alias("m"))
+    intra = (lab.filter(F.col("c1") == F.col("c2"))
+             .groupBy(F.col("c1").alias("community"))
+             .agg(F.count(F.lit(1)).alias("intra_edges")))
+    deg = (lab.select(F.col("c1").alias("community"))
+           .unionAll(lab.select(F.col("c2").alias("community")))
+           .groupBy("community").agg(F.count(F.lit(1)).alias("degree_sum")))
+    return (deg.join(intra, "community", "left")
+            .select("community",
+                    F.coalesce("intra_edges", F.lit(0)).alias("intra_edges"),
+                    "degree_sum")
+            .crossJoin(F.broadcast(m))
+            .select("community", "intra_edges", "degree_sum", "m",
+                    F.expr("4 * m * intra_edges - degree_sum * degree_sum")
+                    .alias("contrib_x4m2")))
+
+
+_ORACLE_CO_PAIRS = (
+    "SELECT l1.l_partkey AS src, l2.l_partkey AS dst "
+    "FROM lineitem l1 JOIN lineitem l2 "
+    "ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey")
+
+ORACLE_MODULARITY = (
+    f"WITH pairs AS ({_ORACLE_CO_PAIRS}), "
+    "lab AS (SELECT b1.p_brand AS c1, b2.p_brand AS c2 FROM pairs "
+    "JOIN part b1 ON b1.p_partkey = pairs.src "
+    "JOIN part b2 ON b2.p_partkey = pairs.dst), "
+    "m AS (SELECT count(*) AS m FROM lab), "
+    "intra AS (SELECT c1 AS community, count(*) AS intra_edges "
+    "FROM lab WHERE c1 = c2 GROUP BY c1), "
+    "deg AS (SELECT community, count(*) AS degree_sum FROM "
+    "(SELECT c1 AS community FROM lab "
+    "UNION ALL SELECT c2 FROM lab) GROUP BY community) "
+    "SELECT d.community, coalesce(i.intra_edges, 0) AS intra_edges, "
+    "d.degree_sum, m.m, "
+    "4 * m.m * coalesce(i.intra_edges, 0) "
+    "- d.degree_sum * d.degree_sum AS contrib_x4m2 "
+    "FROM deg d LEFT JOIN intra i ON i.community = d.community CROSS JOIN m")
+
+
+# ---------------------------------------------------------------------------
+# bigram LM rarity (conditional-probability surrogate, integer)
+# ---------------------------------------------------------------------------
+
+def q_bigram_lm_rarity(spark, sf_dir):
+    """Bigram-LM quality signal, integer surrogate for perplexity:
+    rarity(prev, cur) = count(prev as bigram prefix) DIV count(prev,
+    cur) — the truncated inverse of the conditional probability
+    P(cur|prev) — and doc score = mean bigram rarity. Extends
+    doc_rarity_score (unigram) to the conditional model; no float log,
+    so bit-exact cross-engine. Plan: bigrams expand inside codegen via
+    a higher-order transform over the token array (no positional
+    self-join), one vocabulary aggregate, one re-join."""
+    bigrams = (_docs(spark, sf_dir)
+               .select("doc_id", F.split("text", " ").alias("l"))
+               .select("doc_id", F.explode(F.expr(
+                   "transform(sequence(2, size(l)), "
+                   "i -> struct(element_at(l, i - 1) AS p, "
+                   "element_at(l, i) AS c))")).alias("bg"))
+               .select("doc_id", F.col("bg.p").alias("p"),
+                       F.col("bg.c").alias("c")))
+    c2 = (bigrams.groupBy("p", "c").agg(F.count(F.lit(1)).alias("c2")))
+    c1 = c2.groupBy("p").agg(F.sum("c2").alias("c1"))
+    rarity = c2.join(c1, "p").select(
+        "p", "c", F.expr("c1 DIV c2").alias("rarity"))
+    return (bigrams.join(rarity, ["p", "c"])
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_bigrams"),
+                 F.expr("sum(rarity) DIV count(*)").alias("bigram_rarity")))
+
+
+ORACLE_BIGRAM_LM = (
+    "WITH t AS (SELECT doc_id, string_split(text, ' ') AS l "
+    "FROM documents), "
+    "bg AS (SELECT doc_id, unnest(list_transform(range(2, len(l) + 1), "
+    "i -> struct_pack(p := l[i-1], c := l[i]))) AS b FROM t), "
+    "b2 AS (SELECT doc_id, b.p AS p, b.c AS c FROM bg), "
+    "c2 AS (SELECT p, c, count(*) AS c2 FROM b2 GROUP BY p, c), "
+    "c1 AS (SELECT p, sum(c2) AS c1 FROM c2 GROUP BY p), "
+    "r AS (SELECT c2.p, c2.c, c1.c1 // c2.c2 AS rarity "
+    "FROM c2 JOIN c1 USING (p)) "
+    "SELECT doc_id, count(*) AS n_bigrams, "
+    "sum(rarity) // count(*) AS bigram_rarity "
+    "FROM b2 JOIN r USING (p, c) GROUP BY doc_id")
+
+
+# ---------------------------------------------------------------------------
+# market-basket lift (frequent co-occurring part pairs)
+# ---------------------------------------------------------------------------
+
+def q_basket_affinity(spark, sf_dir):
+    """Top-20 part pairs by integer lift over the order baskets:
+    lift_x1000 = co_cnt * n_orders * 1000 DIV (cnt1 * cnt2), support
+    co_cnt >= 3 — the association-rule mining shape. The pair stream
+    reuses the codegen HOF expansion of _co_order_pairs but on the
+    per-order DISTINCT part sets (support = order count, not line
+    count); top-20 via TakeOrderedAndProject, never a global window."""
+    g = tpch_graph(spark, sf_dir)
+    li = (g.edges["contains"]
+          .select(F.col(SRC).alias("o"), F.col(DST).alias("p")).distinct())
+    grouped = li.groupBy("o").agg(F.sort_array(F.collect_set("p"))
+                                  .alias("ps"))
+    pairs = (grouped.select(F.explode(F.expr(
+        "flatten(transform(ps, (x, i) -> "
+        "transform(slice(ps, i + 2, size(ps) - i - 1), "
+        "y -> struct(x AS s, y AS d))))")).alias("e"))
+        .select(F.col("e.s").alias("p1"), F.col("e.d").alias("p2")))
+    co = (pairs.groupBy("p1", "p2").agg(F.count(F.lit(1)).alias("co_cnt"))
+          .filter(F.col("co_cnt") >= 3))
+    cnt = li.groupBy("p").agg(F.count(F.lit(1)).alias("cnt"))
+    n = li.select("o").distinct().agg(F.count(F.lit(1)).alias("n_orders"))
+    return (co.join(cnt.withColumnsRenamed({"p": "p1", "cnt": "cnt1"}), "p1")
+            .join(cnt.withColumnsRenamed({"p": "p2", "cnt": "cnt2"}), "p2")
+            .crossJoin(F.broadcast(n))
+            .select("p1", "p2", "co_cnt", "cnt1", "cnt2",
+                    F.expr("co_cnt * n_orders * 1000 DIV (cnt1 * cnt2)")
+                    .alias("lift_x1000"))
+            .orderBy(F.desc("lift_x1000"), "p1", "p2").limit(20))
+
+
+ORACLE_BASKET = (
+    "WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p "
+    "FROM lineitem), "
+    "pairs AS (SELECT a.p AS p1, b.p AS p2 FROM li a JOIN li b "
+    "ON a.o = b.o AND a.p < b.p), "
+    "co AS (SELECT p1, p2, count(*) AS co_cnt FROM pairs "
+    "GROUP BY p1, p2 HAVING count(*) >= 3), "
+    "cnt AS (SELECT p, count(*) AS cnt FROM li GROUP BY p), "
+    "n AS (SELECT count(DISTINCT o) AS n_orders FROM li) "
+    "SELECT p1, p2, co_cnt, c1.cnt AS cnt1, c2.cnt AS cnt2, "
+    "co_cnt * n_orders * 1000 // (c1.cnt * c2.cnt) AS lift_x1000 "
+    "FROM co JOIN cnt c1 ON c1.p = co.p1 JOIN cnt c2 ON c2.p = co.p2 "
+    "CROSS JOIN n ORDER BY lift_x1000 DESC, p1, p2 LIMIT 20")
+
+
+# ---------------------------------------------------------------------------
+# per-source distribution drift (total-variation distance, integer)
+# ---------------------------------------------------------------------------
+
+def q_source_tv_distance(spark, sf_dir):
+    """Domain-shift detector: total-variation distance between each
+    source's token distribution and the whole-corpus distribution,
+    exact integer x1e6: tv = 1e6 * sum_t |c_s(t)*N - c(t)*N_s| DIV
+    (2*N_s*N). The source x vocab frame is sources (tiny) x corpus
+    vocab — built by a broadcast cross join so absent tokens (c_s = 0)
+    are counted; no float division anywhere."""
+    tok = (_docs(spark, sf_dir)
+           .select("source", F.explode(F.split("text", " ")).alias("t")))
+    per_src = tok.groupBy("source", "t").agg(F.count(F.lit(1)).alias("cs"))
+    corpus = per_src.groupBy("t").agg(F.sum("cs").alias("c"))
+    ns = per_src.groupBy("source").agg(F.sum("cs").alias("ns"))
+    total = corpus.agg(F.sum("c").alias("n"))
+    full = (corpus.crossJoin(F.broadcast(ns))
+            .join(per_src, ["source", "t"], "left")
+            .select("source", "t", "c", "ns",
+                    F.coalesce("cs", F.lit(0)).alias("cs"))
+            .crossJoin(F.broadcast(total)))
+    return (full.groupBy("source")
+            .agg(F.first("ns").alias("n_tokens"),
+                 F.expr("sum(abs(cs * n - c * ns))").alias("l1_num"),
+                 F.expr("(1000000 * sum(abs(cs * n - c * ns))) "
+                        "DIV (2 * first(ns) * first(n))")
+                 .alias("tv_x1e6")))
+
+
+ORACLE_TV = (
+    "WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS t "
+    "FROM documents), "
+    "ps AS (SELECT source, t, count(*) AS cs FROM tok GROUP BY source, t), "
+    "corpus AS (SELECT t, sum(cs) AS c FROM ps GROUP BY t), "
+    "ns AS (SELECT source, sum(cs) AS ns FROM ps GROUP BY source), "
+    "tot AS (SELECT sum(c) AS n FROM corpus), "
+    "fl AS (SELECT ns.source, corpus.t, corpus.c, ns.ns, "
+    "coalesce(ps.cs, 0) AS cs, tot.n "
+    "FROM corpus CROSS JOIN ns CROSS JOIN tot "
+    "LEFT JOIN ps ON ps.source = ns.source AND ps.t = corpus.t) "
+    "SELECT source, first(ns) AS n_tokens, "
+    "sum(abs(cs * n - c * ns)) AS l1_num, "
+    "(1000000 * sum(abs(cs * n - c * ns))) // (2 * first(ns) * first(n)) "
+    "AS tv_x1e6 FROM fl GROUP BY source")
+
+
+# ---------------------------------------------------------------------------
+# Pareto skyline (min price, max size) via two-pass distributed cummax
+# ---------------------------------------------------------------------------
+
+def q_skyline_parts(spark, sf_dir):
+    """2-D Pareto frontier of parts (minimize retail price, maximize
+    size): p is on the skyline iff no part has strictly lower price
+    with >= size, and no equal-price part has strictly greater size.
+    Cluster-safe plan — the classic sort-based skyline needs a global
+    cumulative max, which we run as the two-pass pattern of
+    operators/prefix.py: per-price-bucket max size (hash agg), prefix
+    max over the tiny bucket frame via a broadcast triangular join
+    (never an unpartitioned WindowExec), then a bucket-local window
+    for the intra-bucket running max. No all-pairs anti-join."""
+    g = tpch_graph(spark, sf_dir)
+    parts = g.vertices["part"].select(
+        F.col(VID).alias("p_partkey"),
+        F.expr(_RETAIL_CENTS).alias("price_cents"), "p_size")
+    parts = parts.withColumn("bkt", F.expr("price_cents DIV 10000"))
+    # pass 1: per-bucket max size; prefix max over STRICTLY preceding
+    # buckets via the triangular broadcast join (bucket count is bounded
+    # by the price domain DIV 100 — never data-sized).
+    bmax = parts.groupBy("bkt").agg(F.max("p_size").alias("bmax"))
+    prior = (bmax.alias("a")
+             .join(F.broadcast(bmax.alias("b")),
+                   F.col("b.bkt") < F.col("a.bkt"), "left")
+             .groupBy(F.col("a.bkt").alias("bkt"))
+             .agg(F.max("b.bmax").alias("prior_max")))
+    # pass 2: intra-bucket running max over strictly-lower prices
+    wb = (W.partitionBy("bkt").orderBy("price_cents")
+          .rangeBetween(W.unboundedPreceding, -1))
+    weq = W.partitionBy("bkt", "price_cents")
+    out = (parts.join(F.broadcast(prior), "bkt")
+           .withColumn("lower_max", F.greatest(
+               F.coalesce(F.max("p_size").over(wb), F.lit(-1)),
+               F.coalesce("prior_max", F.lit(-1))))
+           .withColumn("eq_max", F.max("p_size").over(weq))
+           .filter((F.col("p_size") > F.col("lower_max"))
+                   & (F.col("p_size") == F.col("eq_max"))))
+    return out.select("p_partkey", "price_cents", "p_size")
+
+
+ORACLE_SKYLINE = (
+    "WITH p AS (SELECT p_partkey, "
+    "CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT) "
+    "AS price_cents, p_size FROM part) "
+    "SELECT p_partkey, price_cents, p_size FROM p a "
+    "WHERE NOT EXISTS (SELECT 1 FROM p b "
+    "WHERE b.price_cents < a.price_cents AND b.p_size >= a.p_size) "
+    "AND NOT EXISTS (SELECT 1 FROM p c "
+    "WHERE c.price_cents = a.price_cents AND c.p_size > a.p_size)")
+
+
+# ---------------------------------------------------------------------------
+# robust outliers: median absolute deviation (exact lower-median)
+# ---------------------------------------------------------------------------
+
+def q_events_mad_outliers(spark, sf_dir):
+    """Robust per-type outliers: |cents - median| > 3 * MAD, both
+    medians the exact LOWER median (rank (n+1) DIV 2 in (cents,
+    event_id) order — integer-exact, unlike percentile interpolation
+    which splits half-boundaries differently per engine). Windows are
+    partitioned by event_type (bounded groups), never global; emits
+    the outlier rows with their per-type med/mad evidence."""
+    ev = (load_events(spark, sf_dir)
+          .select("event_id", "event_type", F.expr(_EV_CENTS).alias("cents")))
+    wt = W.partitionBy("event_type")
+    r1 = (ev.withColumn("rn", F.row_number().over(
+              wt.orderBy("cents", "event_id")))
+          .withColumn("n", F.count(F.lit(1)).over(wt)))
+    med = (r1.filter(F.expr("rn = (n + 1) DIV 2"))
+           .select("event_type", F.col("cents").alias("med_cents")))
+    dev = (ev.join(F.broadcast(med), "event_type")
+           .withColumn("adev", F.abs(F.col("cents") - F.col("med_cents"))))
+    r2 = (dev.withColumn("rn", F.row_number().over(
+              wt.orderBy("adev", "event_id")))
+          .withColumn("n", F.count(F.lit(1)).over(wt)))
+    mad = (r2.filter(F.expr("rn = (n + 1) DIV 2"))
+           .select("event_type", F.col("adev").alias("mad_cents")))
+    return (dev.join(F.broadcast(mad), "event_type")
+            .filter(F.col("adev") > 3 * F.col("mad_cents"))
+            .select("event_id", "event_type", "cents", "med_cents",
+                    "mad_cents"))
+
+
+ORACLE_MAD = (
+    "WITH e AS (SELECT event_id, event_type, "
+    f"{_EV_CENTS} AS cents FROM events), "
+    "r1 AS (SELECT *, row_number() OVER (PARTITION BY event_type "
+    "ORDER BY cents, event_id) AS rn, "
+    "count(*) OVER (PARTITION BY event_type) AS n FROM e), "
+    "med AS (SELECT event_type, cents AS med_cents FROM r1 "
+    "WHERE rn = (n + 1) // 2), "
+    "dev AS (SELECT e.event_id, e.event_type, e.cents, med.med_cents, "
+    "abs(e.cents - med.med_cents) AS adev FROM e JOIN med USING (event_type)), "
+    "r2 AS (SELECT *, row_number() OVER (PARTITION BY event_type "
+    "ORDER BY adev, event_id) AS rn, "
+    "count(*) OVER (PARTITION BY event_type) AS n FROM dev), "
+    "mad AS (SELECT event_type, adev AS mad_cents FROM r2 "
+    "WHERE rn = (n + 1) // 2) "
+    "SELECT d.event_id, d.event_type, d.cents, d.med_cents, m.mad_cents "
+    "FROM dev d JOIN mad m USING (event_type) "
+    "WHERE d.adev > 3 * m.mad_cents")
+
+
+EXT4_QUERIES = {
+    "closeness_centrality": q_closeness_centrality,
+    "modularity_brands": q_modularity_brands,
+    "bigram_lm_rarity": q_bigram_lm_rarity,
+    "basket_affinity": q_basket_affinity,
+    "source_tv_distance": q_source_tv_distance,
+    "skyline_parts": q_skyline_parts,
+    "events_mad_outliers": q_events_mad_outliers,
+}
+
+
+def build_ext4_oracles() -> dict[str, str]:
+    return {
+        "closeness_centrality": _oracle_closeness(),
+        "modularity_brands": ORACLE_MODULARITY,
+        "bigram_lm_rarity": ORACLE_BIGRAM_LM,
+        "basket_affinity": ORACLE_BASKET,
+        "source_tv_distance": ORACLE_TV,
+        "skyline_parts": ORACLE_SKYLINE,
+        "events_mad_outliers": ORACLE_MAD,
+    }
