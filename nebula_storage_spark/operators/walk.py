@@ -60,6 +60,104 @@ def random_walks(edges: DataFrame, seeds: DataFrame, steps: int = 4,
     return state.select("walk_id", F.col("cur").alias("end_node"), "path")
 
 
+def node2vec_walks(edges: DataFrame, seeds: DataFrame, steps: int = 3,
+                   weights: tuple[int, int, int] = (1, 4, 2),
+                   prefix: str = "n2v#") -> DataFrame:
+    """Second-order (node2vec-style) biased walks: at step t the
+    candidate neighbors of `cur` are weighted by their relation to the
+    PREVIOUS node — return (nxt == prev) gets weights[0], a common
+    neighbor (edge prev->nxt exists) weights[1], an outward move
+    weights[2]; with the defaults (1, 4, 2) that is return-parameter
+    p=4 and in-out parameter q=2 scaled to integers. The choice is
+    md5(walk, t) mod total-weight landing in the neighbor's cumulative
+    weight interval (dst-sorted) — the alias-table draw re-expressed as
+    a per-walk partitioned window, deterministic on any engine.
+
+    Scale: each step is one equi-join of the frontier against the
+    adjacency (fanout = outdeg, the inherent cost of second-order bias
+    — node2vec must inspect every neighbor's relation to prev) plus a
+    broadcastable equi-join for the common-neighbor marker; the
+    cumulative-weight window partitions by walk_id, never global."""
+    if steps < 1:
+        raise ValueError("node2vec_walks needs steps >= 1")
+    wb, wc, wf = weights
+    adj = edges.select(SRC, DST).distinct()
+    nbrs = adj.select(F.col(SRC).alias("cur"), F.col(DST).alias("nxt"))
+    mark = adj.select(F.col(SRC).alias("mp"), F.col(DST).alias("mn"),
+                      F.lit(1).alias("is_common"))
+    state = seeds.select(
+        F.col("node").alias("walk_id"), F.col("node").alias("prev"),
+        F.col("node").alias("cur"), F.col("node").cast("string").alias("path"))
+    for t in range(steps):
+        h = _step_hash("walk_id", t, prefix)
+        cand = (state.join(nbrs, "cur", "left")
+                .join(mark, (F.col("prev") == F.col("mp"))
+                      & (F.col("nxt") == F.col("mn")), "left")
+                .withColumn("w", F.expr(
+                    f"CASE WHEN nxt IS NULL THEN NULL "
+                    f"WHEN nxt = prev THEN {wb} "
+                    f"WHEN is_common = 1 THEN {wc} ELSE {wf} END")))
+        win = W.partitionBy("walk_id")
+        cand = (cand
+                .withColumn("cum", F.sum("w").over(
+                    win.orderBy("nxt").rowsBetween(W.unboundedPreceding, 0)))
+                .withColumn("tot", F.sum("w").over(win)))
+        picked = cand.filter(F.expr(
+            f"nxt IS NULL OR ({h} % tot >= cum - w AND {h} % tot < cum)"))
+        state = picked.select(
+            "walk_id", F.col("cur").alias("prev"),
+            F.coalesce("nxt", "cur").alias("cur"),
+            F.when(F.col("nxt").isNull(), F.col("path"))
+            .otherwise(F.concat("path", F.lit("->"),
+                                F.col("nxt").cast("string"))).alias("path"))
+    return state.select("walk_id", F.col("cur").alias("end_node"), "path")
+
+
+def node2vec_walks_oracle_sql(edges_sql: str, seeds_sql: str,
+                              steps: int = 3,
+                              weights: tuple[int, int, int] = (1, 4, 2),
+                              prefix: str = "n2v#") -> str:
+    """DuckDB oracle for node2vec_walks: identical weighting + PRF
+    interval draw, unrolled per step."""
+    wb, wc, wf = weights
+
+    def h(t: int) -> str:
+        return (f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+                f"list_transform(string_split(substr(md5('{prefix}' || "
+                f"CAST(walk_id AS VARCHAR) || '#' || '{t}'), 1, 15), ''), "
+                f"c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))), "
+                f"(a, b) -> a * 16 + b)")
+    parts = [
+        f"e AS (SELECT DISTINCT src, dst FROM ({edges_sql}))",
+        f"s0 AS (SELECT node AS walk_id, node AS prev, node AS cur, "
+        f"CAST(node AS VARCHAR) AS path FROM ({seeds_sql}))",
+    ]
+    for t in range(steps):
+        parts.append(
+            f"c{t} AS (SELECT s.*, a.dst AS nxt "
+            f"FROM s{t} s LEFT JOIN e a ON a.src = s.cur)")
+        parts.append(
+            f"w{t} AS (SELECT *, CASE WHEN nxt IS NULL THEN NULL "
+            f"WHEN nxt = prev THEN {wb} "
+            f"WHEN EXISTS (SELECT 1 FROM e x WHERE x.src = c{t}.prev "
+            f"AND x.dst = c{t}.nxt) THEN {wc} ELSE {wf} END AS w "
+            f"FROM c{t})")
+        parts.append(
+            f"x{t} AS (SELECT *, sum(w) OVER (PARTITION BY walk_id "
+            f"ORDER BY nxt ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT "
+            f"ROW) AS cum, sum(w) OVER (PARTITION BY walk_id) AS tot "
+            f"FROM w{t})")
+        parts.append(
+            f"s{t+1} AS (SELECT walk_id, cur AS prev, "
+            f"coalesce(nxt, cur) AS cur, "
+            f"CASE WHEN nxt IS NULL THEN path "
+            f"ELSE path || '->' || CAST(nxt AS VARCHAR) END AS path "
+            f"FROM x{t} WHERE nxt IS NULL OR "
+            f"({h(t)} % tot >= cum - w AND {h(t)} % tot < cum))")
+    return ("WITH " + ",\n".join(parts)
+            + f"\nSELECT walk_id, cur AS end_node, path FROM s{steps}")
+
+
 def random_walks_oracle_sql(edges_sql: str, seeds_sql: str,
                             steps: int = 4, prefix: str = "rw#") -> str:
     """DuckDB oracle: identical ranked adjacency + PRF step choice,

@@ -369,7 +369,36 @@ ORACLE_MAD = (
     "WHERE d.adev > 3 * m.mad_cents")
 
 
+# ---------------------------------------------------------------------------
+# node2vec second-order biased walks
+# ---------------------------------------------------------------------------
+
+def q_node2vec_walks(spark, sf_dir):
+    """Deterministic 3-step node2vec walks (p=4, q=2 as integer weights
+    1/4/2) from 100 customer seeds over the undirected customer↔order
+    graph — the biased walk corpus behind node2vec embeddings, with the
+    same md5-PRF reproducibility contract as random_walks."""
+    from .operators.walk import node2vec_walks
+    g = tpch_graph(spark, sf_dir)
+    placed = g.edges["placed"].select(SRC, DST)
+    fwd = placed.select(F.col(SRC).alias(SRC),
+                        (F.col(DST) + 10_000_000).alias(DST))
+    und = fwd.union(fwd.select(F.col(DST).alias(SRC),
+                               F.col(SRC).alias(DST)))
+    seeds = spark.range(0, 100).select(F.col("id").alias("node"))
+    return node2vec_walks(und, seeds, steps=3)
+
+
+def _oracle_node2vec() -> str:
+    from .operators.walk import node2vec_walks_oracle_sql
+    return node2vec_walks_oracle_sql(
+        "SELECT o_custkey AS src, o_orderkey + 10000000 AS dst FROM orders "
+        "UNION ALL SELECT o_orderkey + 10000000, o_custkey FROM orders",
+        "SELECT range AS node FROM range(0, 100)", steps=3)
+
+
 EXT4_QUERIES = {
+    "node2vec_walks": q_node2vec_walks,
     "closeness_centrality": q_closeness_centrality,
     "modularity_brands": q_modularity_brands,
     "bigram_lm_rarity": q_bigram_lm_rarity,
@@ -382,6 +411,7 @@ EXT4_QUERIES = {
 
 def build_ext4_oracles() -> dict[str, str]:
     return {
+        "node2vec_walks": _oracle_node2vec(),
         "closeness_centrality": _oracle_closeness(),
         "modularity_brands": ORACLE_MODULARITY,
         "bigram_lm_rarity": ORACLE_BIGRAM_LM,

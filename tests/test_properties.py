@@ -382,3 +382,65 @@ def test_hits_scores_bounded_and_max_normalized(spark, edges):
         assert max(auths) == 1000
     if any(v > 0 for v in hubs):
         assert max(hubs) == 1000
+
+
+@given(st.lists(st.tuples(st.integers(0, 8), st.integers(0, 8)),
+                min_size=1, max_size=20),
+       st.integers(min_value=2, max_value=8))
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_node2vec_walks_deterministic_and_edge_respecting(spark, edges,
+                                                          nparts):
+    """node2vec walks are identical at any input partitioning, and every
+    hop in every path follows an existing directed edge."""
+    from nebula_storage_spark.operators.walk import node2vec_walks
+    es = [(a, b) for a, b in edges if a != b] or [(0, 1)]
+    df = spark.createDataFrame(es, "_src bigint, _dst bigint")
+    seeds = spark.createDataFrame([(s,) for s in {a for a, _ in es}],
+                                  "node bigint")
+    w1 = {(r.walk_id, r.path)
+          for r in node2vec_walks(df, seeds, steps=2).collect()}
+    w2 = {(r.walk_id, r.path)
+          for r in node2vec_walks(df.repartition(nparts), seeds,
+                                  steps=2).collect()}
+    assert w1 == w2
+    eset = set(es)
+    for _, path in w1:
+        hops = [int(x) for x in path.split("->")]
+        for a, b in zip(hops, hops[1:]):
+            assert (a, b) in eset
+
+
+@given(st.lists(st.tuples(st.integers(0, 50), st.integers(1, 50)),
+                min_size=1, max_size=40))
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_skyline_two_pass_matches_naive_dominance(spark, pts):
+    """The bucketed two-pass skyline equals the O(n²) dominance filter:
+    keep p iff no q has (price <, size >=) and no equal-price q has
+    strictly greater size."""
+    from pyspark.sql import Window as W, functions as F
+    rows = [(i, p, s) for i, (p, s) in enumerate(pts)]
+    df = spark.createDataFrame(rows, "id bigint, price bigint, size bigint")
+    naive = {(i, p, s) for i, p, s in rows
+             if not any((q < p and t >= s) or (q == p and t > s)
+                        for _, q, t in rows)}
+    b = df.withColumn("bkt", F.expr("price DIV 7"))
+    bmax = b.groupBy("bkt").agg(F.max("size").alias("bmax"))
+    prior = (bmax.alias("a")
+             .join(F.broadcast(bmax.alias("b")),
+                   F.col("b.bkt") < F.col("a.bkt"), "left")
+             .groupBy(F.col("a.bkt").alias("bkt"))
+             .agg(F.max("b.bmax").alias("prior_max")))
+    wb = (W.partitionBy("bkt").orderBy("price")
+          .rangeBetween(W.unboundedPreceding, -1))
+    weq = W.partitionBy("bkt", "price")
+    out = (b.join(F.broadcast(prior), "bkt")
+           .withColumn("lower_max", F.greatest(
+               F.coalesce(F.max("size").over(wb), F.lit(-1)),
+               F.coalesce("prior_max", F.lit(-1))))
+           .withColumn("eq_max", F.max("size").over(weq))
+           .filter((F.col("size") > F.col("lower_max"))
+                   & (F.col("size") == F.col("eq_max"))))
+    got = {(r.id, r.price, r.size) for r in out.collect()}
+    assert got == naive
