@@ -1084,3 +1084,124 @@ def hits_oracle_sql(edges_sql: str, iterations: int = 3,
     return ("WITH " + ",\n".join(parts)
             + f"\nSELECT node, auth, hub FROM a{iterations} "
             f"JOIN h{iterations} USING (node)")
+
+
+def greedy_coloring(edges: DataFrame, rounds: int = 3,
+                    prefix: str = "col#") -> DataFrame:
+    """Jones-Plassmann parallel greedy coloring with deterministic Luby
+    priorities: per round, every uncolored node whose md5 priority
+    (ties by id) beats all uncolored neighbours takes the smallest
+    color unused by its already-colored neighbours (the mex — bounded
+    by the round number, so it folds to a bitmask CASE). K rounds
+    color the bulk of the graph (same geometric-decay argument as
+    maximal_independent_set above); the rest report color -1
+    ('undecided'), making the round budget explicit.
+
+    Scale: per round = the MIS winner selection (hash joins on the
+    node key) plus one aggregation of neighbour colors into a bitmask;
+    the uncolored frontier shrinks geometrically and is
+    localCheckpoint()ed per round. Output: (node, color).
+    """
+    a, b = F.col(SRC), F.col(DST)
+    und = (edges.filter(a != b)
+           .select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
+           .distinct()
+           .select(F.col("a").alias(SRC), F.col("b").alias(DST)))
+    both = und.union(und.select(F.col(DST).alias(SRC),
+                                F.col(SRC).alias(DST))).persist()
+    pri = (f"CAST(conv(substring(md5(concat('{prefix}', "
+           f"CAST(node AS STRING))), 1, 15), 16, 10) AS BIGINT)")
+    u = (both.select(F.col(SRC).alias("node")).distinct()
+         .withColumn("h", F.expr(pri)).localCheckpoint())
+    colored = None  # (node, color)
+    for t in range(rounds):
+        eu = (both
+              .join(u.select(F.col("node").alias(SRC),
+                             F.col("h").alias("ha")), SRC)
+              .join(u.select(F.col("node").alias(DST),
+                             F.col("h").alias("hb")), DST))
+        beaten = (eu.filter(
+            (F.col("hb") < F.col("ha"))
+            | ((F.col("hb") == F.col("ha")) & (F.col(DST) < F.col(SRC))))
+            .select(F.col(SRC).alias("node")).distinct())
+        win = u.join(beaten, "node", "left_anti").select("node")
+        if colored is None:
+            newly = win.withColumn("color", F.lit(0))
+        else:
+            used = (both.join(win.withColumnRenamed("node", SRC), SRC)
+                    .join(colored.withColumnRenamed("node", DST), DST)
+                    .groupBy(F.col(SRC).alias("node"))
+                    .agg(F.expr("bit_or(CAST(1 AS BIGINT) << color)")
+                         .alias("used")))
+            mex = "CASE " + " ".join(
+                f"WHEN (used >> {c}) % 2 = 0 THEN {c}"
+                for c in range(t + 1)) + f" ELSE {t} END"
+            newly = (win.join(used, "node", "left")
+                     .select("node", F.expr(
+                         f"CASE WHEN used IS NULL THEN 0 "
+                         f"ELSE {mex} END").alias("color")))
+        colored = (newly if colored is None
+                   else colored.union(newly)).localCheckpoint()
+        u = u.join(win, "node", "left_anti").localCheckpoint()
+    nodes = both.select(F.col(SRC).alias("node")).distinct()
+    return (nodes.join(colored, "node", "left")
+            .select("node", F.coalesce("color", F.lit(-1)).alias("color")))
+
+
+def coloring_oracle_sql(edges_sql: str, rounds: int = 3,
+                        prefix: str = "col#") -> str:
+    """DuckDB oracle for greedy_coloring: identical priorities, rounds
+    unrolled; the used-color bitmask via bit_or(1 << color) (bit_or,
+    not sum — duplicate neighbour colors must not carry) and the mex
+    via the same bounded CASE."""
+    h = (f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+         f"list_transform(string_split(substr(md5('{prefix}' || "
+         f"CAST(node AS VARCHAR)), 1, 15), ''), "
+         f"c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))), "
+         f"(a, b) -> a * 16 + b)")
+    parts = [
+        f"raw AS MATERIALIZED ({edges_sql})",
+        "e0 AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a, "
+        "greatest(src, dst) AS b FROM raw WHERE src <> dst)",
+        "e AS MATERIALIZED (SELECT a AS src, b AS dst FROM e0 "
+        "UNION ALL SELECT b, a FROM e0)",
+        f"u0 AS MATERIALIZED (SELECT node, {h} AS h FROM "
+        f"(SELECT DISTINCT src AS node FROM e))",
+    ]
+    col_all = []
+    for t in range(rounds):
+        parts.append(
+            f"beat{t} AS MATERIALIZED (SELECT DISTINCT e.src AS node FROM e "
+            f"JOIN u{t} x ON x.node = e.src JOIN u{t} y ON y.node = e.dst "
+            f"WHERE (y.h, y.node) < (x.h, x.node))")
+        parts.append(
+            f"win{t} AS MATERIALIZED (SELECT node FROM u{t} EXCEPT "
+            f"SELECT node FROM beat{t})")
+        if t == 0:
+            parts.append("c0 AS MATERIALIZED (SELECT node, 0 AS color "
+                         "FROM win0)")
+        else:
+            prev = " UNION ALL ".join(f"SELECT * FROM c{i}"
+                                      for i in range(t))
+            mex = "CASE " + " ".join(
+                f"WHEN (used >> {c}) % 2 = 0 THEN {c}"
+                for c in range(t + 1)) + f" ELSE {t} END"
+            parts.append(
+                f"used{t} AS MATERIALIZED (SELECT e.src AS node, "
+                f"bit_or(CAST(1 AS BIGINT) << p.color) AS used "
+                f"FROM e JOIN win{t} w ON w.node = e.src "
+                f"JOIN ({prev}) p ON p.node = e.dst GROUP BY e.src)",
+            )
+            parts.append(
+                f"c{t} AS MATERIALIZED (SELECT w.node, "
+                f"CASE WHEN u.used IS NULL THEN 0 ELSE {mex} END AS color "
+                f"FROM win{t} w LEFT JOIN used{t} u ON u.node = w.node)")
+        parts.append(
+            f"u{t+1} AS MATERIALIZED (SELECT node, h FROM u{t} "
+            f"WHERE node NOT IN (SELECT node FROM win{t}))")
+        col_all.append(f"SELECT * FROM c{t}")
+    parts.append("cols AS (" + " UNION ALL ".join(col_all) + ")")
+    return ("WITH " + ",\n".join(parts)
+            + "\nSELECT n.node, coalesce(c.color, -1) AS color "
+            "FROM (SELECT DISTINCT src AS node FROM e) n "
+            "LEFT JOIN cols c ON c.node = n.node")

@@ -3535,7 +3535,7 @@ _ADDED_R03 = frozenset({
     # session-3 additions (workload_ext4.py)
     "closeness_centrality", "modularity_brands", "bigram_lm_rarity",
     "basket_affinity", "source_tv_distance", "skyline_parts",
-    "events_mad_outliers", "node2vec_walks",
+    "events_mad_outliers", "node2vec_walks", "greedy_coloring",
 })
 
 

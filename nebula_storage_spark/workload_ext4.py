@@ -397,8 +397,28 @@ def _oracle_node2vec() -> str:
         "SELECT range AS node FROM range(0, 100)", steps=3)
 
 
+# ---------------------------------------------------------------------------
+# parallel greedy coloring (Jones-Plassmann)
+# ---------------------------------------------------------------------------
+
+def q_greedy_coloring(spark, sf_dir):
+    """Jones-Plassmann coloring (3 rounds) of the co-order part
+    projection — the conflict-free scheduling primitive (adjacent parts
+    never share a color; -1 marks nodes the round budget left
+    undecided). Deterministic md5 priorities, so reproducible on any
+    engine and partitioning."""
+    from .operators.analytics import greedy_coloring
+    return greedy_coloring(_co_order_pairs(spark, sf_dir), rounds=3)
+
+
+def _oracle_coloring() -> str:
+    from .operators.analytics import coloring_oracle_sql
+    return coloring_oracle_sql(_ORACLE_CO_PAIRS, rounds=3)
+
+
 EXT4_QUERIES = {
     "node2vec_walks": q_node2vec_walks,
+    "greedy_coloring": q_greedy_coloring,
     "closeness_centrality": q_closeness_centrality,
     "modularity_brands": q_modularity_brands,
     "bigram_lm_rarity": q_bigram_lm_rarity,
@@ -412,6 +432,7 @@ EXT4_QUERIES = {
 def build_ext4_oracles() -> dict[str, str]:
     return {
         "node2vec_walks": _oracle_node2vec(),
+        "greedy_coloring": _oracle_coloring(),
         "closeness_centrality": _oracle_closeness(),
         "modularity_brands": ORACLE_MODULARITY,
         "bigram_lm_rarity": ORACLE_BIGRAM_LM,

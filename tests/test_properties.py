@@ -444,3 +444,24 @@ def test_skyline_two_pass_matches_naive_dominance(spark, pts):
                    & (F.col("size") == F.col("eq_max"))))
     got = {(r.id, r.price, r.size) for r in out.collect()}
     assert got == naive
+
+
+@given(st.lists(st.tuples(st.integers(0, 10), st.integers(0, 10)),
+                min_size=1, max_size=25))
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_greedy_coloring_is_proper_and_deterministic(spark, edges):
+    """No edge joins two nodes of the same non-negative color, colors
+    stay below the round budget, and the assignment is identical under
+    repartition."""
+    from nebula_storage_spark.operators.analytics import greedy_coloring
+    es = [(a, b) for a, b in edges if a != b] or [(0, 1)]
+    df = spark.createDataFrame(es, "_src bigint, _dst bigint")
+    c1 = {r.node: r.color for r in greedy_coloring(df, rounds=3).collect()}
+    c2 = {r.node: r.color
+          for r in greedy_coloring(df.repartition(5), rounds=3).collect()}
+    assert c1 == c2
+    assert all(c < 3 for c in c1.values())
+    for a, b in es:
+        if c1[a] >= 0 and c1[b] >= 0:
+            assert c1[a] != c1[b]
