@@ -416,9 +416,133 @@ def _oracle_coloring() -> str:
     return coloring_oracle_sql(_ORACLE_CO_PAIRS, rounds=3)
 
 
+# ---------------------------------------------------------------------------
+# exact betweenness over the 2-layer traversal graph
+# ---------------------------------------------------------------------------
+
+def q_betweenness_2hop(spark, sf_dir):
+    """Exact betweenness centrality of the intermediate layer in the
+    customer->order->part traversal graph: every customer-part geodesic
+    has length exactly 2, so Brandes' dependency accumulation reduces
+    to one sigma-fraction join — bc(o) = sum over (c,p) pairs of
+    paths-through-o DIV total 2-paths, integer x1000 per pair. Two
+    hash joins + two aggregates; the sigma join shuffles on the (c,p)
+    pair key, never materializing per-source DAGs."""
+    g = tpch_graph(spark, sf_dir)
+    placed = g.edges["placed"].select(F.col(SRC).alias("c"),
+                                      F.col(DST).alias("o"))
+    contains = g.edges["contains"].select(F.col(SRC).alias("o"),
+                                          F.col(DST).alias("p")).distinct()
+    paths = placed.join(contains, "o")
+    sigma = paths.groupBy("c", "p").agg(F.count(F.lit(1)).alias("sig"))
+    return (paths.join(sigma, ["c", "p"])
+            .groupBy(F.col("o").alias("order_vid"))
+            .agg(F.count(F.lit(1)).alias("n_paths"),
+                 F.sum(F.expr("1000 DIV sig")).alias("bc_x1000")))
+
+
+ORACLE_BETWEENNESS = (
+    "WITH placed AS (SELECT o_custkey AS c, o_orderkey AS o FROM orders), "
+    "cont AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p "
+    "FROM lineitem), "
+    "paths AS (SELECT placed.c, placed.o, cont.p "
+    "FROM placed JOIN cont USING (o)), "
+    "sigma AS (SELECT c, p, count(*) AS sig FROM paths GROUP BY c, p) "
+    "SELECT o AS order_vid, count(*) AS n_paths, "
+    "sum(1000 // sig) AS bc_x1000 "
+    "FROM paths JOIN sigma USING (c, p) GROUP BY o")
+
+
+# ---------------------------------------------------------------------------
+# winsorized event statistics (exact order-statistic clamping)
+# ---------------------------------------------------------------------------
+
+def q_events_winsorize(spark, sf_dir):
+    """Winsorized per-type mean: values clamped at the exact p5/p95
+    order statistics (rank max(5n DIV 100, 1) / max(95n DIV 100, 1) in
+    (cents, event_id) order — rank-based, so integer-exact, where
+    interpolating percentiles would split half-boundaries differently
+    per engine). The robust-mean counterpart of events_mad_outliers;
+    windows partition by event_type, mean is truncating cent DIV."""
+    ev = (load_events(spark, sf_dir)
+          .select("event_id", "event_type", F.expr(_EV_CENTS).alias("cents")))
+    wt = W.partitionBy("event_type")
+    r = (ev.withColumn("rn", F.row_number().over(
+             wt.orderBy("cents", "event_id")))
+         .withColumn("n", F.count(F.lit(1)).over(wt)))
+    lo = (r.filter(F.expr("rn = greatest((5 * n) DIV 100, 1)"))
+          .select("event_type", F.col("cents").alias("lo_cents")))
+    hi = (r.filter(F.expr("rn = greatest((95 * n) DIV 100, 1)"))
+          .select("event_type", F.col("cents").alias("hi_cents")))
+    return (ev.join(F.broadcast(lo), "event_type")
+            .join(F.broadcast(hi), "event_type")
+            .withColumn("w", F.expr(
+                "least(greatest(cents, lo_cents), hi_cents)"))
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.first("lo_cents").alias("lo_cents"),
+                 F.first("hi_cents").alias("hi_cents"),
+                 F.expr("sum(w) DIV count(*)").alias("wmean_cents")))
+
+
+ORACLE_WINSORIZE = (
+    "WITH e AS (SELECT event_id, event_type, "
+    f"{_EV_CENTS} AS cents FROM events), "
+    "r AS (SELECT *, row_number() OVER (PARTITION BY event_type "
+    "ORDER BY cents, event_id) AS rn, "
+    "count(*) OVER (PARTITION BY event_type) AS n FROM e), "
+    "lo AS (SELECT event_type, cents AS lo_cents FROM r "
+    "WHERE rn = greatest((5 * n) // 100, 1)), "
+    "hi AS (SELECT event_type, cents AS hi_cents FROM r "
+    "WHERE rn = greatest((95 * n) // 100, 1)) "
+    "SELECT event_type, count(*) AS n, "
+    "first(lo_cents) AS lo_cents, first(hi_cents) AS hi_cents, "
+    "sum(least(greatest(cents, lo_cents), hi_cents)) // count(*) "
+    "AS wmean_cents "
+    "FROM e JOIN lo USING (event_type) JOIN hi USING (event_type) "
+    "GROUP BY event_type")
+
+
+# ---------------------------------------------------------------------------
+# walk-visit centrality (composes the deterministic walk corpus)
+# ---------------------------------------------------------------------------
+
+def q_walk_visit_counts(spark, sf_dir):
+    """Random-walk visit centrality: node visit counts over the
+    deterministic 6-step walk corpus (random_walks) — the sampled
+    stationary-distribution estimate that walk-based embedding and
+    PPR-approximation pipelines consume. One explode of the path
+    column + one hash aggregate on top of the walk corpus."""
+    from .operators.walk import random_walks
+    g = tpch_graph(spark, sf_dir)
+    placed = g.edges["placed"].select(SRC, DST)
+    fwd = placed.select(F.col(SRC).alias(SRC),
+                        (F.col(DST) + 10_000_000).alias(DST))
+    und = fwd.union(fwd.select(F.col(DST).alias(SRC),
+                               F.col(SRC).alias(DST)))
+    seeds = spark.range(0, 200).select(F.col("id").alias("node"))
+    walks = random_walks(und, seeds, steps=6)
+    return (walks
+            .select(F.explode(F.split("path", "->")).alias("node_s"))
+            .select(F.col("node_s").cast("bigint").alias("node"))
+            .groupBy("node").agg(F.count(F.lit(1)).alias("visits")))
+
+
+def _oracle_walk_visits() -> str:
+    from .workload import ORACLE_EXT
+    return (f"WITH w AS ({ORACLE_EXT['random_walks']}) "
+            "SELECT CAST(u.node_s AS BIGINT) AS node, "
+            "count(*) AS visits FROM w, "
+            "unnest(string_split(w.path, '->')) AS u(node_s) "
+            "GROUP BY CAST(u.node_s AS BIGINT)")
+
+
 EXT4_QUERIES = {
     "node2vec_walks": q_node2vec_walks,
     "greedy_coloring": q_greedy_coloring,
+    "betweenness_2hop": q_betweenness_2hop,
+    "events_winsorize": q_events_winsorize,
+    "walk_visit_counts": q_walk_visit_counts,
     "closeness_centrality": q_closeness_centrality,
     "modularity_brands": q_modularity_brands,
     "bigram_lm_rarity": q_bigram_lm_rarity,
@@ -433,6 +557,9 @@ def build_ext4_oracles() -> dict[str, str]:
     return {
         "node2vec_walks": _oracle_node2vec(),
         "greedy_coloring": _oracle_coloring(),
+        "betweenness_2hop": ORACLE_BETWEENNESS,
+        "events_winsorize": ORACLE_WINSORIZE,
+        "walk_visit_counts": _oracle_walk_visits(),
         "closeness_centrality": _oracle_closeness(),
         "modularity_brands": ORACLE_MODULARITY,
         "bigram_lm_rarity": ORACLE_BIGRAM_LM,
