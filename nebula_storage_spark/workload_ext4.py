@@ -537,7 +537,46 @@ def _oracle_walk_visits() -> str:
             "GROUP BY CAST(u.node_s AS BIGINT)")
 
 
+# ---------------------------------------------------------------------------
+# deterministic training shuffle + token-balanced sharding
+# ---------------------------------------------------------------------------
+
+def q_training_shards(spark, sf_dir):
+    """Pretraining shard assignment: docs are shuffled into a
+    deterministic md5 order (the engine-portable permutation used by
+    go_sample/stratified_sample) and packed greedily into shards of
+    ~5000 tokens — shard_id = running-token-offset DIV budget, so shard
+    sizes are balanced to one doc's tolerance and the whole layout is
+    reproducible. The running offset is the two-pass distributed prefix
+    sum (operators/prefix.py), so no single-partition WindowExec at any
+    corpus size."""
+    from .operators.prefix import global_running_sum
+    docs = (_docs(spark, sf_dir)
+            .select("doc_id",
+                    F.md5(F.concat(F.lit("shard#"),
+                                   F.col("doc_id").cast("string")))
+                    .alias("k"),
+                    F.size(F.split("text", " ")).alias("n_tokens")))
+    return (global_running_sum(docs, ["k"], "n_tokens", "end_off")
+            .select("doc_id", "k",
+                    F.col("n_tokens").cast("long").alias("n_tokens"),
+                    F.expr("(end_off - n_tokens) DIV 5000")
+                    .alias("shard_id")))
+
+
+ORACLE_SHARDS = (
+    "WITH d AS (SELECT doc_id, "
+    "md5('shard#' || CAST(doc_id AS VARCHAR)) AS k, "
+    "len(string_split(text, ' ')) AS n_tokens FROM documents), "
+    "r AS (SELECT doc_id, k, n_tokens, "
+    "sum(n_tokens) OVER (ORDER BY k "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS end_off FROM d) "
+    "SELECT doc_id, k, n_tokens, "
+    "(end_off - n_tokens) // 5000 AS shard_id FROM r")
+
+
 EXT4_QUERIES = {
+    "training_shards": q_training_shards,
     "node2vec_walks": q_node2vec_walks,
     "greedy_coloring": q_greedy_coloring,
     "betweenness_2hop": q_betweenness_2hop,
@@ -560,6 +599,7 @@ def build_ext4_oracles() -> dict[str, str]:
         "betweenness_2hop": ORACLE_BETWEENNESS,
         "events_winsorize": ORACLE_WINSORIZE,
         "walk_visit_counts": _oracle_walk_visits(),
+        "training_shards": ORACLE_SHARDS,
         "closeness_centrality": _oracle_closeness(),
         "modularity_brands": ORACLE_MODULARITY,
         "bigram_lm_rarity": ORACLE_BIGRAM_LM,
