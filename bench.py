@@ -59,6 +59,10 @@ HEADLINERS = [
     "edge_triangle_support",  # per-edge triangle counts (k-truss step)
     "bm25_topk",          # integer BM25 ranking (TakeOrdered top-k)
     "harmonic_centrality",  # BFS-ball centrality (frontier expansion)
+    "node2vec_walks",     # second-order biased walks (interval draw)
+    "greedy_coloring",    # Jones-Plassmann rounds (MIS-style joins)
+    "basket_affinity",    # market-basket lift (HOF pairs + TakeOrdered)
+    "betweenness_2hop",   # sigma-fraction betweenness (pair-key shuffle)
 ]
 
 

@@ -1113,14 +1113,22 @@ def greedy_coloring(edges: DataFrame, rounds: int = 3,
            f"CAST(node AS STRING))), 1, 15), 16, 10) AS BIGINT)")
     u = (both.select(F.col(SRC).alias("node")).distinct()
          .withColumn("h", F.expr(pri)).localCheckpoint())
+    nodes = u.select("node")  # full node set, off the checkpointed frame
+    # `act` holds only edges whose BOTH endpoints are still uncolored,
+    # with each endpoint's md5 priority attached ONCE up front — rounds
+    # then decide winners from act alone (a filter + distinct, no
+    # re-join of the priority table), and act shrinks geometrically
+    # with the frontier. The full `both` is kept (persisted) solely for
+    # the used-color lookup against already-colored neighbours.
+    ha = f"CAST(conv(substring(md5(concat('{prefix}', " \
+         f"CAST({SRC} AS STRING))), 1, 15), 16, 10) AS BIGINT)"
+    hb = f"CAST(conv(substring(md5(concat('{prefix}', " \
+         f"CAST({DST} AS STRING))), 1, 15), 16, 10) AS BIGINT)"
+    act = (both.withColumn("ha", F.expr(ha)).withColumn("hb", F.expr(hb))
+           .localCheckpoint())
     colored = None  # (node, color)
     for t in range(rounds):
-        eu = (both
-              .join(u.select(F.col("node").alias(SRC),
-                             F.col("h").alias("ha")), SRC)
-              .join(u.select(F.col("node").alias(DST),
-                             F.col("h").alias("hb")), DST))
-        beaten = (eu.filter(
+        beaten = (act.filter(
             (F.col("hb") < F.col("ha"))
             | ((F.col("hb") == F.col("ha")) & (F.col(DST) < F.col(SRC))))
             .select(F.col(SRC).alias("node")).distinct())
@@ -1140,10 +1148,16 @@ def greedy_coloring(edges: DataFrame, rounds: int = 3,
                      .select("node", F.expr(
                          f"CASE WHEN used IS NULL THEN 0 "
                          f"ELSE {mex} END").alias("color")))
-        colored = (newly if colored is None
-                   else colored.union(newly)).localCheckpoint()
-        u = u.join(win, "node", "left_anti").localCheckpoint()
-    nodes = both.select(F.col(SRC).alias("node")).distinct()
+        # `colored` stays lazy: each leg derives from checkpointed
+        # act/u frames, so the union lineage is K legs of depth 1 —
+        # re-evaluated at most once per later round's used-color join.
+        colored = newly if colored is None else colored.union(newly)
+        if t + 1 < rounds:
+            u = u.join(win, "node", "left_anti").localCheckpoint()
+            act = (act.join(u.select(F.col("node").alias(SRC)), SRC,
+                            "left_semi")
+                   .join(u.select(F.col("node").alias(DST)), DST,
+                         "left_semi").localCheckpoint())
     return (nodes.join(colored, "node", "left")
             .select("node", F.coalesce("color", F.lit(-1)).alias("color")))
 

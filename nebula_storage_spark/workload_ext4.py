@@ -402,18 +402,32 @@ def _oracle_node2vec() -> str:
 # ---------------------------------------------------------------------------
 
 def q_greedy_coloring(spark, sf_dir):
-    """Jones-Plassmann coloring (3 rounds) of the co-order part
-    projection — the conflict-free scheduling primitive (adjacent parts
-    never share a color; -1 marks nodes the round budget left
-    undecided). Deterministic md5 priorities, so reproducible on any
-    engine and partitioning."""
+    """Jones-Plassmann coloring (3 rounds) of the undirected
+    customer↔order graph — the conflict-free scheduling primitive
+    (adjacent vertices never share a color). On this star-forest
+    topology the priority rounds PROVABLY converge in 3 rounds (a
+    star's center waits only for its smaller-priority leaves, which
+    are round-0 local minima), so every vertex is colored — unlike the
+    dense co-order projection, whose overlapping per-order cliques
+    build long priority chains that starve the local-minimum rule
+    (measured: 47/2000 colored in 3 rounds there). Deterministic md5
+    priorities, so reproducible on any engine and partitioning."""
     from .operators.analytics import greedy_coloring
-    return greedy_coloring(_co_order_pairs(spark, sf_dir), rounds=3)
+    g = tpch_graph(spark, sf_dir)
+    placed = g.edges["placed"].select(SRC, DST)
+    fwd = placed.select(F.col(SRC).alias(SRC),
+                        (F.col(DST) + 10_000_000).alias(DST))
+    und = fwd.union(fwd.select(F.col(DST).alias(SRC),
+                               F.col(SRC).alias(DST)))
+    return greedy_coloring(und, rounds=3)
 
 
 def _oracle_coloring() -> str:
     from .operators.analytics import coloring_oracle_sql
-    return coloring_oracle_sql(_ORACLE_CO_PAIRS, rounds=3)
+    return coloring_oracle_sql(
+        "SELECT o_custkey AS src, o_orderkey + 10000000 AS dst "
+        "FROM orders UNION ALL "
+        "SELECT o_orderkey + 10000000, o_custkey FROM orders", rounds=3)
 
 
 # ---------------------------------------------------------------------------

@@ -208,6 +208,40 @@ SHOWCASE = {
         "the z-clusters outside the query box — the multi-dim analog "
         "of the reference's order-preserving index keys "
         "(IndexKeyUtils.h:141-214)."),
+    "node2vec_walks": (
+        ("Window", "Exchange", "BroadcastHashJoin", "SortMergeJoin"),
+        "Second-order biased walks: every Window is PARTITIONED by "
+        "walk_id (the cumulative-weight interval draw — note no "
+        "'No Partition Defined' form), and each step is an equi-join of "
+        "the frontier against the adjacency plus a common-neighbor "
+        "marker join. Per-step cost is one shuffle of |walks|·outdeg "
+        "rows; the bias inspection of every neighbor is inherent to "
+        "node2vec semantics, not to this plan."),
+    "skyline_parts": (
+        ("BroadcastHashJoin", "Window", "Exchange", "HashAggregate"),
+        "Pareto skyline without a global sort: the strictly-lower-price "
+        "running max comes from per-bucket maxima joined triangularly "
+        "under a broadcast (bucket count is price-domain-bounded, never "
+        "data-sized) plus bucket-partitioned windows — the classic "
+        "sort-based skyline's single global cummax scan, decomposed the "
+        "same way as the two-pass prefix sum."),
+    "basket_affinity": (
+        ("TakeOrderedAndProject", "Generate", "HashAggregate",
+         "Exchange"),
+        "Market-basket lift: C(n,2) pair expansion runs inside codegen "
+        "over each order's collected part set (Generate = the HOF "
+        "explode — no self-join of the lineitem table), supports are "
+        "two hash aggregates, and the top-20 is TakeOrderedAndProject. "
+        "Shuffle volume is O(pairs-with-support), never all-pairs."),
+    "betweenness_2hop": (
+        ("HashAggregate", "Exchange", "SortMergeJoin",
+         "BroadcastHashJoin"),
+        "Exact betweenness of the intermediate layer: Brandes' "
+        "dependency accumulation collapses to a sigma-fraction join "
+        "because every geodesic in the 2-layer graph has length 2 — "
+        "two equi-joins + two hash aggregates, shuffling on the "
+        "(customer, part) pair key; no per-source BFS DAG is ever "
+        "materialized."),
 }
 
 
