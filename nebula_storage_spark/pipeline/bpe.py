@@ -1,0 +1,101 @@
+"""Byte-pair-encoding merge training — the tokenizer-training step of
+an LLM data pipeline (extends bpe_pair_counts, which only counts one
+round's pairs, into the actual iterative trainer).
+
+The classic BPE trainer is sequential (merge table grows one rule per
+step), but each step is pure data-parallel aggregation: count adjacent
+symbol pairs over the (unique-word, count) vocabulary, take the global
+argmax, rewrite every word. This module runs K unrolled steps as K
+(aggregate -> 1-row TakeOrdered -> broadcast rewrite) stages.
+
+Cross-engine determinism trick: a word's working segmentation is the
+string `[c][h][a][r]` (every symbol bracket-wrapped), so applying a
+merge IS `replace(w, '[l][r]', '[lr]')` — SQL replace() scans left to
+right without overlap in both Spark and DuckDB, which is exactly the
+classic BPE merge-application rule, and the brackets make a false
+mid-symbol match impossible. Argmax ties break on (lhs, rhs) symbol
+order, so the merge table is bit-reproducible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+_SPLIT_TOKS = r"split(substring(w, 2, length(w) - 2), '\\]\\[')"
+
+
+def bpe_train_merges(docs: DataFrame, rounds: int = 3,
+                     text_col: str = "text") -> DataFrame:
+    """Learn the first `rounds` BPE merges over the corpus vocabulary.
+
+    Returns (merge_idx, lhs, rhs, freq): the merge table in training
+    order with each rule's pair frequency at selection time.
+
+    Scale: the vocabulary frame (unique alphabetic tokens + counts) is
+    corpus-sublinear; per round one hash aggregate over its adjacent
+    pairs, a 1-row TakeOrderedAndProject for the argmax, and a
+    broadcast rewrite — the corpus itself is touched once, at
+    vocabulary extraction.
+    """
+    words = (docs.select(F.explode(F.split(text_col, " ")).alias("t"))
+             .filter(F.col("t").rlike("^[a-z]+$"))
+             .groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+             .select(F.expr("regexp_replace(t, '(.)', '[$1]')").alias("w"),
+                     "c"))
+    cur = words.localCheckpoint()
+    merges = []
+    for r in range(rounds):
+        pairs = (cur.select(F.expr(_SPLIT_TOKS).alias("tk"), "c")
+                 .filter(F.size("tk") >= 2)
+                 .select(F.explode(F.expr(
+                     "transform(sequence(2, size(tk)), i -> "
+                     "struct(element_at(tk, i - 1) AS l, "
+                     "element_at(tk, i) AS r))")).alias("p"), "c")
+                 .groupBy(F.col("p.l").alias("lhs"),
+                          F.col("p.r").alias("rhs"))
+                 .agg(F.sum("c").alias("freq")))
+        best = (pairs.orderBy(F.desc("freq"), "lhs", "rhs").limit(1)
+                .withColumn("merge_idx", F.lit(r)).localCheckpoint())
+        merges.append(best)
+        cur = (cur.crossJoin(F.broadcast(
+                   best.select(F.col("lhs").alias("_l"),
+                               F.col("rhs").alias("_r"))))
+               .select(F.expr(
+                   "replace(w, concat('[', _l, '][', _r, ']'), "
+                   "concat('[', _l, _r, ']'))").alias("w"), "c"))
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.union(m)
+    return out.select("merge_idx", "lhs", "rhs", "freq")
+
+
+def bpe_train_oracle_sql(docs_sql: str, rounds: int = 3) -> str:
+    """DuckDB oracle: identical vocabulary, pair counts, argmax rule and
+    bracket-replace rewrite, unrolled per merge round."""
+    parts = [
+        "voc AS MATERIALIZED (SELECT t, count(*) AS c FROM "
+        f"(SELECT unnest(string_split(text, ' ')) AS t FROM ({docs_sql})) "
+        "WHERE regexp_full_match(t, '[a-z]+') GROUP BY t)",
+        r"w0 AS MATERIALIZED (SELECT regexp_replace(t, '(.)', '[\1]', 'g') "
+        "AS w, c FROM voc)",
+    ]
+    for r in range(rounds):
+        parts.append(
+            f"tk{r} AS (SELECT string_split(substr(w, 2, len(w) - 2), "
+            f"'][') AS tk, c FROM w{r})")
+        parts.append(
+            f"p{r} AS (SELECT u.p.l AS lhs, u.p.r AS rhs, sum(c) AS freq "
+            f"FROM (SELECT unnest(list_transform(range(2, len(tk) + 1), "
+            f"i -> struct_pack(l := tk[i-1], r := tk[i]))) AS p, c "
+            f"FROM tk{r} WHERE len(tk) >= 2) u GROUP BY u.p.l, u.p.r)")
+        parts.append(
+            f"b{r} AS MATERIALIZED (SELECT lhs, rhs, freq, {r} AS merge_idx "
+            f"FROM p{r} ORDER BY freq DESC, lhs, rhs LIMIT 1)")
+        parts.append(
+            f"w{r+1} AS MATERIALIZED (SELECT replace(w.w, "
+            f"'[' || b.lhs || '][' || b.rhs || ']', "
+            f"'[' || b.lhs || b.rhs || ']') AS w, w.c "
+            f"FROM w{r} w CROSS JOIN b{r} b)")
+    sel = " UNION ALL ".join(
+        f"SELECT merge_idx, lhs, rhs, freq FROM b{r}" for r in range(rounds))
+    return "WITH " + ",\n".join(parts) + "\n" + sel

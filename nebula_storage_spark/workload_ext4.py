@@ -589,8 +589,27 @@ ORACLE_SHARDS = (
     "(end_off - n_tokens) // 5000 AS shard_id FROM r")
 
 
+# ---------------------------------------------------------------------------
+# BPE tokenizer training (iterative merge learning)
+# ---------------------------------------------------------------------------
+
+def q_bpe_train_merges(spark, sf_dir):
+    """First 4 BPE merges learned over the document vocabulary — the
+    actual tokenizer-training loop (bpe_pair_counts is its single-round
+    counting step). Bracket-string rewrite keeps merge application
+    bit-identical cross-engine; see pipeline/bpe.py."""
+    from .pipeline.bpe import bpe_train_merges
+    return bpe_train_merges(_docs(spark, sf_dir), rounds=4)
+
+
+def _oracle_bpe_train() -> str:
+    from .pipeline.bpe import bpe_train_oracle_sql
+    return bpe_train_oracle_sql("SELECT text FROM documents", rounds=4)
+
+
 EXT4_QUERIES = {
     "training_shards": q_training_shards,
+    "bpe_train_merges": q_bpe_train_merges,
     "node2vec_walks": q_node2vec_walks,
     "greedy_coloring": q_greedy_coloring,
     "betweenness_2hop": q_betweenness_2hop,
@@ -614,6 +633,7 @@ def build_ext4_oracles() -> dict[str, str]:
         "events_winsorize": ORACLE_WINSORIZE,
         "walk_visit_counts": _oracle_walk_visits(),
         "training_shards": ORACLE_SHARDS,
+        "bpe_train_merges": _oracle_bpe_train(),
         "closeness_centrality": _oracle_closeness(),
         "modularity_brands": ORACLE_MODULARITY,
         "bigram_lm_rarity": ORACLE_BIGRAM_LM,

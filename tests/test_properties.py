@@ -465,3 +465,20 @@ def test_greedy_coloring_is_proper_and_deterministic(spark, edges):
     for a, b in es:
         if c1[a] >= 0 and c1[b] >= 0:
             assert c1[a] != c1[b]
+
+
+@given(st.lists(st.text(alphabet="abc", min_size=1, max_size=6),
+                min_size=1, max_size=25))
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_bpe_merge_freqs_are_non_increasing(spark, words):
+    """Classic BPE invariant: the selected pair frequency never rises
+    across merge rounds (a later pair either existed earlier with freq
+    <= the then-best, or contains the new symbol, bounded by its merge
+    count)."""
+    from nebula_storage_spark.pipeline.bpe import bpe_train_merges
+    docs = spark.createDataFrame([(" ".join(words),)], "text string")
+    rows = bpe_train_merges(docs, rounds=3).collect()
+    freqs = [r.freq for r in sorted(rows, key=lambda r: r.merge_idx)]
+    assert freqs == sorted(freqs, reverse=True)
+    assert len({(r.lhs, r.rhs) for r in rows}) == len(rows)
