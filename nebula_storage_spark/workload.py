@@ -3537,7 +3537,8 @@ _ADDED_R03 = frozenset({
     "basket_affinity", "source_tv_distance", "skyline_parts",
     "events_mad_outliers", "node2vec_walks", "greedy_coloring",
     "betweenness_2hop", "events_winsorize", "walk_visit_counts",
-    "training_shards", "bpe_train_merges",
+    "training_shards", "bpe_train_merges", "louvain_one_sweep",
+    "conductance_brands",
 })
 
 

@@ -607,9 +607,108 @@ def _oracle_bpe_train() -> str:
     return bpe_train_oracle_sql("SELECT text FROM documents", rounds=4)
 
 
+# ---------------------------------------------------------------------------
+# one-sweep Louvain community move + conductance of a partition
+# ---------------------------------------------------------------------------
+
+def q_louvain_one_sweep(spark, sf_dir):
+    """First synchronous Louvain sweep over the co-order projection
+    from singleton communities: each node joins the neighbor community
+    with the best integer modularity gain 2m - deg(i)*deg(c) (positive
+    gain required, ties to the smallest community id) — the
+    community-detection refinement step beyond label_propagation's
+    majority rule. One degree aggregate, one scored edge join, one
+    per-node argmax window (partitioned by node, never global)."""
+    pairs = _co_order_pairs(spark, sf_dir).distinct()
+    both = pairs.union(pairs.select(F.col(DST).alias(SRC),
+                                    F.col(SRC).alias(DST))).persist()
+    deg = both.groupBy(SRC).agg(F.count(F.lit(1)).alias("deg"))
+    m2 = both.agg(F.count(F.lit(1)).alias("m2"))  # 2m directed rows
+    scored = (both
+              .join(deg.withColumnRenamed("deg", "deg_i"), SRC)
+              .join(deg.withColumnsRenamed({SRC: DST, "deg": "deg_c"}), DST)
+              .crossJoin(F.broadcast(m2))
+              .select(F.col(SRC).alias("node"), F.col(DST).alias("cand"),
+                      F.expr("m2 - deg_i * deg_c").alias("gain")))
+    w = W.partitionBy("node").orderBy(F.desc("gain"), "cand")
+    best = (scored.withColumn("rn", F.row_number().over(w))
+            .filter("rn = 1"))
+    return best.select(
+        "node",
+        F.expr("CASE WHEN gain > 0 THEN cand ELSE node END")
+        .alias("community"), "gain")
+
+
+ORACLE_LOUVAIN = (
+    f"WITH p0 AS ({_ORACLE_CO_PAIRS}), "
+    "p AS (SELECT DISTINCT src, dst FROM p0), "
+    "b AS (SELECT src, dst FROM p UNION ALL SELECT dst, src FROM p), "
+    "deg AS (SELECT src, count(*) AS deg FROM b GROUP BY src), "
+    "m AS (SELECT count(*) AS m2 FROM b), "
+    "scored AS (SELECT b.src AS node, b.dst AS cand, "
+    "m.m2 - di.deg * dc.deg AS gain FROM b "
+    "JOIN deg di ON di.src = b.src JOIN deg dc ON dc.src = b.dst "
+    "CROSS JOIN m), "
+    "r AS (SELECT *, row_number() OVER (PARTITION BY node "
+    "ORDER BY gain DESC, cand) AS rn FROM scored) "
+    "SELECT node, CASE WHEN gain > 0 THEN cand ELSE node END AS community, "
+    "gain FROM r WHERE rn = 1")
+
+
+def q_conductance_brands(spark, sf_dir):
+    """Conductance of the brand partition over the co-order projection:
+    phi(c) = cut(c) / min(vol(c), 2m - vol(c)), integer x1e6 with cut
+    and volume exact — the partition-quality metric dual to
+    modularity_brands (low phi = well-separated community). Two
+    broadcast joins of the brand dim + two hash aggregates."""
+    g = tpch_graph(spark, sf_dir)
+    brand = g.vertices["part"].select(F.col(VID).alias("pk"),
+                                      F.col("p_brand").alias("community"))
+    pairs = _co_order_pairs(spark, sf_dir)
+    lab = (pairs
+           .join(F.broadcast(brand.withColumnsRenamed(
+               {"pk": SRC, "community": "c1"})), SRC)
+           .join(F.broadcast(brand.withColumnsRenamed(
+               {"pk": DST, "community": "c2"})), DST))
+    m2 = lab.agg((2 * F.count(F.lit(1))).alias("m2"))
+    cut = (lab.filter("c1 != c2")
+           .select(F.explode(F.array("c1", "c2")).alias("community"))
+           .groupBy("community").agg(F.count(F.lit(1)).alias("cut")))
+    vol = (lab.select(F.col("c1").alias("community"))
+           .unionAll(lab.select(F.col("c2").alias("community")))
+           .groupBy("community").agg(F.count(F.lit(1)).alias("vol")))
+    return (vol.join(cut, "community", "left")
+            .select("community", F.coalesce("cut", F.lit(0)).alias("cut"),
+                    "vol")
+            .crossJoin(F.broadcast(m2))
+            .select("community", "cut", "vol",
+                    F.expr("(1000000 * cut) DIV least(vol, m2 - vol)")
+                    .alias("phi_x1e6")))
+
+
+ORACLE_CONDUCTANCE = (
+    f"WITH pairs AS ({_ORACLE_CO_PAIRS}), "
+    "lab AS (SELECT b1.p_brand AS c1, b2.p_brand AS c2 FROM pairs "
+    "JOIN part b1 ON b1.p_partkey = pairs.src "
+    "JOIN part b2 ON b2.p_partkey = pairs.dst), "
+    "m AS (SELECT 2 * count(*) AS m2 FROM lab), "
+    "cut AS (SELECT community, count(*) AS cut FROM "
+    "(SELECT c1 AS community FROM lab WHERE c1 <> c2 "
+    "UNION ALL SELECT c2 FROM lab WHERE c1 <> c2) GROUP BY community), "
+    "vol AS (SELECT community, count(*) AS vol FROM "
+    "(SELECT c1 AS community FROM lab UNION ALL SELECT c2 FROM lab) "
+    "GROUP BY community) "
+    "SELECT v.community, coalesce(cut.cut, 0) AS cut, v.vol, "
+    "(1000000 * coalesce(cut.cut, 0)) // least(v.vol, m.m2 - v.vol) "
+    "AS phi_x1e6 "
+    "FROM vol v LEFT JOIN cut ON cut.community = v.community CROSS JOIN m")
+
+
 EXT4_QUERIES = {
     "training_shards": q_training_shards,
     "bpe_train_merges": q_bpe_train_merges,
+    "louvain_one_sweep": q_louvain_one_sweep,
+    "conductance_brands": q_conductance_brands,
     "node2vec_walks": q_node2vec_walks,
     "greedy_coloring": q_greedy_coloring,
     "betweenness_2hop": q_betweenness_2hop,
@@ -634,6 +733,8 @@ def build_ext4_oracles() -> dict[str, str]:
         "walk_visit_counts": _oracle_walk_visits(),
         "training_shards": ORACLE_SHARDS,
         "bpe_train_merges": _oracle_bpe_train(),
+        "louvain_one_sweep": ORACLE_LOUVAIN,
+        "conductance_brands": ORACLE_CONDUCTANCE,
         "closeness_centrality": _oracle_closeness(),
         "modularity_brands": ORACLE_MODULARITY,
         "bigram_lm_rarity": ORACLE_BIGRAM_LM,
