@@ -3538,7 +3538,8 @@ _ADDED_R03 = frozenset({
     "events_mad_outliers", "node2vec_walks", "greedy_coloring",
     "betweenness_2hop", "events_winsorize", "walk_visit_counts",
     "training_shards", "bpe_train_merges", "louvain_one_sweep",
-    "conductance_brands",
+    "conductance_brands", "events_markov_transitions",
+    "global_transitivity",
 })
 
 

@@ -704,11 +704,89 @@ ORACLE_CONDUCTANCE = (
     "FROM vol v LEFT JOIN cut ON cut.community = v.community CROSS JOIN m")
 
 
+# ---------------------------------------------------------------------------
+# event-type Markov transition matrix
+# ---------------------------------------------------------------------------
+
+def q_events_markov_transitions(spark, sf_dir):
+    """First-order Markov transition matrix of the per-user event
+    stream: P(next_type | type) as integer x1e6 (truncating DIV over
+    exact pair counts) plus the raw counts — the behavioral-model
+    primitive on top of the lag() session features. The lag window
+    partitions by user_id; the matrix aggregate is |types|^2 rows."""
+    ev = load_events(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (ev.select("user_id",
+                       F.lag("event_type").over(w).alias("from_type"),
+                       F.col("event_type").alias("to_type"))
+             .filter(F.col("from_type").isNotNull()))
+    cnt = (pairs.groupBy("from_type", "to_type")
+           .agg(F.count(F.lit(1)).alias("n")))
+    tot = cnt.groupBy("from_type").agg(F.sum("n").alias("row_total"))
+    return (cnt.join(tot, "from_type")
+            .select("from_type", "to_type", "n", "row_total",
+                    F.expr("(1000000 * n) DIV row_total").alias("p_x1e6")))
+
+
+ORACLE_MARKOV = (
+    "WITH p AS (SELECT user_id, "
+    "lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) "
+    "AS from_type, event_type AS to_type FROM events), "
+    "c AS (SELECT from_type, to_type, count(*) AS n FROM p "
+    "WHERE from_type IS NOT NULL GROUP BY from_type, to_type), "
+    "t AS (SELECT from_type, sum(n) AS row_total FROM c GROUP BY from_type) "
+    "SELECT c.from_type, c.to_type, c.n, t.row_total, "
+    "(1000000 * c.n) // t.row_total AS p_x1e6 "
+    "FROM c JOIN t USING (from_type)")
+
+
+# ---------------------------------------------------------------------------
+# global transitivity (3x triangles / wedges)
+# ---------------------------------------------------------------------------
+
+def q_global_transitivity(spark, sf_dir):
+    """Global transitivity of the co-order projection: 3*triangles /
+    wedges as integer x1e6 — the one-number closure summary next to
+    the per-node clustering_coefficient. Triangle count rides the
+    degree-ordered enumeration (skew bound O(sqrt(|E|))); wedges are
+    sum C(deg, 2) from one degree aggregate."""
+    from .operators.analytics import triangle_counts
+    pairs = _co_order_pairs(spark, sf_dir).distinct().persist()
+    tri = (triangle_counts(pairs)
+           .agg(F.expr("sum(n_triangles) DIV 3").alias("triangles")))
+    und = pairs.union(pairs.select(F.col(DST).alias(SRC),
+                                   F.col(SRC).alias(DST)))
+    wedges = (und.groupBy(SRC).agg(F.count(F.lit(1)).alias("deg"))
+              .agg(F.sum(F.expr("deg * (deg - 1) DIV 2")).alias("wedges")))
+    return (tri.crossJoin(F.broadcast(wedges))
+            .select("triangles", "wedges",
+                    F.expr("(1000000 * 3 * triangles) DIV wedges")
+                    .alias("transitivity_x1e6")))
+
+
+def _oracle_transitivity() -> str:
+    from .operators.analytics import triangle_counts_oracle_sql
+    tri = triangle_counts_oracle_sql(f"SELECT DISTINCT src, dst "
+                                     f"FROM ({_ORACLE_CO_PAIRS})")
+    return (
+        f"WITH tc AS ({tri}), "
+        "t AS (SELECT sum(n_triangles) // 3 AS triangles FROM tc), "
+        f"p AS (SELECT DISTINCT src, dst FROM ({_ORACLE_CO_PAIRS})), "
+        "b AS (SELECT src FROM p UNION ALL SELECT dst FROM p), "
+        "d AS (SELECT src, count(*) AS deg FROM b GROUP BY src), "
+        "w AS (SELECT sum(deg * (deg - 1) // 2) AS wedges FROM d) "
+        "SELECT t.triangles, w.wedges, "
+        "(1000000 * 3 * t.triangles) // w.wedges AS transitivity_x1e6 "
+        "FROM t CROSS JOIN w")
+
+
 EXT4_QUERIES = {
     "training_shards": q_training_shards,
     "bpe_train_merges": q_bpe_train_merges,
     "louvain_one_sweep": q_louvain_one_sweep,
     "conductance_brands": q_conductance_brands,
+    "events_markov_transitions": q_events_markov_transitions,
+    "global_transitivity": q_global_transitivity,
     "node2vec_walks": q_node2vec_walks,
     "greedy_coloring": q_greedy_coloring,
     "betweenness_2hop": q_betweenness_2hop,
@@ -735,6 +813,8 @@ def build_ext4_oracles() -> dict[str, str]:
         "bpe_train_merges": _oracle_bpe_train(),
         "louvain_one_sweep": ORACLE_LOUVAIN,
         "conductance_brands": ORACLE_CONDUCTANCE,
+        "events_markov_transitions": ORACLE_MARKOV,
+        "global_transitivity": _oracle_transitivity(),
         "closeness_centrality": _oracle_closeness(),
         "modularity_brands": ORACLE_MODULARITY,
         "bigram_lm_rarity": ORACLE_BIGRAM_LM,
