@@ -1,0 +1,168 @@
+"""Product-quantization ANN (PQ + asymmetric distance computation) —
+the codebook-compression path of the similarity family: vectors are
+split into S subspaces, each subspace k-means'd into a tiny codebook,
+and a vector is stored as S small codes. A query computes one exact
+distance table per subspace (k entries) and scores every corpus vector
+as the SUM of table lookups — the ADC scan of Jégou et al., "Product
+Quantization for Nearest Neighbor Search" (TPAMI 2011).
+
+At 100 TB this is the memory story IVF can't tell: the corpus resides
+as n·S bytes of codes instead of n·dim floats (here 4 codes vs 64
+floats = 64x), the distance tables are broadcast (S·k longs), and the
+scan is a code equi-join — shuffle-free against a code-partitioned
+layout. Recall is approximate by construction; the exact-rerank
+composition is knn_bruteforce over the PQ top-k.
+
+Determinism: same integer recipe as pipeline/cluster.py (scaled BIGINT
+vectors, exact integer squared distances, truncating-DIV centroid
+refits, lowest-id ties), so the codebooks, codes, and ADC ranking are
+bit-reproducible against the unrolled DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W, functions as F
+
+_DIST = ("aggregate(zip_with(v, c, (x, y) -> (x - y) * (x - y)), "
+         "CAST(0 AS BIGINT), (acc, d) -> acc + d)")
+
+
+def _lloyd(pts: DataFrame, k: int, iterations: int):
+    """kmeans_fixed's loop (pipeline/cluster.py) on a (vec_id, v) frame,
+    returning (assignment, centroids) so the caller can reuse the
+    trained codebook: asn = (vec_id, cluster, d2, v), cent = (cid, c)."""
+    from ..operators.prefix import broadcast_rank
+    seed_ids = pts.orderBy("vec_id").limit(k).select("vec_id")
+    ranks = broadcast_rank(seed_ids, ["vec_id"], out_col="_rn")
+    cent = (pts.join(F.broadcast(ranks), "vec_id")
+            .select((F.col("_rn") - 1).alias("cid"),
+                    F.col("v").alias("c")))
+    asn = None
+    for t in range(iterations):
+        asn = (pts.crossJoin(F.broadcast(cent))
+               .select("vec_id", "v", "cid", F.expr(_DIST).alias("d2"))
+               .groupBy("vec_id")
+               .agg(F.min(F.struct("d2", "cid", "v")).alias("m"))
+               .select("vec_id", F.col("m.cid").alias("cluster"),
+                       F.col("m.d2").alias("d2"), F.col("m.v").alias("v")))
+        if t < iterations - 1:
+            ex = asn.select("cluster", F.posexplode("v").alias("dim", "x"))
+            sums = (ex.groupBy("cluster", "dim")
+                    .agg(F.sum("x").alias("s"),
+                         F.count(F.lit(1)).alias("n")))
+            cent = (sums
+                    .select(F.col("cluster").alias("cid"), "dim",
+                            F.expr("s DIV n").alias("cx"))
+                    .groupBy("cid")
+                    .agg(F.sort_array(F.collect_list(
+                        F.struct("dim", "cx"))).alias("sc"))
+                    .select("cid",
+                            F.expr("transform(sc, s -> s.cx)").alias("c"))
+                    .persist())
+            cent.count()
+    return asn, cent
+
+
+def pq_adc_topk(emb: DataFrame, n_queries: int = 3, subspaces: int = 4,
+                k: int = 4, iterations: int = 2, topk: int = 5,
+                scale: int = 10 ** 6, id_col: str = "vec_id",
+                vec_col: str = "embedding") -> DataFrame:
+    """Train S per-subspace codebooks, PQ-encode the corpus, and answer
+    the first `n_queries` vectors' top-`topk` neighbors by ADC distance.
+    Output: (q_id, vec_id, est_d2, rank) — rank by (est_d2, vec_id).
+
+    Plan: per subspace one Lloyd fit (broadcast centroids) + the code
+    assignment; the query-side distance tables are (n_queries·k) rows
+    joined BROADCAST on (subspace, code); the per-query top-k is a
+    WindowGroupLimit, never a global sort."""
+    ivec = F.expr(
+        f"transform({vec_col}, x -> "
+        f"CAST(round(CAST(x AS DOUBLE) * {scale}) AS BIGINT))")
+    pts = emb.select(F.col(id_col).alias("vec_id"),
+                     ivec.alias("fv")).persist()
+    dim = len(pts.select("fv").first()[0])
+    sub_dim = dim // subspaces
+    per_sub = []
+    for s in range(subspaces):
+        sub = pts.select("vec_id", F.expr(
+            f"slice(fv, {s * sub_dim + 1}, {sub_dim})").alias("v"))
+        asn, cent = _lloyd(sub, k, iterations)
+        codes = asn.select("vec_id", F.col("cluster").alias("code"))
+        qtab = (sub.filter(F.col("vec_id") < n_queries)
+                .withColumnRenamed("vec_id", "q_id")
+                .crossJoin(F.broadcast(cent))
+                .select("q_id", F.col("cid").alias("code"),
+                        F.expr(_DIST).alias("dq")))
+        per_sub.append(
+            codes.join(F.broadcast(qtab), "code")
+            .select("q_id", "vec_id", F.col("dq").alias("d")))
+    est = per_sub[0]
+    for p in per_sub[1:]:
+        est = est.unionAll(p)
+    est = (est.groupBy("q_id", "vec_id")
+           .agg(F.sum("d").alias("est_d2")))
+    w = W.partitionBy("q_id").orderBy("est_d2", "vec_id")
+    return (est.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= topk)
+            .select("q_id", "vec_id", "est_d2", "rank"))
+
+
+def pq_adc_oracle_sql(n_queries: int = 3, subspaces: int = 4, k: int = 4,
+                      iterations: int = 2, topk: int = 5,
+                      scale: int = 10 ** 6, dim: int = 64,
+                      table: str = "embeddings") -> str:
+    """DuckDB oracle: per-subspace Lloyd chains (kmeans_oracle_sql's
+    construction over list slices), code assignment, broadcast distance
+    tables, ADC sum, per-query rank."""
+    sub_dim = dim // subspaces
+    d2 = ("list_sum(list_transform(list_zip(e.v, c.c), "
+          "s -> (s[1] - s[2]) * (s[1] - s[2])))")
+    parts = [
+        f"emb AS MATERIALIZED (SELECT vec_id, list_transform(embedding, "
+        f"x -> CAST(round(CAST(x AS DOUBLE) * {scale}) AS BIGINT)) AS fv "
+        f"FROM {table})",
+    ]
+    unions = []
+    for s in range(subspaces):
+        lo, hi = s * sub_dim + 1, (s + 1) * sub_dim
+        p = f"s{s}"
+        parts.append(
+            f"{p}e AS MATERIALIZED (SELECT vec_id, fv[{lo}:{hi}] AS v "
+            f"FROM emb)")
+        parts.append(
+            f"{p}c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 "
+            f"AS cid, v AS c FROM (SELECT * FROM {p}e ORDER BY vec_id "
+            f"LIMIT {k}))")
+        for t in range(iterations):
+            parts.append(
+                f"{p}a{t} AS MATERIALIZED (SELECT vec_id, cid, v, d2 FROM ("
+                f"SELECT e.vec_id, c.cid, e.v, {d2} AS d2, "
+                f"row_number() OVER (PARTITION BY e.vec_id "
+                f"ORDER BY {d2}, c.cid) AS rn "
+                f"FROM {p}e e CROSS JOIN {p}c{t} c) WHERE rn = 1)")
+            if t < iterations - 1:
+                parts.append(
+                    f"{p}s{t} AS (SELECT a.cid, t.i AS dim, "
+                    f"sum(a.v[t.i]) AS s, count(*) AS n "
+                    f"FROM {p}a{t} a, "
+                    f"UNNEST(generate_series(1, {sub_dim})) t(i) "
+                    f"GROUP BY 1, 2)")
+                parts.append(
+                    f"{p}c{t+1} AS (SELECT cid, list(s // n ORDER BY dim) "
+                    f"AS c FROM {p}s{t} GROUP BY cid)")
+        last = iterations - 1
+        parts.append(
+            f"{p}q AS (SELECT e.vec_id AS q_id, c.cid AS code, {d2} AS dq "
+            f"FROM {p}e e CROSS JOIN {p}c{last} c "
+            f"WHERE e.vec_id < {n_queries})")
+        unions.append(
+            f"SELECT q.q_id, a.vec_id, q.dq AS d "
+            f"FROM {p}a{last} a JOIN {p}q q ON q.code = a.cid")
+    parts.append("alld AS (" + " UNION ALL ".join(unions) + ")")
+    parts.append(
+        "est AS (SELECT q_id, vec_id, sum(d) AS est_d2 FROM alld "
+        "GROUP BY q_id, vec_id)")
+    return ("WITH " + ",\n".join(parts)
+            + f"\nSELECT q_id, vec_id, est_d2, rank FROM ("
+            f"SELECT *, row_number() OVER (PARTITION BY q_id "
+            f"ORDER BY est_d2, vec_id) AS rank FROM est) WHERE rank <= {topk}")
