@@ -705,6 +705,28 @@ ORACLE_CONDUCTANCE = (
 
 
 # ---------------------------------------------------------------------------
+# product-quantization ANN (ADC scan)
+# ---------------------------------------------------------------------------
+
+def q_knn_pq_adc(spark, sf_dir):
+    """Product-quantization ANN: 4 per-subspace integer k-means
+    codebooks (k=4, 2 Lloyd steps), PQ codes for the corpus, and the
+    asymmetric-distance top-5 for the first 3 query vectors — the
+    64x-compression path of the similarity family (pipeline/pq.py),
+    complementing knn_ivf's partition-pruning path."""
+    from .pipeline.pq import pq_adc_topk
+    from .workload_pipeline import _emb
+    return pq_adc_topk(_emb(spark, sf_dir), n_queries=3, subspaces=4,
+                       k=4, iterations=2, topk=5)
+
+
+def _oracle_pq() -> str:
+    from .pipeline.pq import pq_adc_oracle_sql
+    return pq_adc_oracle_sql(n_queries=3, subspaces=4, k=4,
+                             iterations=2, topk=5)
+
+
+# ---------------------------------------------------------------------------
 # event-type Markov transition matrix
 # ---------------------------------------------------------------------------
 
@@ -787,6 +809,7 @@ EXT4_QUERIES = {
     "conductance_brands": q_conductance_brands,
     "events_markov_transitions": q_events_markov_transitions,
     "global_transitivity": q_global_transitivity,
+    "knn_pq_adc": q_knn_pq_adc,
     "node2vec_walks": q_node2vec_walks,
     "greedy_coloring": q_greedy_coloring,
     "betweenness_2hop": q_betweenness_2hop,
@@ -815,6 +838,7 @@ def build_ext4_oracles() -> dict[str, str]:
         "conductance_brands": ORACLE_CONDUCTANCE,
         "events_markov_transitions": ORACLE_MARKOV,
         "global_transitivity": _oracle_transitivity(),
+        "knn_pq_adc": _oracle_pq(),
         "closeness_centrality": _oracle_closeness(),
         "modularity_brands": ORACLE_MODULARITY,
         "bigram_lm_rarity": ORACLE_BIGRAM_LM,
