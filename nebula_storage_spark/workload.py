@@ -3539,7 +3539,7 @@ _ADDED_R03 = frozenset({
     "betweenness_2hop", "events_winsorize", "walk_visit_counts",
     "training_shards", "bpe_train_merges", "louvain_one_sweep",
     "conductance_brands", "events_markov_transitions",
-    "global_transitivity", "knn_pq_adc",
+    "global_transitivity", "knn_pq_adc", "store_merkle_diff",
 })
 
 

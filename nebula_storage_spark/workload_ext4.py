@@ -727,6 +727,102 @@ def _oracle_pq() -> str:
 
 
 # ---------------------------------------------------------------------------
+# Merkle-bucket replica diff (anti-entropy repair)
+# ---------------------------------------------------------------------------
+
+def q_store_merkle_diff(spark, sf_dir):
+    """Replica anti-entropy: locate divergence between two copies of
+    the customer tag via bucket digests before any row-level compare —
+    the scalable repair protocol behind the reference's Raft replica
+    consistency (raftex/RaftPart.h keeps replicas aligned by log; an
+    engine on object storage detects drift by digest exchange instead).
+    Level 1: 64 bucket digests (sum of md5 row-hashes) per replica —
+    comparing replicas costs 64 rows, not |table|. Level 2: row-level
+    full-outer compare ONLY inside diverging buckets. Replica B is
+    replica A with seeded deletions (vid%97==3), a mutation (vid%101==5)
+    and one insert, so the report is deterministic. Output: (vid,
+    bucket, status in {missing_b, missing_a, mismatch})."""
+    g = tpch_graph(spark, sf_dir)
+    a = g.vertices["customer"].select(
+        VID, "c_name", "c_nationkey", "c_mktsegment")
+    b = (a.filter(F.col(VID) % 97 != 3)
+         .withColumn("c_name", F.when(
+             F.col(VID) % 101 == 5,
+             F.concat(F.col("c_name"), F.lit("#drift")))
+             .otherwise(F.col("c_name")))
+         .unionByName(spark.createDataFrame(
+             [(99_999_999, "phantom", 0, "NONE")],
+             f"{VID} bigint, c_name string, c_nationkey int, "
+             "c_mktsegment string")))
+    h = ("CAST(conv(substring(md5(concat_ws('|', CAST(_vid AS STRING), "
+         "c_name, CAST(c_nationkey AS STRING), c_mktsegment)), 1, 15), "
+         "16, 10) AS BIGINT)")
+
+    def digest(df):
+        return (df.withColumn("h", F.expr(h))
+                .withColumn("bucket", F.col(VID) % 64))
+    da, db = digest(a), digest(b)
+    # digest terms reduced mod 2^32 so the per-bucket sum stays far from
+    # int64 overflow (safe to ~2^31 rows per bucket); the row-level
+    # compare below still uses the full 60-bit hash
+    sa = da.groupBy("bucket").agg(
+        F.sum(F.col("h") % 4294967296).alias("dig_a"))
+    sb = db.groupBy("bucket").agg(
+        F.sum(F.col("h") % 4294967296).alias("dig_b"))
+    div = (sa.join(sb, "bucket", "full_outer")
+           .filter("dig_a IS DISTINCT FROM dig_b")
+           .select("bucket"))
+    ra = da.join(F.broadcast(div), "bucket").select(
+        "bucket", VID, F.col("h").alias("ha"))
+    rb = db.join(F.broadcast(div), "bucket").select(
+        "bucket", VID, F.col("h").alias("hb"))
+    return (ra.join(rb, ["bucket", VID], "full_outer")
+            .filter("ha IS DISTINCT FROM hb")
+            .select(F.col(VID).alias("vid"), "bucket",
+                    F.expr("CASE WHEN hb IS NULL THEN 'missing_b' "
+                           "WHEN ha IS NULL THEN 'missing_a' "
+                           "ELSE 'mismatch' END").alias("status")))
+
+
+ORACLE_MERKLE = (
+    "WITH a AS (SELECT c_custkey AS vid, c_name, c_nationkey, "
+    "c_mktsegment FROM customer), "
+    "b AS (SELECT vid, CASE WHEN vid % 101 = 5 "
+    "THEN c_name || '#drift' ELSE c_name END AS c_name, "
+    "c_nationkey, c_mktsegment FROM a WHERE vid % 97 <> 3 "
+    "UNION ALL SELECT 99999999, 'phantom', 0, 'NONE'), "
+    "da AS (SELECT vid, vid % 64 AS bucket, "
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "list_transform(string_split(substr(md5(CAST(vid AS VARCHAR) || '|' || "
+    "c_name || '|' || CAST(c_nationkey AS VARCHAR) || '|' || c_mktsegment), "
+    "1, 15), ''), c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))), "
+    "(x, y) -> x * 16 + y) AS h FROM a), "
+    "db AS (SELECT vid, vid % 64 AS bucket, "
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "list_transform(string_split(substr(md5(CAST(vid AS VARCHAR) || '|' || "
+    "c_name || '|' || CAST(c_nationkey AS VARCHAR) || '|' || c_mktsegment), "
+    "1, 15), ''), c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))), "
+    "(x, y) -> x * 16 + y) AS h FROM b), "
+    "sa AS (SELECT bucket, sum(h % 4294967296) AS dig_a FROM da "
+    "GROUP BY bucket), "
+    "sb AS (SELECT bucket, sum(h % 4294967296) AS dig_b FROM db "
+    "GROUP BY bucket), "
+    "div AS (SELECT coalesce(sa.bucket, sb.bucket) AS bucket "
+    "FROM sa FULL OUTER JOIN sb ON sa.bucket = sb.bucket "
+    "WHERE dig_a IS DISTINCT FROM dig_b), "
+    "ra AS (SELECT da.bucket, da.vid, da.h AS ha FROM da "
+    "JOIN div USING (bucket)), "
+    "rb AS (SELECT db.bucket, db.vid, db.h AS hb FROM db "
+    "JOIN div USING (bucket)) "
+    "SELECT coalesce(ra.vid, rb.vid) AS vid, "
+    "coalesce(ra.bucket, rb.bucket) AS bucket, "
+    "CASE WHEN hb IS NULL THEN 'missing_b' WHEN ha IS NULL "
+    "THEN 'missing_a' ELSE 'mismatch' END AS status "
+    "FROM ra FULL OUTER JOIN rb ON ra.bucket = rb.bucket "
+    "AND ra.vid = rb.vid WHERE ha IS DISTINCT FROM hb")
+
+
+# ---------------------------------------------------------------------------
 # event-type Markov transition matrix
 # ---------------------------------------------------------------------------
 
@@ -810,6 +906,7 @@ EXT4_QUERIES = {
     "events_markov_transitions": q_events_markov_transitions,
     "global_transitivity": q_global_transitivity,
     "knn_pq_adc": q_knn_pq_adc,
+    "store_merkle_diff": q_store_merkle_diff,
     "node2vec_walks": q_node2vec_walks,
     "greedy_coloring": q_greedy_coloring,
     "betweenness_2hop": q_betweenness_2hop,
@@ -839,6 +936,7 @@ def build_ext4_oracles() -> dict[str, str]:
         "events_markov_transitions": ORACLE_MARKOV,
         "global_transitivity": _oracle_transitivity(),
         "knn_pq_adc": _oracle_pq(),
+        "store_merkle_diff": ORACLE_MERKLE,
         "closeness_centrality": _oracle_closeness(),
         "modularity_brands": ORACLE_MODULARITY,
         "bigram_lm_rarity": ORACLE_BIGRAM_LM,
