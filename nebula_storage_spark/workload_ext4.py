@@ -727,6 +727,104 @@ def _oracle_pq() -> str:
 
 
 # ---------------------------------------------------------------------------
+# daily new/cumulative users (growth accounting)
+# ---------------------------------------------------------------------------
+
+def q_events_new_users_daily(spark, sf_dir):
+    """Growth accounting over the event stream: per day, the number of
+    FIRST-SEEN users and the cumulative user base to date. First-seen
+    is one per-user min(ts) aggregate; the cumulative count is a
+    running sum over the tiny per-day frame, computed with the
+    triangular broadcast join (day count is calendar-bounded, never
+    data-sized) — no unpartitioned window."""
+    ev = load_events(spark, sf_dir)
+    first = (ev.groupBy("user_id")
+             .agg(F.min(F.struct("ts", "event_id")).alias("m"))
+             .select("user_id", F.to_date("m.ts").alias("day")))
+    daily = first.groupBy("day").agg(F.count(F.lit(1)).alias("new_users"))
+    cum = (daily.alias("a")
+           .join(F.broadcast(daily.alias("b")),
+                 F.col("b.day") <= F.col("a.day"))
+           .groupBy(F.col("a.day").alias("day"))
+           .agg(F.first("a.new_users").alias("new_users"),
+                F.sum("b.new_users").alias("cumulative_users")))
+    return cum
+
+
+ORACLE_NEW_USERS = (
+    "WITH f AS (SELECT user_id, min(ts) AS first_ts FROM events "
+    "GROUP BY user_id), "
+    "d AS (SELECT CAST(first_ts AS DATE) AS day, count(*) AS new_users "
+    "FROM f GROUP BY 1) "
+    "SELECT a.day, first(a.new_users) AS new_users, "
+    "sum(b.new_users) AS cumulative_users "
+    "FROM d a JOIN d b ON b.day <= a.day GROUP BY a.day")
+
+
+# ---------------------------------------------------------------------------
+# RFM customer segmentation (mean-split octants)
+# ---------------------------------------------------------------------------
+
+def q_rfm_segments(spark, sf_dir):
+    """Recency/frequency/monetary segmentation of customers into the 8
+    above/below-mean octants (segment = 4*recent + 2*frequent +
+    1*big_spender), with per-segment size and exact aggregate sums.
+    Mean comparisons use integer cross-multiplication (metric * n vs
+    sum) — no division, no quantile window; the corpus-level sums ride
+    one broadcast scalar row. Recency is days before the corpus's last
+    order date."""
+    g = tpch_graph(spark, sf_dir)
+    orders = g.vertices["order"]
+    placed = g.edges["placed"].select(F.col(SRC).alias("cust"),
+                                      F.col(DST).alias(VID))
+    per = (placed.join(orders, VID)
+           .groupBy("cust")
+           .agg(F.max(F.to_date("o_orderdate")).alias("last_day"),
+                F.count(F.lit(1)).alias("freq"),
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)") * 100)
+                .cast("bigint").alias("cents")))
+    scal = per.agg(
+        F.max("last_day").alias("maxd"), F.count(F.lit(1)).alias("n"),
+        F.sum("freq").alias("sf"), F.sum("cents").alias("sc"))
+    feat = (per.crossJoin(F.broadcast(scal))
+            .select("cust",
+                    F.datediff("maxd", "last_day").alias("rec"),
+                    "freq", "cents", "n", "sf", "sc"))
+    rsum = feat.agg(F.sum("rec").alias("sr"))
+    seg = (feat.crossJoin(F.broadcast(rsum))
+           .select("cust", "rec", "freq", "cents",
+                   F.expr("CASE WHEN rec * n <= sr THEN 4 ELSE 0 END + "
+                          "CASE WHEN freq * n > sf THEN 2 ELSE 0 END + "
+                          "CASE WHEN cents * n > sc THEN 1 ELSE 0 END")
+                   .alias("segment")))
+    return (seg.groupBy("segment")
+            .agg(F.count(F.lit(1)).alias("n_customers"),
+                 F.sum("rec").alias("sum_recency_days"),
+                 F.sum("freq").alias("sum_orders"),
+                 F.sum("cents").alias("sum_cents")))
+
+
+ORACLE_RFM = (
+    "WITH per AS (SELECT o_custkey AS cust, "
+    "max(CAST(o_orderdate AS DATE)) AS last_day, count(*) AS freq, "
+    "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT) "
+    "AS cents FROM orders GROUP BY o_custkey), "
+    "s AS (SELECT max(last_day) AS maxd, count(*) AS n, "
+    "sum(freq) AS sf, sum(cents) AS sc FROM per), "
+    "f AS (SELECT cust, date_diff('day', last_day, maxd) AS rec, "
+    "freq, cents, n, sf, sc FROM per CROSS JOIN s), "
+    "r AS (SELECT sum(rec) AS sr FROM f), "
+    "seg AS (SELECT cust, rec, freq, cents, "
+    "CASE WHEN rec * n <= sr THEN 4 ELSE 0 END + "
+    "CASE WHEN freq * n > sf THEN 2 ELSE 0 END + "
+    "CASE WHEN cents * n > sc THEN 1 ELSE 0 END AS segment "
+    "FROM f CROSS JOIN r) "
+    "SELECT segment, count(*) AS n_customers, "
+    "sum(rec) AS sum_recency_days, sum(freq) AS sum_orders, "
+    "sum(cents) AS sum_cents FROM seg GROUP BY segment")
+
+
+# ---------------------------------------------------------------------------
 # Merkle-bucket replica diff (anti-entropy repair)
 # ---------------------------------------------------------------------------
 
@@ -907,6 +1005,8 @@ EXT4_QUERIES = {
     "global_transitivity": q_global_transitivity,
     "knn_pq_adc": q_knn_pq_adc,
     "store_merkle_diff": q_store_merkle_diff,
+    "events_new_users_daily": q_events_new_users_daily,
+    "rfm_segments": q_rfm_segments,
     "node2vec_walks": q_node2vec_walks,
     "greedy_coloring": q_greedy_coloring,
     "betweenness_2hop": q_betweenness_2hop,
@@ -937,6 +1037,8 @@ def build_ext4_oracles() -> dict[str, str]:
         "global_transitivity": _oracle_transitivity(),
         "knn_pq_adc": _oracle_pq(),
         "store_merkle_diff": ORACLE_MERKLE,
+        "events_new_users_daily": ORACLE_NEW_USERS,
+        "rfm_segments": ORACLE_RFM,
         "closeness_centrality": _oracle_closeness(),
         "modularity_brands": ORACLE_MODULARITY,
         "bigram_lm_rarity": ORACLE_BIGRAM_LM,
