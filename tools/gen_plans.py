@@ -242,6 +242,31 @@ SHOWCASE = {
         "two equi-joins + two hash aggregates, shuffling on the "
         "(customer, part) pair key; no per-source BFS DAG is ever "
         "materialized."),
+    "bpe_train_merges": (
+        ("TakeOrderedAndProject", "HashAggregate", "Generate",
+         "BroadcastExchange"),
+        "BPE trainer: per merge round, the pair count is a hash "
+        "aggregate over the vocabulary (corpus-sublinear — the corpus "
+        "is read once, at vocabulary extraction), the argmax is a "
+        "1-row TakeOrderedAndProject, and the rewrite is a broadcast "
+        "of that single rule. The sequential dependency inherent to "
+        "BPE costs K tiny barriers, never a shuffle of the corpus."),
+    "knn_pq_adc": (
+        ("BroadcastExchange", "HashAggregate", "Exchange",
+         "WindowGroupLimit"),
+        "PQ/ADC scan: every distance table and codebook rides a "
+        "BroadcastExchange (S·k rows); the corpus-side cost is the "
+        "code equi-join + one (query, vector) sum aggregate. At 100 TB "
+        "the corpus is stored as S codes per vector (64x smaller than "
+        "raw floats), and the per-query top-k is WindowGroupLimit."),
+    "store_merkle_diff": (
+        ("HashAggregate", "Exchange", "BroadcastHashJoin",
+         "SortMergeJoin"),
+        "Anti-entropy diff: replica comparison exchanges 64 bucket "
+        "digests (two hash aggregates), and the row-level full-outer "
+        "compare is gated by a broadcast semi-join on the diverging "
+        "buckets — at 100 TB replicas ship KBs of digests, and only "
+        "drifted buckets pay row traffic."),
 }
 
 
