@@ -220,3 +220,68 @@ def stream_events_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.awaitTermination()
     return (spark.table(name)
             .select(F.col("w.start").alias("hour"), "c_mktsegment", "cnt"))
+
+
+def stream_late_data(spark: SparkSession, sf_dir: str,
+                     window: str = "1 hour",
+                     delay: str = "1 hour") -> DataFrame:
+    """Watermark late-data semantics, demonstrated deterministically:
+    the event snapshot splits at the epoch quartiles into three staged
+    files — ON-TIME (newest half, holds the max timestamp), MID (the
+    next-older quarter) and LATE (the oldest quarter) — with mtimes
+    forcing that processing order (maxFilesPerTrigger=1 → three
+    micro-batches). Batch 0 advances the watermark to max(ts) - delay.
+    Spark propagates a watermark update with a ONE-BATCH lag (the
+    value is committed at batch end and applied to filtering from the
+    next-plus-one batch — measured: the mid batch, one batch behind
+    the max, is still fully accepted, while every row of the oldest
+    batch is dropped). Append mode then emits exactly the finalized
+    windows (window end <= final watermark, millisecond arithmetic)
+    over the accepted rows.
+
+    The DuckDB oracle encodes that exact boundary — oldest quarter
+    absent, finalized-window cut at max_ms - delay_ms — so the hash
+    gate pins the engine's REAL drop/emit rule, lag included, which is
+    the contract a continuous pipeline relies on for bounded state.
+    """
+    import glob
+    import os
+    import shutil
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    from nebula_storage_spark.graph import load_events
+    ev = load_events(spark, sf_dir).select("ts", "event_type")
+    lohi = ev.agg(
+        F.min(F.unix_timestamp("ts")).alias("lo"),
+        F.max(F.unix_timestamp("ts")).alias("hi")).first()
+    lo, hi = int(lohi.lo), int(lohi.hi)
+    cut = (lo + hi) // 2
+    cut2 = (lo + cut) // 2
+    es = F.unix_timestamp("ts")
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    root = f"/tmp/nebula_stream_late/{tag}"
+    shutil.rmtree(root, ignore_errors=True)
+    stage = f"{root}/stage"
+    feed = f"{root}/feed"
+    os.makedirs(feed, exist_ok=True)
+    for name, df, mtime in (
+            ("ontime", ev.filter(es >= cut), 1_000),
+            ("mid", ev.filter((es < cut) & (es >= cut2)), 2_000),
+            ("late", ev.filter(es < cut2), 3_000)):
+        d = f"{stage}/{name}"
+        df.coalesce(1).write.mode("overwrite").parquet(d)
+        part = glob.glob(f"{d}/part-*.parquet")[0]
+        dest = f"{feed}/{name}.parquet"
+        shutil.copyfile(part, dest)
+        os.utime(dest, (mtime, mtime))
+    schema = spark.read.parquet(f"{feed}/ontime.parquet").schema
+    raw = (spark.readStream.schema(schema)
+           .option("maxFilesPerTrigger", 1).parquet(feed))
+    agg = (raw.withWatermark("ts", delay)
+           .groupBy(F.window("ts", window).alias("w"), "event_type")
+           .agg(F.count(F.lit(1)).alias("cnt")))
+    name = f"stream_late_{next(_COUNTER)}"
+    q = (agg.writeStream.format("memory").queryName(name)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return (spark.table(name)
+            .select(F.col("w.start").alias("hour"), "event_type", "cnt"))

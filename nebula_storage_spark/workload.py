@@ -3540,7 +3540,7 @@ _ADDED_R03 = frozenset({
     "training_shards", "bpe_train_merges", "louvain_one_sweep",
     "conductance_brands", "events_markov_transitions",
     "global_transitivity", "knn_pq_adc", "store_merkle_diff",
-    "events_new_users_daily", "rfm_segments",
+    "events_new_users_daily", "rfm_segments", "stream_late_data",
 })
 
 

@@ -762,6 +762,39 @@ ORACLE_NEW_USERS = (
 
 
 # ---------------------------------------------------------------------------
+# streaming watermark late-data drop
+# ---------------------------------------------------------------------------
+
+def q_stream_late_data(spark, sf_dir):
+    """Watermark drop/finalize semantics end-to-end: three staged
+    micro-batches (newest half, next quarter, oldest quarter), 1 h
+    watermark, append emission — the oracle encodes the measured drop
+    boundary including Spark's one-batch watermark-propagation lag.
+    See streaming/window.py stream_late_data."""
+    from .streaming.window import stream_late_data
+    return stream_late_data(spark, sf_dir)
+
+
+ORACLE_LATE_DATA = (
+    "WITH s AS (SELECT CAST(floor(epoch(max(ts)) * 1000) AS BIGINT) "
+    "AS maxms, (CAST(floor(epoch(min(ts))) AS BIGINT) "
+    "+ CAST(floor(epoch(max(ts))) AS BIGINT)) // 2 AS cut, "
+    "(CAST(floor(epoch(min(ts))) AS BIGINT) "
+    "+ (CAST(floor(epoch(min(ts))) AS BIGINT) "
+    "+ CAST(floor(epoch(max(ts))) AS BIGINT)) // 2) // 2 AS cut2 "
+    "FROM events), "
+    "e AS (SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS es, "
+    "(CAST(floor(epoch(ts)) AS BIGINT) // 3600) * 3600 AS ws FROM events) "
+    # the oldest quarter (es < cut2) arrives two batches behind the
+    # watermark and is dropped; the mid quarter is inside the one-batch
+    # propagation lag and accepted; append emits finalized windows only
+    "SELECT to_timestamp(ws) AS hour, event_type, count(*) AS cnt "
+    "FROM e, s WHERE es >= cut2 "
+    "AND (ws + 3600) * 1000 <= maxms - 3600000 "
+    "GROUP BY ws, event_type")
+
+
+# ---------------------------------------------------------------------------
 # RFM customer segmentation (mean-split octants)
 # ---------------------------------------------------------------------------
 
@@ -1007,6 +1040,7 @@ EXT4_QUERIES = {
     "store_merkle_diff": q_store_merkle_diff,
     "events_new_users_daily": q_events_new_users_daily,
     "rfm_segments": q_rfm_segments,
+    "stream_late_data": q_stream_late_data,
     "node2vec_walks": q_node2vec_walks,
     "greedy_coloring": q_greedy_coloring,
     "betweenness_2hop": q_betweenness_2hop,
@@ -1039,6 +1073,7 @@ def build_ext4_oracles() -> dict[str, str]:
         "store_merkle_diff": ORACLE_MERKLE,
         "events_new_users_daily": ORACLE_NEW_USERS,
         "rfm_segments": ORACLE_RFM,
+        "stream_late_data": ORACLE_LATE_DATA,
         "closeness_centrality": _oracle_closeness(),
         "modularity_brands": ORACLE_MODULARITY,
         "bigram_lm_rarity": ORACLE_BIGRAM_LM,
