@@ -762,6 +762,42 @@ ORACLE_NEW_USERS = (
 
 
 # ---------------------------------------------------------------------------
+# ANN recall evaluation (IVF vs exact, inside the gate)
+# ---------------------------------------------------------------------------
+
+def q_ann_recall_eval(spark, sf_dir):
+    """Recall@5 of the single-probe IVF index against the exact
+    brute-force answer, per query — the accuracy/latency dial measured
+    INSIDE the oracle gate (BENCH_NOTES holds the 1M-vector latency
+    side; this pins the accuracy side at the driver's scale). One
+    left-semi join of the two top-k frames + two tiny aggregates."""
+    from .workload_pipeline import q_knn_bruteforce, q_knn_ivf
+    ivf = q_knn_ivf(spark, sf_dir).select("q_id", "n_id")
+    brute = q_knn_bruteforce(spark, sf_dir).select("q_id", "n_id")
+    hits = (brute.join(ivf, ["q_id", "n_id"], "left_semi")
+            .groupBy("q_id").agg(F.count(F.lit(1)).alias("hits")))
+    base = brute.groupBy("q_id").agg(F.count(F.lit(1)).alias("k"))
+    return (base.join(hits, "q_id", "left")
+            .select("q_id", F.coalesce("hits", F.lit(0)).alias("hits"), "k",
+                    F.expr("(1000000 * coalesce(hits, 0)) DIV k")
+                    .alias("recall_x1e6")))
+
+
+def _oracle_ann_recall() -> str:
+    from .workload_pipeline import _oracle_knn_bruteforce, _oracle_knn_ivf
+    return (
+        f"WITH ivf AS ({_oracle_knn_ivf()}), "
+        f"brute AS ({_oracle_knn_bruteforce()}), "
+        "h AS (SELECT b.q_id, count(*) AS hits FROM brute b "
+        "JOIN ivf i ON i.q_id = b.q_id AND i.n_id = b.n_id "
+        "GROUP BY b.q_id), "
+        "base AS (SELECT q_id, count(*) AS k FROM brute GROUP BY q_id) "
+        "SELECT base.q_id, coalesce(h.hits, 0) AS hits, base.k, "
+        "(1000000 * coalesce(h.hits, 0)) // base.k AS recall_x1e6 "
+        "FROM base LEFT JOIN h ON h.q_id = base.q_id")
+
+
+# ---------------------------------------------------------------------------
 # streaming watermark late-data drop
 # ---------------------------------------------------------------------------
 
@@ -1041,6 +1077,7 @@ EXT4_QUERIES = {
     "events_new_users_daily": q_events_new_users_daily,
     "rfm_segments": q_rfm_segments,
     "stream_late_data": q_stream_late_data,
+    "ann_recall_eval": q_ann_recall_eval,
     "node2vec_walks": q_node2vec_walks,
     "greedy_coloring": q_greedy_coloring,
     "betweenness_2hop": q_betweenness_2hop,
@@ -1074,6 +1111,7 @@ def build_ext4_oracles() -> dict[str, str]:
         "events_new_users_daily": ORACLE_NEW_USERS,
         "rfm_segments": ORACLE_RFM,
         "stream_late_data": ORACLE_LATE_DATA,
+        "ann_recall_eval": _oracle_ann_recall(),
         "closeness_centrality": _oracle_closeness(),
         "modularity_brands": ORACLE_MODULARITY,
         "bigram_lm_rarity": ORACLE_BIGRAM_LM,
