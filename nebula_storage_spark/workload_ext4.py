@@ -762,6 +762,60 @@ ORACLE_NEW_USERS = (
 
 
 # ---------------------------------------------------------------------------
+# bipartite butterfly (K2,2) counting
+# ---------------------------------------------------------------------------
+
+def q_butterfly_count(spark, sf_dir):
+    """Butterfly (K2,2) census of the part-supplier bipartite graph —
+    the bipartite analog of triangle counting (cohesion of the supply
+    network): butterflies = sum over part pairs of C(shared_suppliers,
+    2), plus both wedge totals and the butterfly-per-supplier-wedge
+    density x1e6. Pair expansion is the per-supplier HOF transform
+    (codegen, no self-join); fanout is C(supplier_degree, 2), the same
+    per-group quadratic inherent to any co-occurrence projection —
+    degree-ordered orientation (triangle_counts) is the hub
+    mitigation at 100 TB."""
+    g = tpch_graph(spark, sf_dir)
+    ps = (g.edges["supplied_by"]
+          .select(F.col(SRC).alias("p"), F.col(DST).alias("s")).distinct())
+    grouped = ps.groupBy("s").agg(F.sort_array(F.collect_set("p"))
+                                  .alias("xs"))
+    shared = (grouped.select(F.explode(F.expr(
+        "flatten(transform(xs, (x, i) -> "
+        "transform(slice(xs, i + 2, size(xs) - i - 1), "
+        "y -> struct(x AS a, y AS b))))")).alias("e"))
+        .groupBy(F.col("e.a").alias("p1"), F.col("e.b").alias("p2"))
+        .agg(F.count(F.lit(1)).alias("shared")))
+    bf = shared.agg(F.sum(F.expr("shared * (shared - 1) DIV 2"))
+                    .alias("butterflies"))
+    ws = (ps.groupBy("s").agg(F.count(F.lit(1)).alias("d"))
+          .agg(F.sum(F.expr("d * (d - 1) DIV 2")).alias("wedges_supplier")))
+    wp = (ps.groupBy("p").agg(F.count(F.lit(1)).alias("d"))
+          .agg(F.sum(F.expr("d * (d - 1) DIV 2")).alias("wedges_part")))
+    return (bf.crossJoin(F.broadcast(ws)).crossJoin(F.broadcast(wp))
+            .select("butterflies", "wedges_supplier", "wedges_part",
+                    F.expr("(1000000 * butterflies) DIV wedges_supplier")
+                    .alias("density_x1e6")))
+
+
+ORACLE_BUTTERFLY = (
+    "WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s "
+    "FROM lineitem), "
+    "pairs AS (SELECT a.p AS p1, b.p AS p2, count(*) AS shared "
+    "FROM ps a JOIN ps b ON a.s = b.s AND a.p < b.p "
+    "GROUP BY a.p, b.p), "
+    "bf AS (SELECT sum(shared * (shared - 1) // 2) AS butterflies "
+    "FROM pairs), "
+    "ws AS (SELECT sum(d * (d - 1) // 2) AS wedges_supplier FROM "
+    "(SELECT s, count(*) AS d FROM ps GROUP BY s)), "
+    "wp AS (SELECT sum(d * (d - 1) // 2) AS wedges_part FROM "
+    "(SELECT p, count(*) AS d FROM ps GROUP BY p)) "
+    "SELECT butterflies, wedges_supplier, wedges_part, "
+    "(1000000 * butterflies) // wedges_supplier AS density_x1e6 "
+    "FROM bf CROSS JOIN ws CROSS JOIN wp")
+
+
+# ---------------------------------------------------------------------------
 # ANN recall evaluation (IVF vs exact, inside the gate)
 # ---------------------------------------------------------------------------
 
@@ -1078,6 +1132,7 @@ EXT4_QUERIES = {
     "rfm_segments": q_rfm_segments,
     "stream_late_data": q_stream_late_data,
     "ann_recall_eval": q_ann_recall_eval,
+    "butterfly_count": q_butterfly_count,
     "node2vec_walks": q_node2vec_walks,
     "greedy_coloring": q_greedy_coloring,
     "betweenness_2hop": q_betweenness_2hop,
@@ -1112,6 +1167,7 @@ def build_ext4_oracles() -> dict[str, str]:
         "rfm_segments": ORACLE_RFM,
         "stream_late_data": ORACLE_LATE_DATA,
         "ann_recall_eval": _oracle_ann_recall(),
+        "butterfly_count": ORACLE_BUTTERFLY,
         "closeness_centrality": _oracle_closeness(),
         "modularity_brands": ORACLE_MODULARITY,
         "bigram_lm_rarity": ORACLE_BIGRAM_LM,
