@@ -3541,7 +3541,8 @@ _ADDED_R03 = frozenset({
     "conductance_brands", "events_markov_transitions",
     "global_transitivity", "knn_pq_adc", "store_merkle_diff",
     "events_new_users_daily", "rfm_segments", "stream_late_data",
-    "ann_recall_eval", "butterfly_count",
+    "ann_recall_eval", "butterfly_count", "hard_negative_mining",
+    "store_orphan_gc",
 })
 
 

@@ -762,6 +762,111 @@ ORACLE_NEW_USERS = (
 
 
 # ---------------------------------------------------------------------------
+# hard-negative mining (contrastive training pairs)
+# ---------------------------------------------------------------------------
+
+def q_hard_negative_mining(spark, sf_dir):
+    """Contrastive-training pair mining: for each of the first 10
+    vectors, the single most-similar vector from a DIFFERENT k-means
+    cluster — the classic hard negative (high cosine, different
+    semantic bucket). Composes the gated kmeans assignment with the
+    broadcast cosine scan; per-query top-1 is WindowGroupLimit."""
+    from .pipeline.cluster import kmeans_fixed
+    from .pipeline.similarity import _COS, _dot, quantize_embeddings
+    from .workload_pipeline import _emb
+    emb = _emb(spark, sf_dir)
+    clus = kmeans_fixed(emb, k=8, iterations=2).select("vec_id", "cluster")
+    q = quantize_embeddings(emb).join(clus, "vec_id")
+    corpus = q.select(F.col("vec_id").alias("n_id"),
+                      F.col("qvec").alias("cv"), F.col("qnorm2").alias("_n2b"),
+                      F.col("cluster").alias("n_cluster"))
+    queries = (q.filter(F.col("vec_id") < 10)
+               .select(F.col("vec_id").alias("q_id"),
+                       F.col("qvec").alias("qv"),
+                       F.col("qnorm2").alias("_n2a"),
+                       F.col("cluster").alias("q_cluster")))
+    pairs = (F.broadcast(queries).crossJoin(corpus)
+             .filter(F.col("q_cluster") != F.col("n_cluster"))
+             .withColumn("_dot", _dot("qv", "cv"))
+             .withColumn("c", F.expr(_COS)))
+    w = W.partitionBy("q_id").orderBy(F.col("c").desc(), F.col("n_id"))
+    return (pairs.withColumn("_rn", F.row_number().over(w))
+            .filter("_rn = 1")
+            .select("q_id", "q_cluster", "n_id", "n_cluster",
+                    F.round("c", 6).alias("cos")))
+
+
+def _oracle_hard_negative() -> str:
+    from .pipeline.cluster import kmeans_oracle_sql
+    km = kmeans_oracle_sql(k=8, iterations=2)
+    return (
+        f"WITH km AS ({km}), "
+        "n AS (SELECT vec_id, list_transform(embedding, "
+        "x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v "
+        "FROM embeddings), "
+        "nn AS (SELECT vec_id, v, "
+        "CAST(list_sum(list_transform(v, x -> x * x)) AS BIGINT) AS n2 "
+        "FROM n), "
+        "j AS (SELECT nn.vec_id, nn.v, nn.n2, km.cluster "
+        "FROM nn JOIN km USING (vec_id)), "
+        "p AS (SELECT a.vec_id AS q_id, a.cluster AS q_cluster, "
+        "b.vec_id AS n_id, b.cluster AS n_cluster, "
+        "CAST(CAST(list_sum(list_transform(generate_series(1, len(a.v)), "
+        "i -> a.v[i] * b.v[i])) AS BIGINT) AS DOUBLE) / "
+        "sqrt(CAST(a.n2 AS DOUBLE) * CAST(b.n2 AS DOUBLE)) AS c "
+        "FROM j a JOIN j b ON a.cluster <> b.cluster WHERE a.vec_id < 10) "
+        "SELECT q_id, q_cluster, n_id, n_cluster, round(c, 6) AS cos FROM p "
+        "QUALIFY row_number() OVER (PARTITION BY q_id "
+        "ORDER BY c DESC, n_id) <= 1")
+
+
+# ---------------------------------------------------------------------------
+# dangling-edge GC sweep
+# ---------------------------------------------------------------------------
+
+def q_store_orphan_gc(spark, sf_dir):
+    """Dangling-edge garbage collection: after a NON-cascaded vertex
+    delete (the crash-between-mutations state the reference's cascade
+    normally prevents — mutate/DeleteVerticesProcessor removes the
+    vertex row and its edges in one batch; a partial failure leaves
+    orphans), the GC sweep reports every placed edge with an
+    unresolvable endpoint. Two broadcast-able anti-join-shaped left
+    joins, no full-table compare."""
+    g = tpch_graph(spark, sf_dir)
+    cust = (g.vertices["customer"].filter(F.col(VID) % 13 != 0)
+            .select(F.col(VID).alias("c")))
+    orders = (g.vertices["order"].filter(F.col(VID) % 17 != 0)
+              .select(F.col(VID).alias("o")))
+    placed = g.edges["placed"].select(SRC, DST, "_rank")
+    marked = (placed
+              .join(cust.withColumn("src_ok", F.lit(1)),
+                    placed[SRC] == cust["c"], "left")
+              .join(orders.withColumn("dst_ok", F.lit(1)),
+                    placed[DST] == orders["o"], "left"))
+    return (marked
+            .filter("src_ok IS NULL OR dst_ok IS NULL")
+            .select(SRC, DST, "_rank",
+                    F.expr("CASE WHEN src_ok IS NULL AND dst_ok IS NULL "
+                           "THEN 'both' WHEN src_ok IS NULL THEN 'src' "
+                           "ELSE 'dst' END").alias("missing")))
+
+
+ORACLE_ORPHAN_GC = (
+    "WITH cust AS (SELECT c_custkey AS c FROM customer "
+    "WHERE c_custkey % 13 <> 0), "
+    "ords AS (SELECT o_orderkey AS o FROM orders "
+    "WHERE o_orderkey % 17 <> 0), "
+    "placed AS (SELECT o_custkey AS src, o_orderkey AS dst, "
+    "0 AS rnk FROM orders) "
+    "SELECT p.src AS _src, p.dst AS _dst, p.rnk AS _rank, "
+    "CASE WHEN c.c IS NULL AND o.o IS NULL THEN 'both' "
+    "WHEN c.c IS NULL THEN 'src' ELSE 'dst' END AS missing "
+    "FROM placed p LEFT JOIN cust c ON c.c = p.src "
+    "LEFT JOIN ords o ON o.o = p.dst "
+    "WHERE c.c IS NULL OR o.o IS NULL")
+
+
+# ---------------------------------------------------------------------------
 # bipartite butterfly (K2,2) counting
 # ---------------------------------------------------------------------------
 
@@ -1133,6 +1238,8 @@ EXT4_QUERIES = {
     "stream_late_data": q_stream_late_data,
     "ann_recall_eval": q_ann_recall_eval,
     "butterfly_count": q_butterfly_count,
+    "hard_negative_mining": q_hard_negative_mining,
+    "store_orphan_gc": q_store_orphan_gc,
     "node2vec_walks": q_node2vec_walks,
     "greedy_coloring": q_greedy_coloring,
     "betweenness_2hop": q_betweenness_2hop,
@@ -1168,6 +1275,8 @@ def build_ext4_oracles() -> dict[str, str]:
         "stream_late_data": ORACLE_LATE_DATA,
         "ann_recall_eval": _oracle_ann_recall(),
         "butterfly_count": ORACLE_BUTTERFLY,
+        "hard_negative_mining": _oracle_hard_negative(),
+        "store_orphan_gc": ORACLE_ORPHAN_GC,
         "closeness_centrality": _oracle_closeness(),
         "modularity_brands": ORACLE_MODULARITY,
         "bigram_lm_rarity": ORACLE_BIGRAM_LM,
