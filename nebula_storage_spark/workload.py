@@ -3542,7 +3542,7 @@ _ADDED_R03 = frozenset({
     "global_transitivity", "knn_pq_adc", "store_merkle_diff",
     "events_new_users_daily", "rfm_segments", "stream_late_data",
     "ann_recall_eval", "butterfly_count", "hard_negative_mining",
-    "store_orphan_gc",
+    "store_orphan_gc", "kcenter_init", "rendezvous_parts",
 })
 
 

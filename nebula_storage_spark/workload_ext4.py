@@ -762,6 +762,120 @@ ORACLE_NEW_USERS = (
 
 
 # ---------------------------------------------------------------------------
+# k-center (farthest-point) seeding — the deterministic k-means++ analog
+# ---------------------------------------------------------------------------
+
+def q_kcenter_init(spark, sf_dir):
+    """Farthest-point traversal (Gonzalez k-center, the deterministic
+    analog of k-means++ D² seeding): start from vec_id 0, then K-1
+    rounds of 'pick the point with the max exact integer distance² to
+    its nearest chosen center' (ties to the smallest id). Each round is
+    one broadcast distance pass + a 1-row TakeOrdered — the
+    scalable-init story for pipeline/cluster.py's first-k seeding.
+    Output: (center_idx, vec_id, d2_to_prev_centers)."""
+    from .workload_pipeline import _emb
+    k = 4
+    ivec = F.expr("transform(embedding, x -> "
+                  "CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))")
+    pts = (_emb(spark, sf_dir)
+           .select("vec_id", ivec.alias("v")).persist())
+    d2 = ("aggregate(zip_with(v, c, (x, y) -> (x - y) * (x - y)), "
+          "CAST(0 AS BIGINT), (acc, d) -> acc + d)")
+    centers = (pts.filter(F.col("vec_id") == 0)
+               .select(F.lit(0).alias("center_idx"), "vec_id",
+                       F.lit(0).cast("long").alias("d2"),
+                       F.col("v").alias("c")))
+    chosen = centers.localCheckpoint()
+    for r in range(1, k):
+        mind = (pts.crossJoin(F.broadcast(chosen.select("c")))
+                .select("vec_id", "v", F.expr(d2).alias("dd"))
+                .groupBy("vec_id")
+                .agg(F.min("dd").alias("mind"), F.first("v").alias("v")))
+        far = (mind.join(chosen.select("vec_id"), "vec_id", "left_anti")
+               .orderBy(F.desc("mind"), "vec_id").limit(1)
+               .select(F.lit(r).alias("center_idx"), "vec_id",
+                       F.col("mind").alias("d2"), F.col("v").alias("c")))
+        chosen = chosen.unionByName(far).localCheckpoint()
+    return chosen.select("center_idx", "vec_id", "d2")
+
+
+def _oracle_kcenter(k: int = 4) -> str:
+    d2 = ("list_sum(list_transform(list_zip(p.v, c.c), "
+          "s -> (s[1] - s[2]) * (s[1] - s[2])))")
+    parts = [
+        "pts AS MATERIALIZED (SELECT vec_id, list_transform(embedding, "
+        "x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v "
+        "FROM embeddings)",
+        "ch0 AS (SELECT 0 AS center_idx, vec_id, "
+        "CAST(0 AS BIGINT) AS d2, v AS c FROM pts WHERE vec_id = 0)",
+    ]
+    for r in range(1, k):
+        prev = " UNION ALL ".join(f"SELECT * FROM ch{i}" for i in range(r))
+        parts.append(
+            f"m{r} AS (SELECT p.vec_id, p.v, min({d2}) AS mind "
+            f"FROM pts p CROSS JOIN ({prev}) c GROUP BY p.vec_id, p.v)")
+        parts.append(
+            f"ch{r} AS (SELECT {r} AS center_idx, vec_id, mind AS d2, "
+            f"v AS c FROM m{r} WHERE vec_id NOT IN "
+            f"(SELECT vec_id FROM ({prev})) "
+            f"ORDER BY mind DESC, vec_id LIMIT 1)")
+    sel = " UNION ALL ".join(
+        f"SELECT center_idx, vec_id, d2 FROM ch{i}" for i in range(k))
+    return "WITH " + ",\n".join(parts) + "\n" + sel
+
+
+# ---------------------------------------------------------------------------
+# rendezvous (highest-random-weight) part assignment
+# ---------------------------------------------------------------------------
+
+def q_rendezvous_parts(spark, sf_dir):
+    """Elastic part placement: each customer vid lands on the part with
+    the highest md5(vid '#' part) weight (rendezvous hashing). The
+    reference pins vid -> part by modulo (utils/NebulaKeyUtils.h:97-99
+    getPart), so growing the cluster reshuffles nearly every key;
+    rendezvous moves only ~1/(P+1). Output: per-part row counts under
+    P=8 and the count of keys that MOVE when P grows to 9 — the
+    elasticity evidence, exact. One explode x P+1 + two aggregates."""
+    g = tpch_graph(spark, sf_dir)
+    vids = g.vertices["customer"].select(F.col(VID).alias("vid"))
+    h = ("CAST(conv(substring(md5(concat(CAST(vid AS STRING), '#', "
+         "CAST(p AS STRING))), 1, 15), 16, 10) AS BIGINT)")
+    w = (vids.select("vid", F.explode(F.expr(
+            "sequence(0, 8)")).alias("p"))
+         .withColumn("hw", F.expr(h)))
+    a8 = (w.filter("p < 8").groupBy("vid")
+          .agg(F.expr("max_by(p, struct(hw, p))").alias("part8")))
+    a9 = (w.groupBy("vid")
+          .agg(F.expr("max_by(p, struct(hw, p))").alias("part9")))
+    both = a8.join(a9, "vid")
+    per_part = both.groupBy(F.col("part8").alias("part")).agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum(F.expr("CASE WHEN part8 != part9 THEN 1 ELSE 0 END"))
+        .alias("moved_keys"))
+    return per_part
+
+
+ORACLE_RENDEZVOUS = (
+    "WITH vids AS (SELECT c_custkey AS vid FROM customer), "
+    "w AS (SELECT vid, p, "
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "list_transform(string_split(substr(md5(CAST(vid AS VARCHAR) || '#' || "
+    "CAST(p AS VARCHAR)), 1, 15), ''), "
+    "c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))), "
+    "(x, y) -> x * 16 + y) AS hw "
+    "FROM vids, (SELECT unnest(generate_series(0, 8)) AS p)), "
+    "a8 AS (SELECT vid, p AS part8 FROM w WHERE p < 8 "
+    "QUALIFY row_number() OVER (PARTITION BY vid "
+    "ORDER BY hw DESC, p DESC) = 1), "
+    "a9 AS (SELECT vid, p AS part9 FROM w "
+    "QUALIFY row_number() OVER (PARTITION BY vid "
+    "ORDER BY hw DESC, p DESC) = 1) "
+    "SELECT part8 AS part, count(*) AS n_keys, "
+    "sum(CASE WHEN part8 <> part9 THEN 1 ELSE 0 END) AS moved_keys "
+    "FROM a8 JOIN a9 USING (vid) GROUP BY part8")
+
+
+# ---------------------------------------------------------------------------
 # hard-negative mining (contrastive training pairs)
 # ---------------------------------------------------------------------------
 
@@ -1240,6 +1354,8 @@ EXT4_QUERIES = {
     "butterfly_count": q_butterfly_count,
     "hard_negative_mining": q_hard_negative_mining,
     "store_orphan_gc": q_store_orphan_gc,
+    "kcenter_init": q_kcenter_init,
+    "rendezvous_parts": q_rendezvous_parts,
     "node2vec_walks": q_node2vec_walks,
     "greedy_coloring": q_greedy_coloring,
     "betweenness_2hop": q_betweenness_2hop,
@@ -1277,6 +1393,8 @@ def build_ext4_oracles() -> dict[str, str]:
         "butterfly_count": ORACLE_BUTTERFLY,
         "hard_negative_mining": _oracle_hard_negative(),
         "store_orphan_gc": ORACLE_ORPHAN_GC,
+        "kcenter_init": _oracle_kcenter(),
+        "rendezvous_parts": ORACLE_RENDEZVOUS,
         "closeness_centrality": _oracle_closeness(),
         "modularity_brands": ORACLE_MODULARITY,
         "bigram_lm_rarity": ORACLE_BIGRAM_LM,
