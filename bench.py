@@ -63,6 +63,8 @@ HEADLINERS = [
     "greedy_coloring",    # Jones-Plassmann rounds (MIS-style joins)
     "basket_affinity",    # market-basket lift (HOF pairs + TakeOrdered)
     "betweenness_2hop",   # sigma-fraction betweenness (pair-key shuffle)
+    "bpe_train_merges",   # iterative BPE trainer (corpus read once)
+    "knn_pq_adc",         # product-quantization ADC scan
 ]
 
 

@@ -762,6 +762,45 @@ ORACLE_NEW_USERS = (
 
 
 # ---------------------------------------------------------------------------
+# embedding smoothing (1-round GNN-style neighbor aggregation)
+# ---------------------------------------------------------------------------
+
+def q_embedding_smoothing(spark, sf_dir):
+    """One round of neighbor feature aggregation (the GraphSAGE-mean /
+    label-smoothing primitive): for each of the first 10 vectors, the
+    element-wise truncating-integer mean of its exact top-5 cosine
+    neighbors' quantized vectors, reported per dimension. Composes the
+    gated knn_bruteforce edge set with a posexplode + (q_id, dim) hash
+    aggregate — vector math as columnar aggregation, no UDFs."""
+    from .pipeline.similarity import knn_bruteforce
+    from .workload_pipeline import KNN_QUERY_IDS, _emb
+    emb = _emb(spark, sf_dir)
+    nn = knn_bruteforce(emb, KNN_QUERY_IDS, k=5).select("q_id", "n_id")
+    ivec = F.expr("transform(embedding, x -> "
+                  "CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT))")
+    vecs = emb.select(F.col("vec_id").alias("n_id"), ivec.alias("v"))
+    return (nn.join(vecs, "n_id")
+            .select("q_id", F.posexplode("v").alias("dim", "x"))
+            .groupBy("q_id", "dim")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.expr("sum(x) DIV count(*)").alias("mean_q")))
+
+
+def _oracle_smoothing() -> str:
+    from .workload_pipeline import _oracle_knn_bruteforce
+    return (
+        f"WITH nn5 AS ({_oracle_knn_bruteforce()}), "
+        "vecs AS (SELECT vec_id AS n_id, list_transform(embedding, "
+        "x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v "
+        "FROM embeddings), "
+        "ex AS (SELECT nn5.q_id, t.i - 1 AS dim, vecs.v[t.i] AS x "
+        "FROM nn5 JOIN vecs USING (n_id), "
+        "UNNEST(generate_series(1, 64)) t(i)) "
+        "SELECT q_id, dim, count(*) AS n, sum(x) // count(*) AS mean_q "
+        "FROM ex GROUP BY q_id, dim")
+
+
+# ---------------------------------------------------------------------------
 # k-center (farthest-point) seeding — the deterministic k-means++ analog
 # ---------------------------------------------------------------------------
 
@@ -1356,6 +1395,7 @@ EXT4_QUERIES = {
     "store_orphan_gc": q_store_orphan_gc,
     "kcenter_init": q_kcenter_init,
     "rendezvous_parts": q_rendezvous_parts,
+    "embedding_smoothing": q_embedding_smoothing,
     "node2vec_walks": q_node2vec_walks,
     "greedy_coloring": q_greedy_coloring,
     "betweenness_2hop": q_betweenness_2hop,
@@ -1395,6 +1435,7 @@ def build_ext4_oracles() -> dict[str, str]:
         "store_orphan_gc": ORACLE_ORPHAN_GC,
         "kcenter_init": _oracle_kcenter(),
         "rendezvous_parts": ORACLE_RENDEZVOUS,
+        "embedding_smoothing": _oracle_smoothing(),
         "closeness_centrality": _oracle_closeness(),
         "modularity_brands": ORACLE_MODULARITY,
         "bigram_lm_rarity": ORACLE_BIGRAM_LM,
