@@ -482,3 +482,66 @@ def test_bpe_merge_freqs_are_non_increasing(spark, words):
     freqs = [r.freq for r in sorted(rows, key=lambda r: r.merge_idx)]
     assert freqs == sorted(freqs, reverse=True)
     assert len({(r.lhs, r.rhs) for r in rows}) == len(rows)
+
+
+@given(st.lists(st.tuples(st.integers(0, 30), st.integers(0, 6)),
+                min_size=2, max_size=25))
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_rendezvous_moves_land_only_on_the_new_part(spark, keys):
+    """Rendezvous hashing's elasticity invariant: growing P to P+1
+    moves a key ONLY to the new part (a key's winner among the old
+    parts is unchanged), so movement is bounded by the new part's
+    share."""
+    from pyspark.sql import functions as F
+    vids = spark.createDataFrame([(k,) for k, _ in keys],
+                                 "vid bigint").distinct()
+    h = ("CAST(conv(substring(md5(concat(CAST(vid AS STRING), '#', "
+         "CAST(p AS STRING))), 1, 15), 16, 10) AS BIGINT)")
+    w = (vids.select("vid", F.explode(F.expr("sequence(0, 4)")).alias("p"))
+         .withColumn("hw", F.expr(h)))
+    a4 = w.filter("p < 4").groupBy("vid").agg(
+        F.expr("max_by(p, struct(hw, p))").alias("old"))
+    a5 = w.groupBy("vid").agg(
+        F.expr("max_by(p, struct(hw, p))").alias("new"))
+    for r in a4.join(a5, "vid").collect():
+        assert r.old == r.new or r.new == 4
+
+
+def test_kcenter_distances_are_non_increasing(spark):
+    """Farthest-point traversal: each chosen center's distance to the
+    prior centers is <= the previous round's (the greedy 2-approx
+    guarantee's monotone core)."""
+    from nebula_storage_spark.workload_ext4 import q_kcenter_init
+    rows = sorted(q_kcenter_init(spark, "/root/testdata/sf0.001").collect(),
+                  key=lambda r: r.center_idx)
+    d2s = [r.d2 for r in rows[1:]]
+    assert d2s == sorted(d2s, reverse=True)
+
+
+@given(st.lists(st.tuples(st.integers(0, 8), st.integers(100, 105)),
+                min_size=1, max_size=30))
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_butterfly_equals_naive_k22_enumeration(spark, edges):
+    """The wedge-aggregation butterfly count equals brute-force K2,2
+    enumeration over distinct bipartite edges."""
+    from itertools import combinations
+    from pyspark.sql import functions as F
+    es = sorted(set(edges))
+    naive = 0
+    parts = sorted({p for p, _ in es})
+    for p1, p2 in combinations(parts, 2):
+        shared = len({s for p, s in es if p == p1}
+                     & {s for p, s in es if p == p2})
+        naive += shared * (shared - 1) // 2
+    ps = spark.createDataFrame(es, "p bigint, s bigint").distinct()
+    grouped = ps.groupBy("s").agg(F.sort_array(F.collect_set("p")).alias("xs"))
+    got = (grouped.select(F.explode(F.expr(
+        "flatten(transform(xs, (x, i) -> "
+        "transform(slice(xs, i + 2, size(xs) - i - 1), "
+        "y -> struct(x AS a, y AS b))))")).alias("e"))
+        .groupBy("e.a", "e.b").agg(F.count(F.lit(1)).alias("shared"))
+        .agg(F.coalesce(F.sum(F.expr("shared * (shared - 1) DIV 2")),
+                        F.lit(0)).alias("bf"))).first().bf
+    assert got == naive
