@@ -91,6 +91,24 @@ def main() -> None:
     # which folly's loop likewise excludes, and the third run absorbs
     # GC-pause outliers on the heavy pipeline queries (observed ±1 s
     # run-to-run on a loaded host).
+    def rewarm():
+        # Per-query persisted frames otherwise accumulate across 40+
+        # headliners and the storage-memory/GC pressure inflates the
+        # LATE queries' numbers 3-6x (measured: kmeans 0.69 s fresh vs
+        # 4.4 s at position 27). Clearing between queries makes each
+        # number order-independent. clearCache also unregisters the
+        # resident store's persist markers, so re-persist them (the
+        # two hot edge frames re-materialize here, outside the timers;
+        # the rest re-cache during each query's first repetition,
+        # which best-of-3 absorbs — per-query warmness comes from the
+        # repetitions, not cross-query cache survival).
+        spark.catalog.clearCache()
+        for df in (*g.vertices.values(), *g.edges.values(),
+                   *g.reverse_edges.values()):
+            df.persist()
+        for etype in ("placed", "contains"):
+            g.edges[etype].count()
+
     timings: dict[str, float] = {}
     for name in HEADLINERS:
         best = float("inf")
@@ -100,6 +118,7 @@ def main() -> None:
             df.write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 4)
+        rewarm()
 
     print(json.dumps({
         "metric": "headline_queries_total",
