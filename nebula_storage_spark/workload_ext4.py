@@ -762,6 +762,58 @@ ORACLE_NEW_USERS = (
 
 
 # ---------------------------------------------------------------------------
+# FIND PATH: path-string reconstruction over the SSSP parent tree
+# ---------------------------------------------------------------------------
+
+def q_find_path_strings(spark, sf_dir):
+    """FIND SHORTEST PATH parity (the graphd surface served by the
+    reference's GetNeighbors chain): reconstruct the actual
+    '->'-joined vertex paths from customer 1 to the 5 nearest
+    part-layer vertices by walking the deterministic sssp parent tree
+    4 hops — K parent-hop joins of a 5-row frame against the tree, the
+    same plan at any graph size."""
+    from .workload import q_sssp_parent_tree
+    tree = q_sssp_parent_tree(spark, sf_dir).persist()
+    targets = (tree.filter(F.col("node") >= 20_000_000)
+               .orderBy("dist", "node").limit(5)
+               .select(F.col("node").alias("target"), "dist"))
+    state = targets.select(
+        "target", "dist", F.col("target").alias("cur"),
+        F.col("target").cast("string").alias("path"))
+    hop = tree.select(F.col("node").alias("cur"), "parent")
+    for _ in range(4):
+        state = (state.join(hop, "cur", "left")
+                 .select("target", "dist",
+                         F.expr("CASE WHEN parent IS NULL OR parent = cur "
+                                "THEN cur ELSE parent END").alias("cur"),
+                         F.expr("CASE WHEN parent IS NULL OR parent = cur "
+                                "THEN path ELSE concat(CAST(parent AS "
+                                "STRING), '->', path) END").alias("path")))
+    return state.select("target", "dist", "path")
+
+
+def _oracle_find_path() -> str:
+    from .workload import ORACLE_EXT
+    parts = [
+        f"tree AS MATERIALIZED ({ORACLE_EXT['sssp_parent_tree']})",
+        "tg AS (SELECT node AS target, dist FROM tree "
+        "WHERE node >= 20000000 ORDER BY dist, node LIMIT 5)",
+        "s0 AS (SELECT target, dist, target AS cur, "
+        "CAST(target AS VARCHAR) AS path FROM tg)",
+    ]
+    for i in range(4):
+        parts.append(
+            f"s{i+1} AS (SELECT s.target, s.dist, "
+            f"CASE WHEN t.parent IS NULL OR t.parent = s.cur "
+            f"THEN s.cur ELSE t.parent END AS cur, "
+            f"CASE WHEN t.parent IS NULL OR t.parent = s.cur "
+            f"THEN s.path ELSE CAST(t.parent AS VARCHAR) || '->' || s.path "
+            f"END AS path FROM s{i} s LEFT JOIN tree t ON t.node = s.cur)")
+    return ("WITH " + ",\n".join(parts)
+            + "\nSELECT target, dist, path FROM s4")
+
+
+# ---------------------------------------------------------------------------
 # embedding smoothing (1-round GNN-style neighbor aggregation)
 # ---------------------------------------------------------------------------
 
@@ -1396,6 +1448,7 @@ EXT4_QUERIES = {
     "kcenter_init": q_kcenter_init,
     "rendezvous_parts": q_rendezvous_parts,
     "embedding_smoothing": q_embedding_smoothing,
+    "find_path_strings": q_find_path_strings,
     "node2vec_walks": q_node2vec_walks,
     "greedy_coloring": q_greedy_coloring,
     "betweenness_2hop": q_betweenness_2hop,
@@ -1436,6 +1489,7 @@ def build_ext4_oracles() -> dict[str, str]:
         "kcenter_init": _oracle_kcenter(),
         "rendezvous_parts": ORACLE_RENDEZVOUS,
         "embedding_smoothing": _oracle_smoothing(),
+        "find_path_strings": _oracle_find_path(),
         "closeness_centrality": _oracle_closeness(),
         "modularity_brands": ORACLE_MODULARITY,
         "bigram_lm_rarity": ORACLE_BIGRAM_LM,
