@@ -1164,3 +1164,32 @@ def test_ext4_plans_have_no_global_window_or_cartesian(spark, sf_dir):
                 .executedPlan().toString())
         assert "CartesianProduct" not in plan, q.__name__
         assert not unpartitioned.search(plan), q.__name__
+
+
+def test_find_path_strings_are_valid_weighted_paths(spark, sf_dir):
+    """Every reconstructed path must start at the source, follow real
+    edges of the weighted 3-layer graph, and its weight sum must equal
+    the reported shortest distance."""
+    from nebula_storage_spark.graph import DST, SRC, tpch_graph
+    from nebula_storage_spark.workload_ext4 import q_find_path_strings
+    g = tpch_graph(spark, sf_dir)
+    placed = g.edges["placed"].select(
+        F.col(SRC).alias("a"), (F.col(DST) + 10_000_000).alias("b"),
+        F.lit(1).cast("long").alias("w"))
+    contains = g.edges["contains"].select(
+        (F.col(SRC) + 10_000_000).alias("a"),
+        (F.col(DST) + 20_000_000).alias("b"),
+        F.col("l_quantity").cast("long").alias("w"))
+    fwd = placed.unionByName(contains)
+    und = fwd.unionByName(fwd.select(F.col("b").alias("a"),
+                                     F.col("a").alias("b"), "w"))
+    wmap = {(r.a, r.b): r.w for r in und.collect()}
+    for r in q_find_path_strings(spark, sf_dir).collect():
+        hops = [int(x) for x in r.path.split("->")]
+        assert hops[0] == 1, r.path                  # source
+        assert hops[-1] == r.target
+        total = 0
+        for a, b in zip(hops, hops[1:]):
+            assert (a, b) in wmap, (a, b)
+            total += wmap[(a, b)]
+        assert total == r.dist, r.path
