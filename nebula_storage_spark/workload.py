@@ -3543,7 +3543,7 @@ _ADDED_R03 = frozenset({
     "events_new_users_daily", "rfm_segments", "stream_late_data",
     "ann_recall_eval", "butterfly_count", "hard_negative_mining",
     "store_orphan_gc", "kcenter_init", "rendezvous_parts",
-    "embedding_smoothing", "find_path_strings",
+    "embedding_smoothing", "find_path_strings", "dedup_semantic_rerank",
 })
 
 

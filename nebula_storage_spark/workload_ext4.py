@@ -762,6 +762,57 @@ ORACLE_NEW_USERS = (
 
 
 # ---------------------------------------------------------------------------
+# semantic dedup rerank (MinHash recall x embedding precision)
+# ---------------------------------------------------------------------------
+
+def q_dedup_semantic_rerank(spark, sf_dir):
+    """The modern two-stage semantic dedup: MinHash-LSH candidate
+    pairs (lexical recall) re-scored by the exact embedding cosine
+    (semantic precision) — pairs survive when EITHER signal is strong
+    (jaccard >= 0.5 came from the LSH verify; cosine adds the
+    paraphrase dimension the shingle overlap can't see). One broadcast
+    join of the candidate pairs against the quantized vectors; the
+    cosine is the same single-IEEE-expression recipe as the knn
+    family."""
+    from .pipeline.dedup import minhash_lsh_pairs
+    from .pipeline.similarity import _COS, _dot, quantize_embeddings
+    from .workload_pipeline import _docs, _emb
+    pairs = minhash_lsh_pairs(_docs(spark, sf_dir), n=3, num_hashes=12,
+                              bands=4, rows=3, threshold_x10000=5000)
+    q = quantize_embeddings(_emb(spark, sf_dir)).select(
+        "vec_id", "qvec", "qnorm2")
+    return (pairs
+            .join(q.select(F.col("vec_id").alias("id_a"),
+                           F.col("qvec").alias("qv"),
+                           F.col("qnorm2").alias("_n2a")), "id_a")
+            .join(q.select(F.col("vec_id").alias("id_b"),
+                           F.col("qvec").alias("cv"),
+                           F.col("qnorm2").alias("_n2b")), "id_b")
+            .withColumn("_dot", _dot("qv", "cv"))
+            .select("id_a", "id_b", "jaccard_x10000",
+                    F.round(F.expr(_COS), 6).alias("cos")))
+
+
+def _oracle_semantic_rerank() -> str:
+    from .workload_pipeline import _oracle_minhash_lsh
+    return (
+        f"WITH lsh AS ({_oracle_minhash_lsh()}), "
+        "nv AS (SELECT vec_id, list_transform(embedding, "
+        "x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v "
+        "FROM embeddings), "
+        "nn AS (SELECT vec_id, v, "
+        "CAST(list_sum(list_transform(v, x -> x * x)) AS BIGINT) AS n2 "
+        "FROM nv) "
+        "SELECT lsh.id_a, lsh.id_b, lsh.jaccard_x10000, "
+        "round(CAST(CAST(list_sum(list_transform("
+        "generate_series(1, len(a.v)), i -> a.v[i] * b.v[i])) AS BIGINT) "
+        "AS DOUBLE) / sqrt(CAST(a.n2 AS DOUBLE) * CAST(b.n2 AS DOUBLE)), 6) "
+        "AS cos "
+        "FROM lsh JOIN nn a ON a.vec_id = lsh.id_a "
+        "JOIN nn b ON b.vec_id = lsh.id_b")
+
+
+# ---------------------------------------------------------------------------
 # FIND PATH: path-string reconstruction over the SSSP parent tree
 # ---------------------------------------------------------------------------
 
@@ -1449,6 +1500,7 @@ EXT4_QUERIES = {
     "rendezvous_parts": q_rendezvous_parts,
     "embedding_smoothing": q_embedding_smoothing,
     "find_path_strings": q_find_path_strings,
+    "dedup_semantic_rerank": q_dedup_semantic_rerank,
     "node2vec_walks": q_node2vec_walks,
     "greedy_coloring": q_greedy_coloring,
     "betweenness_2hop": q_betweenness_2hop,
@@ -1490,6 +1542,7 @@ def build_ext4_oracles() -> dict[str, str]:
         "rendezvous_parts": ORACLE_RENDEZVOUS,
         "embedding_smoothing": _oracle_smoothing(),
         "find_path_strings": _oracle_find_path(),
+        "dedup_semantic_rerank": _oracle_semantic_rerank(),
         "closeness_centrality": _oracle_closeness(),
         "modularity_brands": ORACLE_MODULARITY,
         "bigram_lm_rarity": ORACLE_BIGRAM_LM,
