@@ -762,6 +762,100 @@ ORACLE_NEW_USERS = (
 
 
 # ---------------------------------------------------------------------------
+# ANALYZE TABLE: per-column statistics profile
+# ---------------------------------------------------------------------------
+
+def q_analyze_table_stats(spark, sf_dir):
+    """ANALYZE-TABLE statistics collection over lineitem — the
+    cost-based-optimizer food the reference's StatisTask
+    (admin/StatisTask.h) only gathers at row granularity: per column,
+    row count, null count, exact distinct count, and integer min/max
+    (money in cents, dates as epoch days). One pass per column batch;
+    every stat is a plain aggregate, so the profile parallelizes like
+    any scan."""
+    g = tpch_graph(spark, sf_dir)
+    li = g.edges["contains"]
+    cols = {
+        "l_quantity": F.col("l_quantity").cast("decimal(18,2)")
+        .cast("bigint"),
+        "l_extendedprice": (F.col("l_extendedprice")
+                            .cast("decimal(18,2)") * 100).cast("bigint"),
+        "l_returnflag_len": F.length("l_returnflag").cast("bigint"),
+        "l_shipdate_day": F.datediff(
+            F.to_date("l_shipdate"), F.lit("1970-01-01")).cast("bigint"),
+    }
+    outs = []
+    for name, expr in cols.items():
+        c = li.select(expr.alias("x"))
+        outs.append(c.agg(
+            F.lit(name).alias("column"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.expr("CASE WHEN x IS NULL THEN 1 ELSE 0 END"))
+            .alias("n_nulls"),
+            F.countDistinct("x").alias("ndv"),
+            F.min("x").alias("min_v"), F.max("x").alias("max_v")))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+ORACLE_ANALYZE = (
+    "WITH b AS (SELECT "
+    "CAST(CAST(l_quantity AS DECIMAL(18,2)) AS BIGINT) AS q, "
+    "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS ep, "
+    "CAST(len(l_returnflag) AS BIGINT) AS rf, "
+    "CAST(date_diff('day', DATE '1970-01-01', "
+    "CAST(l_shipdate AS DATE)) AS BIGINT) AS sd FROM lineitem) "
+    "SELECT 'l_quantity' AS \"column\", count(*) AS n_rows, "
+    "sum(CASE WHEN q IS NULL THEN 1 ELSE 0 END) AS n_nulls, "
+    "count(DISTINCT q) AS ndv, min(q) AS min_v, max(q) AS max_v FROM b "
+    "UNION ALL SELECT 'l_extendedprice', count(*), "
+    "sum(CASE WHEN ep IS NULL THEN 1 ELSE 0 END), count(DISTINCT ep), "
+    "min(ep), max(ep) FROM b "
+    "UNION ALL SELECT 'l_returnflag_len', count(*), "
+    "sum(CASE WHEN rf IS NULL THEN 1 ELSE 0 END), count(DISTINCT rf), "
+    "min(rf), max(rf) FROM b "
+    "UNION ALL SELECT 'l_shipdate_day', count(*), "
+    "sum(CASE WHEN sd IS NULL THEN 1 ELSE 0 END), count(DISTINCT sd), "
+    "min(sd), max(sd) FROM b")
+
+
+# ---------------------------------------------------------------------------
+# event-type trigram sequence mining
+# ---------------------------------------------------------------------------
+
+def q_event_type_trigrams(spark, sf_dir):
+    """Top-20 3-step behavioral sequences: per user in (ts, event_id)
+    order, every consecutive event-type trigram, counted corpus-wide —
+    the sequence-mining extension of events_markov_transitions
+    (first-order transitions can't see 'view->click->purchase' as a
+    unit). Per-user lead() windows + one hash aggregate +
+    TakeOrderedAndProject."""
+    ev = load_events(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    tri = (ev.select(
+        F.col("event_type").alias("t1"),
+        F.lead("event_type", 1).over(w).alias("t2"),
+        F.lead("event_type", 2).over(w).alias("t3"))
+        .filter("t2 IS NOT NULL AND t3 IS NOT NULL"))
+    return (tri.groupBy("t1", "t2", "t3")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.desc("n"), "t1", "t2", "t3").limit(20))
+
+
+ORACLE_TRIGRAMS = (
+    "WITH s AS (SELECT event_type AS t1, "
+    "lead(event_type, 1) OVER (PARTITION BY user_id "
+    "ORDER BY ts, event_id) AS t2, "
+    "lead(event_type, 2) OVER (PARTITION BY user_id "
+    "ORDER BY ts, event_id) AS t3 FROM events) "
+    "SELECT t1, t2, t3, count(*) AS n FROM s "
+    "WHERE t2 IS NOT NULL AND t3 IS NOT NULL GROUP BY t1, t2, t3 "
+    "ORDER BY n DESC, t1, t2, t3 LIMIT 20")
+
+
+# ---------------------------------------------------------------------------
 # semantic dedup rerank (MinHash recall x embedding precision)
 # ---------------------------------------------------------------------------
 
@@ -1501,6 +1595,8 @@ EXT4_QUERIES = {
     "embedding_smoothing": q_embedding_smoothing,
     "find_path_strings": q_find_path_strings,
     "dedup_semantic_rerank": q_dedup_semantic_rerank,
+    "analyze_table_stats": q_analyze_table_stats,
+    "event_type_trigrams": q_event_type_trigrams,
     "node2vec_walks": q_node2vec_walks,
     "greedy_coloring": q_greedy_coloring,
     "betweenness_2hop": q_betweenness_2hop,
@@ -1543,6 +1639,8 @@ def build_ext4_oracles() -> dict[str, str]:
         "embedding_smoothing": _oracle_smoothing(),
         "find_path_strings": _oracle_find_path(),
         "dedup_semantic_rerank": _oracle_semantic_rerank(),
+        "analyze_table_stats": ORACLE_ANALYZE,
+        "event_type_trigrams": ORACLE_TRIGRAMS,
         "closeness_centrality": _oracle_closeness(),
         "modularity_brands": ORACLE_MODULARITY,
         "bigram_lm_rarity": ORACLE_BIGRAM_LM,
