@@ -3544,7 +3544,8 @@ _ADDED_R03 = frozenset({
     "ann_recall_eval", "butterfly_count", "hard_negative_mining",
     "store_orphan_gc", "kcenter_init", "rendezvous_parts",
     "embedding_smoothing", "find_path_strings", "dedup_semantic_rerank",
-    "analyze_table_stats", "event_type_trigrams",
+    "analyze_table_stats", "event_type_trigrams", "cluster_top_terms",
+    "degree_log_histogram",
 })
 
 

@@ -762,6 +762,104 @@ ORACLE_NEW_USERS = (
 
 
 # ---------------------------------------------------------------------------
+# cluster labeling: top distinctive terms per k-means cluster
+# ---------------------------------------------------------------------------
+
+def q_cluster_top_terms(spark, sf_dir):
+    """Human-readable labels for the embedding clusters: per k-means
+    cluster, the top-3 tokens by the integer lift score
+    (cluster_tf * corpus_total) DIV (cluster_total * corpus_tf) x1000
+    (>1000 = over-represented in the cluster), min support 5 — the
+    topic-labeling step after kmeans_embeddings. Per-cluster top-3 is
+    a WindowGroupLimit over the (cluster, token) aggregate."""
+    from .pipeline.cluster import kmeans_fixed
+    from .workload_pipeline import _docs, _emb
+    clus = (kmeans_fixed(_emb(spark, sf_dir), k=8, iterations=2)
+            .select(F.col("vec_id").alias("doc_id"), "cluster"))
+    tok = (_docs(spark, sf_dir)
+           .select("doc_id", F.explode(F.split("text", " ")).alias("t"))
+           .join(clus, "doc_id"))
+    ct = (tok.groupBy("cluster", "t").agg(F.count(F.lit(1)).alias("ctf"))
+          .filter(F.col("ctf") >= 5))
+    corpus = tok.groupBy("t").agg(F.count(F.lit(1)).alias("tf"))
+    ctot = tok.groupBy("cluster").agg(F.count(F.lit(1)).alias("ctot"))
+    tot = tok.agg(F.count(F.lit(1)).alias("n"))
+    scored = (ct.join(corpus, "t").join(F.broadcast(ctot), "cluster")
+              .crossJoin(F.broadcast(tot))
+              .select("cluster", "t", "ctf",
+                      F.expr("(ctf * n * 1000) DIV (ctot * tf)")
+                      .alias("lift_x1000")))
+    w = W.partitionBy("cluster").orderBy(
+        F.desc("lift_x1000"), F.desc("ctf"), "t")
+    return (scored.withColumn("rn", F.row_number().over(w))
+            .filter("rn <= 3")
+            .select("cluster", F.col("rn").alias("rank"), "t",
+                    "ctf", "lift_x1000"))
+
+
+def _oracle_cluster_terms() -> str:
+    from .pipeline.cluster import kmeans_oracle_sql
+    return (
+        f"WITH km AS ({kmeans_oracle_sql(k=8, iterations=2)}), "
+        "tok AS (SELECT d.doc_id, km.cluster, "
+        "unnest(string_split(d.text, ' ')) AS t "
+        "FROM documents d JOIN km ON km.vec_id = d.doc_id), "
+        "ct AS (SELECT cluster, t, count(*) AS ctf FROM tok "
+        "GROUP BY cluster, t HAVING count(*) >= 5), "
+        "corpus AS (SELECT t, count(*) AS tf FROM tok GROUP BY t), "
+        "ctot AS (SELECT cluster, count(*) AS ctot FROM tok "
+        "GROUP BY cluster), "
+        "tot AS (SELECT count(*) AS n FROM tok), "
+        "scored AS (SELECT ct.cluster, ct.t, ct.ctf, "
+        "(ct.ctf * tot.n * 1000) // (ctot.ctot * corpus.tf) AS lift_x1000 "
+        "FROM ct JOIN corpus USING (t) JOIN ctot USING (cluster) "
+        "CROSS JOIN tot) "
+        "SELECT cluster, rn AS rank, t, ctf, lift_x1000 FROM ("
+        "SELECT *, row_number() OVER (PARTITION BY cluster "
+        "ORDER BY lift_x1000 DESC, ctf DESC, t) AS rn FROM scored) "
+        "WHERE rn <= 3")
+
+
+# ---------------------------------------------------------------------------
+# log-binned degree histogram (power-law evidence)
+# ---------------------------------------------------------------------------
+
+def q_degree_log_histogram(spark, sf_dir):
+    """Log2-binned degree distribution of the co-order projection —
+    the heavy-tail evidence behind every skew mitigation in this
+    engine (salting, AQE skew join, degree-ordered orientation): bin
+    floor(log2(deg)) via the integer bit-length trick, counts plus
+    the per-bin min/max degree. Two hash aggregates, no floats."""
+    pairs = _co_order_pairs(spark, sf_dir).distinct()
+    und = pairs.union(pairs.select(F.col(DST).alias(SRC),
+                                   F.col(SRC).alias(DST)))
+    deg = und.groupBy(SRC).agg(F.count(F.lit(1)).alias("deg"))
+    # floor(log2(d)) for BIGINT d >= 1 == 63 - leading zeros; express
+    # engine-portably by comparing against powers of two in one CASE
+    bin_expr = "CASE " + " ".join(
+        f"WHEN deg < {1 << (b + 1)} THEN {b}" for b in range(31)
+    ) + " ELSE 31 END"
+    return (deg.select(F.expr(bin_expr).alias("log2_bin"), "deg")
+            .groupBy("log2_bin")
+            .agg(F.count(F.lit(1)).alias("n_nodes"),
+                 F.min("deg").alias("min_deg"),
+                 F.max("deg").alias("max_deg")))
+
+
+def _oracle_degree_log_hist() -> str:
+    bin_expr = "CASE " + " ".join(
+        f"WHEN deg < {1 << (b + 1)} THEN {b}" for b in range(31)
+    ) + " ELSE 31 END"
+    return (
+        f"WITH p AS (SELECT DISTINCT src, dst FROM ({_ORACLE_CO_PAIRS})), "
+        "b AS (SELECT src FROM p UNION ALL SELECT dst FROM p), "
+        "d AS (SELECT src, count(*) AS deg FROM b GROUP BY src) "
+        f"SELECT {bin_expr} AS log2_bin, count(*) AS n_nodes, "
+        "min(deg) AS min_deg, max(deg) AS max_deg "
+        f"FROM d GROUP BY {bin_expr}")
+
+
+# ---------------------------------------------------------------------------
 # ANALYZE TABLE: per-column statistics profile
 # ---------------------------------------------------------------------------
 
@@ -1597,6 +1695,8 @@ EXT4_QUERIES = {
     "dedup_semantic_rerank": q_dedup_semantic_rerank,
     "analyze_table_stats": q_analyze_table_stats,
     "event_type_trigrams": q_event_type_trigrams,
+    "cluster_top_terms": q_cluster_top_terms,
+    "degree_log_histogram": q_degree_log_histogram,
     "node2vec_walks": q_node2vec_walks,
     "greedy_coloring": q_greedy_coloring,
     "betweenness_2hop": q_betweenness_2hop,
@@ -1641,6 +1741,8 @@ def build_ext4_oracles() -> dict[str, str]:
         "dedup_semantic_rerank": _oracle_semantic_rerank(),
         "analyze_table_stats": ORACLE_ANALYZE,
         "event_type_trigrams": ORACLE_TRIGRAMS,
+        "cluster_top_terms": _oracle_cluster_terms(),
+        "degree_log_histogram": _oracle_degree_log_hist(),
         "closeness_centrality": _oracle_closeness(),
         "modularity_brands": ORACLE_MODULARITY,
         "bigram_lm_rarity": ORACLE_BIGRAM_LM,
