@@ -3545,7 +3545,7 @@ _ADDED_R03 = frozenset({
     "store_orphan_gc", "kcenter_init", "rendezvous_parts",
     "embedding_smoothing", "find_path_strings", "dedup_semantic_rerank",
     "analyze_table_stats", "event_type_trigrams", "cluster_top_terms",
-    "degree_log_histogram",
+    "degree_log_histogram", "embedding_robust_scale", "greedy_set_cover",
 })
 
 

@@ -762,6 +762,119 @@ ORACLE_NEW_USERS = (
 
 
 # ---------------------------------------------------------------------------
+# per-dimension robust scaling stats (median / IQR, exact order stats)
+# ---------------------------------------------------------------------------
+
+def q_embedding_robust_scale(spark, sf_dir):
+    """Robust-scaler fit over the embedding matrix: per dimension, the
+    exact lower-median and lower-quartile order statistics (ranks
+    (n+1) DIV 2, (n+3) DIV 4, (3n+1) DIV 4 in quantized-int order, id
+    ties) — the outlier-insensitive normalization fit, integer-exact
+    where mean/std would drift per engine. One posexplode + windows
+    PARTITIONED BY dim (64 bounded groups)."""
+    from .workload_pipeline import _emb
+    ivec = F.expr("transform(embedding, x -> "
+                  "CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))")
+    ex = (_emb(spark, sf_dir).select("vec_id", ivec.alias("v"))
+          .select("vec_id", F.posexplode("v").alias("dim", "x")))
+    wd = W.partitionBy("dim")
+    r = (ex.withColumn("rn", F.row_number().over(
+            wd.orderBy("x", "vec_id")))
+         .withColumn("n", F.count(F.lit(1)).over(wd)))
+    return (r.filter(F.expr(
+        "rn = (n + 1) DIV 2 OR rn = (n + 3) DIV 4 OR rn = (3 * n + 1) DIV 4"))
+        .groupBy("dim")
+        .agg(F.expr("max(CASE WHEN rn = (n + 1) DIV 2 THEN x END)")
+             .alias("median_q"),
+             F.expr("max(CASE WHEN rn = (n + 3) DIV 4 THEN x END)")
+             .alias("p25_q"),
+             F.expr("max(CASE WHEN rn = (3 * n + 1) DIV 4 THEN x END)")
+             .alias("p75_q"))
+        .select("dim", "median_q", "p25_q", "p75_q",
+                (F.col("p75_q") - F.col("p25_q")).alias("iqr_q")))
+
+
+ORACLE_ROBUST_SCALE = (
+    "WITH ex AS (SELECT vec_id, t.i - 1 AS dim, v[t.i] AS x FROM "
+    "(SELECT vec_id, list_transform(embedding, "
+    "x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v "
+    "FROM embeddings), UNNEST(generate_series(1, 64)) t(i)), "
+    "r AS (SELECT *, row_number() OVER (PARTITION BY dim "
+    "ORDER BY x, vec_id) AS rn, "
+    "count(*) OVER (PARTITION BY dim) AS n FROM ex) "
+    "SELECT dim, "
+    "max(CASE WHEN rn = (n + 1) // 2 THEN x END) AS median_q, "
+    "max(CASE WHEN rn = (n + 3) // 4 THEN x END) AS p25_q, "
+    "max(CASE WHEN rn = (3 * n + 1) // 4 THEN x END) AS p75_q, "
+    "max(CASE WHEN rn = (3 * n + 1) // 4 THEN x END) "
+    "- max(CASE WHEN rn = (n + 3) // 4 THEN x END) AS iqr_q "
+    "FROM r WHERE rn = (n + 1) // 2 OR rn = (n + 3) // 4 "
+    "OR rn = (3 * n + 1) // 4 GROUP BY dim")
+
+
+# ---------------------------------------------------------------------------
+# distributed greedy set cover (coverage-driven selection)
+# ---------------------------------------------------------------------------
+
+def q_greedy_set_cover(spark, sf_dir):
+    """Greedy set cover, 3 unrolled rounds: pick the supplier covering
+    the most still-uncovered parts (ties to the smallest supplier),
+    remove its parts, repeat — the ln(n)-approximation whose
+    marginal-gain round IS one hash aggregate + a 1-row TakeOrdered,
+    the same shape data-selection pipelines use for coverage-driven
+    corpus curation. Output: (round, supplier, gain, covered_total)."""
+    g = tpch_graph(spark, sf_dir)
+    ps = (g.edges["supplied_by"]
+          .select(F.col(DST).alias("s"), F.col(SRC).alias("p")).distinct()
+          .persist())
+    uncovered = ps
+    picks = []
+    for r in range(3):
+        gain = (uncovered.groupBy("s").agg(F.count(F.lit(1)).alias("g"))
+                .orderBy(F.desc("g"), "s").limit(1)
+                .select(F.lit(r).alias("round"),
+                        F.col("s").alias("supplier"),
+                        F.col("g").alias("gain")).localCheckpoint())
+        picks.append(gain)
+        chosen_parts = (ps.join(gain.select(F.col("supplier").alias("s")),
+                                "s").select("p").distinct())
+        uncovered = uncovered.join(chosen_parts, "p", "left_anti")
+    out = picks[0]
+    for pdf in picks[1:]:
+        out = out.unionByName(pdf)
+    # running covered total over the 3-row picks frame: triangular join
+    run = (out.alias("a")
+           .join(F.broadcast(out.alias("b")),
+                 F.col("b.round") <= F.col("a.round"))
+           .groupBy(F.col("a.round").alias("round"))
+           .agg(F.first("a.supplier").alias("supplier"),
+                F.first("a.gain").alias("gain"),
+                F.sum("b.gain").alias("covered_total")))
+    return run
+
+
+def _oracle_set_cover() -> str:
+    parts = [
+        "ps AS MATERIALIZED (SELECT DISTINCT l_suppkey AS s, "
+        "l_partkey AS p FROM lineitem)",
+        "u0 AS (SELECT * FROM ps)",
+    ]
+    for r in range(3):
+        parts.append(
+            f"g{r} AS (SELECT {r} AS round, s AS supplier, count(*) AS gain "
+            f"FROM u{r} GROUP BY s ORDER BY gain DESC, s LIMIT 1)")
+        parts.append(
+            f"u{r+1} AS (SELECT u.* FROM u{r} u WHERE u.p NOT IN "
+            f"(SELECT p FROM ps JOIN g{r} ON ps.s = g{r}.supplier))")
+    sel = " UNION ALL ".join(f"SELECT * FROM g{i}" for i in range(3))
+    return ("WITH " + ",\n".join(parts) + ", picks AS (" + sel + ") "
+            "SELECT a.round, first(a.supplier) AS supplier, "
+            "first(a.gain) AS gain, sum(b.gain) AS covered_total "
+            "FROM picks a JOIN picks b ON b.round <= a.round "
+            "GROUP BY a.round")
+
+
+# ---------------------------------------------------------------------------
 # cluster labeling: top distinctive terms per k-means cluster
 # ---------------------------------------------------------------------------
 
@@ -1697,6 +1810,8 @@ EXT4_QUERIES = {
     "event_type_trigrams": q_event_type_trigrams,
     "cluster_top_terms": q_cluster_top_terms,
     "degree_log_histogram": q_degree_log_histogram,
+    "embedding_robust_scale": q_embedding_robust_scale,
+    "greedy_set_cover": q_greedy_set_cover,
     "node2vec_walks": q_node2vec_walks,
     "greedy_coloring": q_greedy_coloring,
     "betweenness_2hop": q_betweenness_2hop,
@@ -1743,6 +1858,8 @@ def build_ext4_oracles() -> dict[str, str]:
         "event_type_trigrams": ORACLE_TRIGRAMS,
         "cluster_top_terms": _oracle_cluster_terms(),
         "degree_log_histogram": _oracle_degree_log_hist(),
+        "embedding_robust_scale": ORACLE_ROBUST_SCALE,
+        "greedy_set_cover": _oracle_set_cover(),
         "closeness_centrality": _oracle_closeness(),
         "modularity_brands": ORACLE_MODULARITY,
         "bigram_lm_rarity": ORACLE_BIGRAM_LM,
