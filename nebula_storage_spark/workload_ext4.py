@@ -762,6 +762,94 @@ ORACLE_NEW_USERS = (
 
 
 # ---------------------------------------------------------------------------
+# vocabulary coverage curve (tokenizer sizing)
+# ---------------------------------------------------------------------------
+
+def q_vocab_coverage_curve(spark, sf_dir):
+    """Tokenizer-sizing curve: what fraction of the token stream the
+    top-k vocabulary covers, for k in {10, 100, 1000} — the
+    out-of-vocabulary budget a tokenizer design trades against. Each
+    top-k is TakeOrderedAndProject (never a global rank window) + one
+    sum; coverage is exact integer x1e6."""
+    from .workload_pipeline import _docs
+    tok = (_docs(spark, sf_dir)
+           .select(F.explode(F.split("text", " ")).alias("t")))
+    counts = tok.groupBy("t").agg(F.count(F.lit(1)).alias("c")).persist()
+    total = counts.agg(F.sum("c").alias("n"))
+    outs = []
+    for k in (10, 100, 1000):
+        topk = (counts.orderBy(F.desc("c"), "t").limit(k)
+                .agg(F.lit(k).alias("k"),
+                     F.count(F.lit(1)).alias("vocab_used"),
+                     F.sum("c").alias("covered")))
+        outs.append(topk)
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return (out.crossJoin(F.broadcast(total))
+            .select("k", "vocab_used", "covered",
+                    F.expr("(1000000 * covered) DIV n")
+                    .alias("coverage_x1e6")))
+
+
+ORACLE_VOCAB_COVERAGE = (
+    "WITH tok AS (SELECT unnest(string_split(text, ' ')) AS t "
+    "FROM documents), "
+    "counts AS (SELECT t, count(*) AS c FROM tok GROUP BY t), "
+    "tot AS (SELECT sum(c) AS n FROM counts), "
+    "r AS (SELECT c, row_number() OVER (ORDER BY c DESC, t) AS rn "
+    "FROM counts) "
+    "SELECT k, count(*) AS vocab_used, sum(c) AS covered, "
+    "(1000000 * sum(c)) // first(n) AS coverage_x1e6 "
+    "FROM r CROSS JOIN tot CROSS JOIN "
+    "(SELECT unnest([10, 100, 1000]) AS k) ks "
+    "WHERE rn <= k GROUP BY k")
+
+
+# ---------------------------------------------------------------------------
+# churn detection over the event stream
+# ---------------------------------------------------------------------------
+
+def q_user_churn_flags(spark, sf_dir):
+    """Churn segmentation: a user is churned when their last event
+    is more than a full day before the corpus's last event (one idle
+    day at the stream tail). Epoch-second integer cutoff from the
+    global max scalar row; output per (churned, active-day bucket):
+    user counts and total events — the retention counterpart of
+    events_new_users_daily."""
+    ev = load_events(spark, sf_dir)
+    per = (ev.groupBy("user_id")
+           .agg(F.min(F.unix_timestamp("ts")).alias("first_es"),
+                F.max(F.unix_timestamp("ts")).alias("last_es"),
+                F.count(F.lit(1)).alias("n_events")))
+    span = per.agg(F.min("first_es").alias("lo"),
+                   F.max("last_es").alias("hi"))
+    return (per.crossJoin(F.broadcast(span))
+            .select("user_id", "n_events",
+                    F.expr("CASE WHEN last_es < hi - 86400 "
+                           "THEN 1 ELSE 0 END").alias("churned"),
+                    F.expr("(last_es - first_es) DIV 86400")
+                    .alias("active_days"))
+            .groupBy("churned")
+            .agg(F.count(F.lit(1)).alias("n_users"),
+                 F.sum("n_events").alias("n_events"),
+                 F.expr("sum(active_days) DIV count(*)")
+                 .alias("avg_active_days")))
+
+
+ORACLE_CHURN = (
+    "WITH per AS (SELECT user_id, "
+    "CAST(floor(epoch(min(ts))) AS BIGINT) AS first_es, "
+    "CAST(floor(epoch(max(ts))) AS BIGINT) AS last_es, "
+    "count(*) AS n_events FROM events GROUP BY user_id), "
+    "span AS (SELECT min(first_es) AS lo, max(last_es) AS hi FROM per) "
+    "SELECT CASE WHEN last_es < hi - 86400 THEN 1 ELSE 0 END "
+    "AS churned, count(*) AS n_users, sum(n_events) AS n_events, "
+    "sum((last_es - first_es) // 86400) // count(*) AS avg_active_days "
+    "FROM per CROSS JOIN span GROUP BY 1")
+
+
+# ---------------------------------------------------------------------------
 # per-dimension robust scaling stats (median / IQR, exact order stats)
 # ---------------------------------------------------------------------------
 
@@ -1812,6 +1900,8 @@ EXT4_QUERIES = {
     "degree_log_histogram": q_degree_log_histogram,
     "embedding_robust_scale": q_embedding_robust_scale,
     "greedy_set_cover": q_greedy_set_cover,
+    "vocab_coverage_curve": q_vocab_coverage_curve,
+    "user_churn_flags": q_user_churn_flags,
     "node2vec_walks": q_node2vec_walks,
     "greedy_coloring": q_greedy_coloring,
     "betweenness_2hop": q_betweenness_2hop,
@@ -1860,6 +1950,8 @@ def build_ext4_oracles() -> dict[str, str]:
         "degree_log_histogram": _oracle_degree_log_hist(),
         "embedding_robust_scale": ORACLE_ROBUST_SCALE,
         "greedy_set_cover": _oracle_set_cover(),
+        "vocab_coverage_curve": ORACLE_VOCAB_COVERAGE,
+        "user_churn_flags": ORACLE_CHURN,
         "closeness_centrality": _oracle_closeness(),
         "modularity_brands": ORACLE_MODULARITY,
         "bigram_lm_rarity": ORACLE_BIGRAM_LM,
