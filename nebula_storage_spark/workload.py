@@ -3546,7 +3546,8 @@ _ADDED_R03 = frozenset({
     "embedding_smoothing", "find_path_strings", "dedup_semantic_rerank",
     "analyze_table_stats", "event_type_trigrams", "cluster_top_terms",
     "degree_log_histogram", "embedding_robust_scale", "greedy_set_cover",
-    "vocab_coverage_curve", "user_churn_flags",
+    "vocab_coverage_curve", "user_churn_flags", "shard_balance_audit",
+    "dedup_jaccard_histogram",
 })
 
 

@@ -762,6 +762,68 @@ ORACLE_NEW_USERS = (
 
 
 # ---------------------------------------------------------------------------
+# shard balance audit (packing quality of training_shards)
+# ---------------------------------------------------------------------------
+
+def q_shard_balance_audit(spark, sf_dir):
+    """Packing-quality audit of training_shards: per-shard doc and
+    token totals plus the global balance spread (max_tokens x1e6 DIV
+    min_tokens over FULL shards — the last, partial shard is excluded
+    from the spread the way a training run drops its ragged tail).
+    One aggregate over the shard assignment."""
+    shards = q_training_shards(spark, sf_dir)
+    per = (shards.groupBy("shard_id")
+           .agg(F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_tokens").alias("tok")))
+    last = per.agg(F.max("shard_id").alias("last_id"))
+    spread = (per.crossJoin(F.broadcast(last))
+              .filter("shard_id < last_id")
+              .agg(F.expr("(1000000 * max(tok)) DIV min(tok)")
+                   .alias("spread_x1e6")))
+    return (per.crossJoin(F.broadcast(spread))
+            .select("shard_id", "n_docs", F.col("tok").alias("n_tokens"),
+                    "spread_x1e6"))
+
+
+def _oracle_shard_balance() -> str:
+    return (
+        f"WITH s AS ({ORACLE_SHARDS}), "
+        "per AS (SELECT shard_id, count(*) AS n_docs, "
+        "sum(n_tokens) AS tok FROM s GROUP BY shard_id), "
+        "last AS (SELECT max(shard_id) AS last_id FROM per), "
+        "sp AS (SELECT (1000000 * max(tok)) // min(tok) AS spread_x1e6 "
+        "FROM per CROSS JOIN last WHERE shard_id < last_id) "
+        "SELECT shard_id, n_docs, tok AS n_tokens, spread_x1e6 "
+        "FROM per CROSS JOIN sp")
+
+
+# ---------------------------------------------------------------------------
+# dedup candidate quality histogram
+# ---------------------------------------------------------------------------
+
+def q_dedup_jaccard_histogram(spark, sf_dir):
+    """Quality profile of the MinHash-LSH candidate set: verified
+    Jaccard similarities bucketed by decile — the precision evidence
+    behind the banding parameters (most survivors should sit in the
+    high buckets; a flat histogram means the bands are too loose). One
+    aggregate over the gated pair frame."""
+    from .pipeline.dedup import minhash_lsh_pairs
+    from .workload_pipeline import _docs
+    pairs = minhash_lsh_pairs(_docs(spark, sf_dir), n=3, num_hashes=12,
+                              bands=4, rows=3, threshold_x10000=5000)
+    return (pairs
+            .select(F.expr("jaccard_x10000 DIV 1000").alias("decile"))
+            .groupBy("decile").agg(F.count(F.lit(1)).alias("n_pairs")))
+
+
+def _oracle_jaccard_hist() -> str:
+    from .workload_pipeline import _oracle_minhash_lsh
+    return (f"WITH lsh AS ({_oracle_minhash_lsh()}) "
+            "SELECT jaccard_x10000 // 1000 AS decile, "
+            "count(*) AS n_pairs FROM lsh GROUP BY decile")
+
+
+# ---------------------------------------------------------------------------
 # vocabulary coverage curve (tokenizer sizing)
 # ---------------------------------------------------------------------------
 
@@ -1902,6 +1964,8 @@ EXT4_QUERIES = {
     "greedy_set_cover": q_greedy_set_cover,
     "vocab_coverage_curve": q_vocab_coverage_curve,
     "user_churn_flags": q_user_churn_flags,
+    "shard_balance_audit": q_shard_balance_audit,
+    "dedup_jaccard_histogram": q_dedup_jaccard_histogram,
     "node2vec_walks": q_node2vec_walks,
     "greedy_coloring": q_greedy_coloring,
     "betweenness_2hop": q_betweenness_2hop,
@@ -1952,6 +2016,8 @@ def build_ext4_oracles() -> dict[str, str]:
         "greedy_set_cover": _oracle_set_cover(),
         "vocab_coverage_curve": ORACLE_VOCAB_COVERAGE,
         "user_churn_flags": ORACLE_CHURN,
+        "shard_balance_audit": _oracle_shard_balance(),
+        "dedup_jaccard_histogram": _oracle_jaccard_hist(),
         "closeness_centrality": _oracle_closeness(),
         "modularity_brands": ORACLE_MODULARITY,
         "bigram_lm_rarity": ORACLE_BIGRAM_LM,
