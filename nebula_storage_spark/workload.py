@@ -751,6 +751,41 @@ def q_scc_components(spark, sf_dir):
     return scc_components(edges, rounds=8)
 
 
+def q_scc_coloring(spark, sf_dir):
+    """Whole-graph SCC via the COLORING algorithm
+    (analytics.scc_coloring) — the UNCAPPED companion to
+    scc_components: the same derived successor-cycle graph over ALL
+    users (no user_id cap), plus a DAG chain linking each grp's minimum
+    user to the next grp's so the SCC DAG has real levels and the peel
+    runs multiple outer rounds. Output is O(V) (node, scc_id); the
+    O(V²) reachability closure never materializes — total rounds are
+    O(SCC-DAG levels · log diameter). The oracle is algorithm-
+    independent: WITH RECURSIVE exact closure + mutual-min."""
+    from .operators.analytics import scc_coloring
+    ev = load_events(spark, sf_dir)
+    firsts = (ev.select("event_type", (F.col("user_id") % 4).alias("grp"),
+                        "user_id", "ts")
+              .groupBy("event_type", "grp", "user_id")
+              .agg(F.min("ts").alias("first_ts")))
+    w = W.partitionBy("event_type", "grp").orderBy("first_ts", "user_id")
+    wn = W.partitionBy("event_type", "grp")
+    ranked = firsts.select("event_type", "grp", "user_id",
+                           F.row_number().over(w).alias("rn"),
+                           F.count(F.lit(1)).over(wn).alias("n"))
+    a, b = ranked.alias("a"), ranked.alias("b")
+    cyc = (a.join(b, (F.col("a.event_type") == F.col("b.event_type"))
+                  & (F.col("a.grp") == F.col("b.grp"))
+                  & (F.col("b.rn") == F.col("a.rn") % F.col("a.n") + 1))
+           .select(F.col("a.user_id").alias(SRC),
+                   F.col("b.user_id").alias(DST)))
+    mins = (ev.select((F.col("user_id") % 4).alias("grp"), "user_id")
+            .groupBy("grp").agg(F.min("user_id").alias("mu")))
+    chain = (mins.alias("x")
+             .join(mins.alias("y"), F.col("y.grp") == F.col("x.grp") + 1)
+             .select(F.col("x.mu").alias(SRC), F.col("y.mu").alias(DST)))
+    return scc_coloring(cyc.unionByName(chain).distinct())
+
+
 def q_hll_incremental(spark, sf_dir):
     """Incremental sketch maintenance: HLL registers computed on 80% of
     the events ("stored"), registers on the 20% delta, merged by
@@ -1805,8 +1840,12 @@ def q_stats_variance(spark, sf_dir):
     """Exact population variance/stddev per group (AggregateNode stat
     family beyond sum/avg/min/max): quantity as exact integer units, then
     varp = (n·Σx² − (Σx)²) div n² — pure int64 until one final IEEE
-    sqrt/round. At extreme scale the two sums promote to DECIMAL(38,0)
-    (same formula); int64 here covers ≥ sf10."""
+    sqrt. stddev ships as BIGINT stddev_x1e6 = floor(1e6·sqrt(D/n²))
+    because floor/sqrt/÷/× are correctly-rounded IEEE ops (bit-identical
+    in any engine) while round(double, k) is implementation-defined —
+    the r3 driver hash miss traced to exactly that DuckDB round() ULP
+    skew. D ≤ n²·max(x)² stays under 2^53 through ~sf1; beyond that the
+    two sums promote to DECIMAL(38,0) (same formula)."""
     g = tpch_graph(spark, sf_dir)
     li = g.edges["contains"]
     x = F.col("l_quantity").cast("decimal(18,2)").cast("bigint")
@@ -1817,9 +1856,9 @@ def q_stats_variance(spark, sf_dir):
     return agg.select(
         "l_returnflag", "n",
         F.expr("(n * s2 - s1 * s1) DIV (n * n)").alias("varp_units"),
-        F.round(F.expr(
-            "sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE) / CAST(n * n AS DOUBLE))"),
-            6).alias("stddev"))
+        F.expr(
+            "CAST(FLOOR(1000000.0 * sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE) "
+            "/ CAST(n * n AS DOUBLE))) AS BIGINT)").alias("stddev_x1e6"))
 
 
 def q_running_total(spark, sf_dir):
@@ -2329,6 +2368,32 @@ m AS (SELECT fw.src AS node, fw.dst AS peer FROM tc fw
       UNION ALL SELECT node, node FROM nodes)
 SELECT node, min(peer) AS scc_id FROM m GROUP BY node"""
 
+ORACLE_EXT["scc_coloring"] = """
+WITH RECURSIVE f AS (SELECT event_type, user_id % 4 AS grp, user_id,
+    min(ts) AS first_ts FROM events
+  GROUP BY event_type, user_id % 4, user_id),
+r AS (SELECT event_type, grp, user_id,
+    row_number() OVER (PARTITION BY event_type, grp
+                       ORDER BY first_ts, user_id) AS rn,
+    count(*) OVER (PARTITION BY event_type, grp) AS n FROM f),
+mins AS (SELECT user_id % 4 AS grp, min(user_id) AS mu FROM events
+  GROUP BY user_id % 4),
+e AS (SELECT DISTINCT src, dst FROM (
+  SELECT a.user_id AS src, b.user_id AS dst
+    FROM r a JOIN r b ON a.event_type = b.event_type AND a.grp = b.grp
+    AND b.rn = a.rn % a.n + 1
+  UNION ALL
+  SELECT x.mu AS src, y.mu AS dst FROM mins x
+    JOIN mins y ON y.grp = x.grp + 1)),
+e2 AS (SELECT src, dst FROM e WHERE src <> dst),
+tc AS (SELECT src, dst FROM e2
+  UNION SELECT tc.src, e2.dst FROM tc JOIN e2 ON tc.dst = e2.src),
+nodes AS (SELECT src AS node FROM e2 UNION SELECT dst FROM e2),
+m AS (SELECT fw.src AS node, fw.dst AS peer FROM tc fw
+      JOIN tc bw ON fw.src = bw.dst AND fw.dst = bw.src
+      UNION ALL SELECT node, node FROM nodes)
+SELECT node, min(peer) AS scc_id FROM m GROUP BY node"""
+
 ORACLE_EXT["cms_token_counts"] = _oracle_cms()
 ORACLE_EXT["bloom_vocab_probe"] = _oracle_bloom()
 ORACLE_EXT["hof_surface"] = """
@@ -2551,8 +2616,8 @@ ORACLE_EXT["stats_variance"] = (
     "CAST(CAST(l_quantity AS DECIMAL(18,2)) AS BIGINT)) AS s2 "
     "FROM lineitem GROUP BY l_returnflag) "
     "SELECT l_returnflag, n, (n * s2 - s1 * s1) // (n * n) AS varp_units, "
-    "round(sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE) / CAST(n * n AS DOUBLE)), 6) "
-    "AS stddev FROM a")
+    "CAST(FLOOR(1000000.0 * sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE) "
+    "/ CAST(n * n AS DOUBLE))) AS BIGINT) AS stddev_x1e6 FROM a")
 ORACLE_EXT["running_total"] = (
     "SELECT o_custkey AS _src, o_orderkey AS _dst, "
     "CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) "
@@ -3510,7 +3575,35 @@ _DRIVER_GREEN_R02 = frozenset({
     "walk_skipgrams", "weighted_sample_docs",
 })
 
-_DRIVER_GREEN = _DRIVER_GREEN_R01 | _DRIVER_GREEN_R02
+# Round-3 driver rows (CORRECTNESS_r03.json). `stats_variance` was the one
+# red row (hash_match=false on the old round(double,6) stddev column) —
+# fixed in round 4 to an integer-exact stddev_x1e6, so it is deliberately
+# EXCLUDED here to be re-sampled first and earn a fresh green row.
+_DRIVER_GREEN_R03 = frozenset({
+    "anti_join_no_urgent", "bfs_distances", "bucketed_join",
+    "common_neighbors", "connected_components", "corpus_curation",
+    "cube_revenue", "datetime_surface", "dedup_ngram_pruned",
+    "degree_quantiles", "events_props_json", "fetch_multi_tag", "go_1_to_n",
+    "go_expr", "go_in_projected", "go_multi_tag", "go_stats_salted",
+    "go_stats_with_limit", "go_two_hop", "index_rebuild_edge", "k_core",
+    "label_propagation", "lang_confusion", "lookup_edge_index",
+    "lookup_null", "neighbor_jaccard", "preferential_attachment",
+    "range_click_attribution", "resource_allocation", "rollup_revenue",
+    "running_total", "scan_edge_page", "source_csv_roundtrip",
+    "source_json_roundtrip", "source_orc_roundtrip",
+    "source_partitioned_pruning", "sssp_distances", "store_checkpoint",
+    "store_roundtrip", "stream_cdc_upsert", "stream_dedup",
+    "stream_stateful_count", "string_surface", "subgraph", "tpch_q18",
+    "tpch_q4_semi", "tpch_q6", "triangle_counts", "vocab_topk",
+})
+
+_DRIVER_GREEN = _DRIVER_GREEN_R01 | _DRIVER_GREEN_R02 | _DRIVER_GREEN_R03
+
+# Queries first registered in round 4 — ordered after the never-checked
+# round-1..3 queries (which must drain first) but before the greens.
+_ADDED_R04: frozenset = frozenset({
+    "scc_coloring", "ft_index_incremental", "time_surface",
+})
 
 # Queries first registered in round 3 — ordered AFTER the long-waiting
 # round-1/2 queries that still lack any driver CORRECTNESS row, so the
@@ -3559,9 +3652,17 @@ def build_queries() -> dict[str, Query]:
     out.update(_core_queries())
     out.update(EXT3_QUERIES)
     out.update(EXT4_QUERIES)
-    ordered = {k: v for k, v in out.items()
-               if k not in _DRIVER_GREEN and k not in _ADDED_R03}
-    ordered.update({k: v for k, v in out.items() if k in _ADDED_R03})
+    # insertion order = driver sampling priority: (1) stats_variance (the
+    # r3 red row, now fixed — needs a fresh green record), (2) queries with
+    # no driver CORRECTNESS row yet, oldest registrations first, (3) new
+    # round-4 queries, (4) everything already driver-green.
+    ordered = {k: out[k] for k in ("stats_variance",) if k in out}
+    ordered.update({k: v for k, v in out.items()
+                    if k not in _DRIVER_GREEN and k not in _ADDED_R03
+                    and k not in _ADDED_R04 and k not in ordered})
+    ordered.update({k: v for k, v in out.items()
+                    if k in _ADDED_R03 and k not in _DRIVER_GREEN})
+    ordered.update({k: v for k, v in out.items() if k in _ADDED_R04})
     ordered.update({k: v for k, v in out.items() if k in _DRIVER_GREEN})
     return ordered
 
@@ -3612,6 +3713,7 @@ def _core_queries() -> dict[str, Query]:
         "hll_distinct_users": q_hll_distinct_users,
         "hll_incremental": q_hll_incremental,
         "scc_components": q_scc_components,
+        "scc_coloring": q_scc_coloring,
         "price_size_correlation": q_price_size_correlation,
         "zorder_pruning": q_zorder_pruning,
         "index_incremental": q_index_incremental,

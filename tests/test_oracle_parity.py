@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import datetime as dt
 import math
+import struct
 from collections import Counter
 
 import pytest
@@ -20,7 +21,9 @@ def _canon_val(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
-        return round(v, 4)
+        # Bit-exact (matches the driver's hash strictness — round(v, 4)
+        # let the r3 stats_variance ULP divergence pass locally).
+        return struct.pack(">d", v)
     if isinstance(v, dt.datetime):
         return v.replace(tzinfo=None).isoformat()
     if isinstance(v, dt.date):

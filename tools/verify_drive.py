@@ -11,6 +11,7 @@ from __future__ import annotations
 import datetime as dt
 import math
 import os
+import struct
 import sys
 from collections import Counter
 
@@ -26,7 +27,11 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 def canon(v):
     if isinstance(v, float):
-        return "nan" if math.isnan(v) else round(v, 4)
+        # Bit-exact: the driver hashes raw values, so any canon looser
+        # than the IEEE bits (e.g. round(v, 4)) can pass locally what
+        # the driver's hash fails — exactly how the r3 stats_variance
+        # red row slipped through.
+        return "nan" if math.isnan(v) else struct.pack(">d", v)
     if isinstance(v, dt.datetime):
         return v.replace(tzinfo=None).isoformat()
     if isinstance(v, dt.date):
