@@ -65,6 +65,7 @@ HEADLINERS = [
     "betweenness_2hop",   # sigma-fraction betweenness (pair-key shuffle)
     "bpe_train_merges",   # iterative BPE trainer (corpus read once)
     "knn_pq_adc",         # product-quantization ADC scan
+    "scc_coloring",       # trim/color/peel SCC (pointer doubling rounds)
 ]
 
 

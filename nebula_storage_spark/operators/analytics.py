@@ -895,11 +895,17 @@ def _min_label_fixpoint(e: DataFrame, nodes: DataFrame,
     sound on a DIRECTED graph: label(v)=u means u→*v and label(u)=w
     means w→*u, so w→*v — each round therefore doubles the reach and
     fixpoint lands in O(log diameter) rounds. Convergence is detected
-    by counting changed labels on the already-materialized round frame.
+    by counting changed labels on the already-materialized round frame;
+    raises if max_rounds is exhausted while labels are still changing
+    (2^max_rounds reach — silently returning unconverged labels would
+    let scc_coloring split an SCC, r4 advice).
     """
     labels = (nodes.select("node", F.col("node").alias("label"))
               .localCheckpoint())
+    changed = 0
+    rounds_run = 0
     for _ in range(max_rounds):
+        rounds_run += 1
         nbr = (e.join(labels, e[SRC] == labels["node"])
                .select(F.col(DST).alias("node"), "label"))
         lol = (labels.alias("x")
@@ -915,7 +921,20 @@ def _min_label_fixpoint(e: DataFrame, nodes: DataFrame,
         labels = new
         if changed == 0:
             break
+    if changed != 0:
+        raise RuntimeError(
+            f"_min_label_fixpoint: no fixpoint within {max_rounds} rounds "
+            f"({changed} labels still changing); raise max_rounds "
+            f"(reach is 2^rounds, so the graph's min-ancestor distance "
+            f"exceeds 2^{max_rounds})")
+    SCC_STATS["fixpoint_rounds"].append(rounds_run)
     return labels
+
+
+# Round telemetry for the most recent scc_coloring run — lets the bench
+# record the measured O(levels·log diameter) claim instead of arguing it
+# in prose (PLANS.md §scc_coloring). Reset at each scc_coloring entry.
+SCC_STATS: dict[str, list[int]] = {"fixpoint_rounds": [], "outer": []}
 
 
 def scc_coloring(edges: DataFrame, max_outer: int = 64,
@@ -948,13 +967,16 @@ def scc_coloring(edges: DataFrame, max_outer: int = 64,
     guaranteed; raises if max_outer is exhausted rather than return a
     silently partial answer.
     """
+    SCC_STATS["fixpoint_rounds"].clear()
+    SCC_STATS["outer"].clear()
     cur = (edges.select(SRC, DST).filter(F.col(SRC) != F.col(DST))
            .distinct().localCheckpoint())
     remaining = (cur.select(F.col(SRC).alias("node"))
                  .union(cur.select(F.col(DST).alias("node")))
                  .distinct().localCheckpoint())
     done: list[DataFrame] = []
-    for _ in range(max_outer):
+    for _outer in range(max_outer):
+        SCC_STATS["outer"].append(_outer + 1)
         # 1. trim to fixpoint
         while True:
             srcs = cur.select(F.col(SRC).alias("node")).distinct()

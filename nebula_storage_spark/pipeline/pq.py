@@ -104,7 +104,8 @@ def pq_adc_topk(emb: DataFrame, n_queries: int = 3, subspaces: int = 4,
     w = W.partitionBy("q_id").orderBy("est_d2", "vec_id")
     return (est.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= topk)
-            .select("q_id", "vec_id", "est_d2", "rank"))
+            .select("q_id", "vec_id", "est_d2",
+                    F.col("rank").cast("bigint").alias("rank")))
 
 
 def pq_adc_oracle_sql(n_queries: int = 3, subspaces: int = 4, k: int = 4,

@@ -121,7 +121,8 @@ def quality_filter(docs: DataFrame, text_col: str = "text",
     ))
     return (out.withColumn("fail_csv", F.array_join(reasons, ","))
             .withColumn("passes", F.col("fail_csv") == "")
-            .select(id_col, "n_tokens", "distinct_ratio_x100",
+            .select(id_col, F.col("n_tokens").cast("bigint").alias("n_tokens"),
+                    "distinct_ratio_x100",
                     "symbol_ratio_x100", "fail_csv", "passes"))
 
 

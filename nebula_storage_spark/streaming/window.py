@@ -254,11 +254,21 @@ def stream_late_data(spark: SparkSession, sf_dir: str,
         F.min(F.unix_timestamp("ts")).alias("lo"),
         F.max(F.unix_timestamp("ts")).alias("hi")).first()
     lo, hi = int(lohi.lo), int(lohi.hi)
+    # the drop/finalize boundary is only meaningful when the event span
+    # comfortably exceeds the watermark delay + window: a degenerate
+    # span would stage empty batches and "pass" while pinning nothing
+    if hi - lo < 4 * 3600:
+        raise ValueError(
+            f"stream_late_data: event span {hi - lo}s < 4h — the "
+            f"quartile staging needs >= 4 windows to exercise the "
+            f"watermark drop boundary")
     cut = (lo + hi) // 2
     cut2 = (lo + cut) // 2
     es = F.unix_timestamp("ts")
     tag = os.path.basename(sf_dir.rstrip("/"))
-    root = f"/tmp/nebula_stream_late/{tag}"
+    # per-process staging root: concurrent drives (driver gate + bench +
+    # pytest) at the same sf_dir must not clobber each other's feed dirs
+    root = f"/tmp/nebula_stream_late/{tag}_{os.getpid()}"
     shutil.rmtree(root, ignore_errors=True)
     stage = f"{root}/stage"
     feed = f"{root}/feed"

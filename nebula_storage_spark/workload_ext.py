@@ -52,7 +52,8 @@ def q_tpch_q9_shape(spark, sf_dir):
             .join(F.broadcast(nation), F.col("s_nationkey") == F.col("nk"))
             .select(F.col(VID).alias("l_suppkey"), "n_name"))
     orders = g.edge_df("placed").select(
-        F.col(DST).alias("orderkey"), F.year("o_orderdate").alias("o_year"))
+        F.col(DST).alias("orderkey"),
+        F.year("o_orderdate").cast("bigint").alias("o_year"))
     li = g.edge_df("contains").select(
         F.col(SRC).alias("orderkey"), F.col(DST).alias("partkey"),
         "l_suppkey",
@@ -376,6 +377,53 @@ ORACLE_BM25 = (
     "FROM tf JOIN df USING (token) JOIN dl ON tf.doc_id = dl.doc_id, s) "
     "SELECT doc_id, sum(term_score) AS score FROM scored "
     "GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 15")
+
+
+def q_ft_index_incremental(spark, sf_dir):
+    """RebuildFTIndexTask analog (admin/RebuildFTIndexTask.cpp: rebuild
+    the fulltext index from a snapshot, then drain the op-log buffered
+    during the scan): the inverted file is a PERSISTED (token, doc_id)
+    postings projection bucketed by token hash; the snapshot misses
+    every 7th doc; the op-log then adds those docs' postings and deletes
+    every 5th doc's postings (delete-after-add wins, reference op-log
+    order).  The op-log entry for a delete carries the doc's encoded
+    index keys — its tokens — exactly as the reference buffers encoded
+    FT keys, so each delta row knows its bucket and the catch-up is ONE
+    dynamic-partition-overwrite touching only the token buckets the
+    delta hashes to (O(|delta| + touched buckets) at 100 TB, same
+    posture as `index_incremental`).  Query: boolean AND retrieval of
+    {dup, vector} over the updated index; oracle = the same retrieval
+    over the post-op document set (live docs = doc_id % 5 != 0)."""
+    import os
+    from nebula_storage_spark.operators.index_rebuild import (
+        apply_index_delta, rebuild_index_bucketed)
+    docs = _docs(spark, sf_dir)
+    postings = (docs.select("doc_id",
+                            F.explode(F.split("text", " ")).alias("token"))
+                .distinct().select("token", "doc_id"))
+    path = (f"/tmp/nebula_spark_ft_incr/"
+            f"{os.path.basename(sf_dir.rstrip('/'))}")
+    rebuild_index_bucketed(
+        postings.filter(F.col("doc_id") % 7 != 0), ["token"], path,
+        include_cols=["doc_id"])
+    adds = postings.filter(F.col("doc_id") % 7 == 0)
+    dels = postings.filter(F.col("doc_id") % 5 == 0)
+    idx = apply_index_delta(spark, path, adds, dels, ["token"],
+                            key_col="doc_id")
+    terms = ["dup", "vector"]
+    hits = (idx.filter(F.col("token").isin(*terms))
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("nterms"))
+            .filter(F.col("nterms") == len(terms)))
+    return (hits.join(docs.select("doc_id", "source"), "doc_id")
+            .select("doc_id", "source"))
+
+
+ORACLE_FT_INCR = (
+    "SELECT doc_id, source FROM documents "
+    "WHERE doc_id % 5 <> 0 "
+    "AND list_contains(string_split(text, ' '), 'dup') "
+    "AND list_contains(string_split(text, ' '), 'vector')")
 
 
 # ---------------------------------------------------------------------------
@@ -997,6 +1045,7 @@ EXT3_QUERIES = {
     "scd2_history": q_scd2_history,
     "store_compaction": q_store_compaction,
     "inverted_index_search": q_inverted_index_search,
+    "ft_index_incremental": q_ft_index_incremental,
     "bm25_topk": q_bm25_topk,
     "dedup_fuzzy": q_dedup_fuzzy,
     "stream_enrich": q_stream_enrich,
@@ -1029,6 +1078,7 @@ def build_ext3_oracles() -> dict[str, str]:
         "scd2_history": ORACLE_SCD2,
         "store_compaction": ORACLE_COMPACTION,
         "inverted_index_search": ORACLE_INVERTED,
+        "ft_index_incremental": ORACLE_FT_INCR,
         "bm25_topk": ORACLE_BM25,
         "dedup_fuzzy": ORACLE_DEDUP_FUZZY,
         "stream_enrich": ORACLE_STREAM_ENRICH,

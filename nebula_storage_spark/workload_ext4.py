@@ -197,7 +197,11 @@ def q_basket_affinity(spark, sf_dir):
             .join(cnt.withColumnsRenamed({"p": "p2", "cnt": "cnt2"}), "p2")
             .crossJoin(F.broadcast(n))
             .select("p1", "p2", "co_cnt", "cnt1", "cnt2",
-                    F.expr("co_cnt * n_orders * 1000 DIV (cnt1 * cnt2)")
+                    # co_cnt*n_orders*1000 ~ 1e23 at the 100 TB design
+                    # point: accumulate in DECIMAL(38,0), emit BIGINT
+                    F.expr("CAST(CAST(co_cnt AS DECIMAL(38,0)) * n_orders "
+                           "* 1000 DIV (CAST(cnt1 AS DECIMAL(38,0)) * cnt2)"
+                           " AS BIGINT)")
                     .alias("lift_x1000"))
             .orderBy(F.desc("lift_x1000"), "p1", "p2").limit(20))
 
@@ -212,7 +216,8 @@ ORACLE_BASKET = (
     "cnt AS (SELECT p, count(*) AS cnt FROM li GROUP BY p), "
     "n AS (SELECT count(DISTINCT o) AS n_orders FROM li) "
     "SELECT p1, p2, co_cnt, c1.cnt AS cnt1, c2.cnt AS cnt2, "
-    "co_cnt * n_orders * 1000 // (c1.cnt * c2.cnt) AS lift_x1000 "
+    "CAST(CAST(co_cnt AS HUGEINT) * n_orders * 1000 "
+    "// (CAST(c1.cnt AS HUGEINT) * c2.cnt) AS BIGINT) AS lift_x1000 "
     "FROM co JOIN cnt c1 ON c1.p = co.p1 JOIN cnt c2 ON c2.p = co.p2 "
     "CROSS JOIN n ORDER BY lift_x1000 DESC, p1, p2 LIMIT 20")
 
@@ -239,11 +244,18 @@ def q_source_tv_distance(spark, sf_dir):
             .select("source", "t", "c", "ns",
                     F.coalesce("cs", F.lit(0)).alias("cs"))
             .crossJoin(F.broadcast(total)))
+    # cs*n at the 100 TB design point is ~1e26 — far past int64. The
+    # cross-products accumulate in DECIMAL(38,0) INTERNALLY; the final
+    # schema stays BIGINT (a decimal in the output would break the
+    # driver's fetched-type identity — the r4 lesson).
+    l1 = ("sum(abs(CAST(cs AS DECIMAL(38,0)) * n "
+          "- CAST(c AS DECIMAL(38,0)) * ns))")
     return (full.groupBy("source")
             .agg(F.first("ns").alias("n_tokens"),
-                 F.expr("sum(abs(cs * n - c * ns))").alias("l1_num"),
-                 F.expr("(1000000 * sum(abs(cs * n - c * ns))) "
-                        "DIV (2 * first(ns) * first(n))")
+                 F.expr(f"CAST({l1} AS BIGINT)").alias("l1_num"),
+                 F.expr(f"CAST((1000000 * {l1}) "
+                        "DIV (2 * CAST(first(ns) AS DECIMAL(38,0)) "
+                        "* first(n)) AS BIGINT)")
                  .alias("tv_x1e6")))
 
 
@@ -258,9 +270,12 @@ ORACLE_TV = (
     "coalesce(ps.cs, 0) AS cs, tot.n "
     "FROM corpus CROSS JOIN ns CROSS JOIN tot "
     "LEFT JOIN ps ON ps.source = ns.source AND ps.t = corpus.t) "
+    # HUGEINT internally (cs*n ~ 1e26 at scale); the registry-level
+    # BIGINT cast wrapper restores the int64 final schema
     "SELECT source, first(ns) AS n_tokens, "
-    "sum(abs(cs * n - c * ns)) AS l1_num, "
-    "(1000000 * sum(abs(cs * n - c * ns))) // (2 * first(ns) * first(n)) "
+    "sum(abs(CAST(cs AS HUGEINT) * n - CAST(c AS HUGEINT) * ns)) AS l1_num, "
+    "(1000000 * sum(abs(CAST(cs AS HUGEINT) * n - CAST(c AS HUGEINT) * ns)))"
+    " // (2 * CAST(first(ns) AS HUGEINT) * first(n)) "
     "AS tv_x1e6 FROM fl GROUP BY source")
 
 
@@ -682,8 +697,11 @@ def q_conductance_brands(spark, sf_dir):
                     "vol")
             .crossJoin(F.broadcast(m2))
             .select("community", "cut", "vol",
-                    F.expr("(1000000 * cut) DIV least(vol, m2 - vol)")
-                    .alias("phi_x1e6")))
+                    # a community holding EVERY endpoint has vol = 2m and
+                    # cut = 0: define phi = 0 instead of dividing by zero
+                    F.expr("CASE WHEN least(vol, m2 - vol) = 0 THEN 0 "
+                           "ELSE (1000000 * cut) DIV least(vol, m2 - vol) "
+                           "END").alias("phi_x1e6")))
 
 
 ORACLE_CONDUCTANCE = (
@@ -699,7 +717,8 @@ ORACLE_CONDUCTANCE = (
     "(SELECT c1 AS community FROM lab UNION ALL SELECT c2 FROM lab) "
     "GROUP BY community) "
     "SELECT v.community, coalesce(cut.cut, 0) AS cut, v.vol, "
-    "(1000000 * coalesce(cut.cut, 0)) // least(v.vol, m.m2 - v.vol) "
+    "CASE WHEN least(v.vol, m.m2 - v.vol) = 0 THEN 0 ELSE "
+    "(1000000 * coalesce(cut.cut, 0)) // least(v.vol, m.m2 - v.vol) END "
     "AS phi_x1e6 "
     "FROM vol v LEFT JOIN cut ON cut.community = v.community CROSS JOIN m")
 
@@ -940,7 +959,8 @@ def q_embedding_robust_scale(spark, sf_dir):
              .alias("p25_q"),
              F.expr("max(CASE WHEN rn = (3 * n + 1) DIV 4 THEN x END)")
              .alias("p75_q"))
-        .select("dim", "median_q", "p25_q", "p75_q",
+        .select(F.col("dim").cast("bigint").alias("dim"),
+                "median_q", "p25_q", "p75_q",
                 (F.col("p75_q") - F.col("p25_q")).alias("iqr_q")))
 
 
@@ -1056,8 +1076,8 @@ def q_cluster_top_terms(spark, sf_dir):
         F.desc("lift_x1000"), F.desc("ctf"), "t")
     return (scored.withColumn("rn", F.row_number().over(w))
             .filter("rn <= 3")
-            .select("cluster", F.col("rn").alias("rank"), "t",
-                    "ctf", "lift_x1000"))
+            .select("cluster", F.col("rn").cast("bigint").alias("rank"),
+                    "t", "ctf", "lift_x1000"))
 
 
 def _oracle_cluster_terms() -> str:
@@ -1339,7 +1359,7 @@ def q_embedding_smoothing(spark, sf_dir):
     vecs = emb.select(F.col("vec_id").alias("n_id"), ivec.alias("v"))
     return (nn.join(vecs, "n_id")
             .select("q_id", F.posexplode("v").alias("dim", "x"))
-            .groupBy("q_id", "dim")
+            .groupBy("q_id", F.col("dim").cast("bigint").alias("dim"))
             .agg(F.count(F.lit(1)).alias("n"),
                  F.expr("sum(x) DIV count(*)").alias("mean_q")))
 
@@ -1445,7 +1465,8 @@ def q_rendezvous_parts(spark, sf_dir):
     a9 = (w.groupBy("vid")
           .agg(F.expr("max_by(p, struct(hw, p))").alias("part9")))
     both = a8.join(a9, "vid")
-    per_part = both.groupBy(F.col("part8").alias("part")).agg(
+    per_part = both.groupBy(
+        F.col("part8").cast("bigint").alias("part")).agg(
         F.count(F.lit(1)).alias("n_keys"),
         F.sum(F.expr("CASE WHEN part8 != part9 THEN 1 ELSE 0 END"))
         .alias("moved_keys"))
@@ -1732,9 +1753,14 @@ def q_rfm_segments(spark, sf_dir):
     rsum = feat.agg(F.sum("rec").alias("sr"))
     seg = (feat.crossJoin(F.broadcast(rsum))
            .select("cust", "rec", "freq", "cents",
-                   F.expr("CASE WHEN rec * n <= sr THEN 4 ELSE 0 END + "
-                          "CASE WHEN freq * n > sf THEN 2 ELSE 0 END + "
-                          "CASE WHEN cents * n > sc THEN 1 ELSE 0 END")
+                   # metric*n ~ 1e18+ at the 100 TB design point:
+                   # cross-multiply in DECIMAL(38,0); segment stays int
+                   F.expr("CASE WHEN CAST(rec AS DECIMAL(38,0)) * n <= sr "
+                          "THEN 4 ELSE 0 END + "
+                          "CASE WHEN CAST(freq AS DECIMAL(38,0)) * n > sf "
+                          "THEN 2 ELSE 0 END + "
+                          "CASE WHEN CAST(cents AS DECIMAL(38,0)) * n > sc "
+                          "THEN 1 ELSE 0 END")
                    .alias("segment")))
     return (seg.groupBy("segment")
             .agg(F.count(F.lit(1)).alias("n_customers"),
@@ -1754,9 +1780,9 @@ ORACLE_RFM = (
     "freq, cents, n, sf, sc FROM per CROSS JOIN s), "
     "r AS (SELECT sum(rec) AS sr FROM f), "
     "seg AS (SELECT cust, rec, freq, cents, "
-    "CASE WHEN rec * n <= sr THEN 4 ELSE 0 END + "
-    "CASE WHEN freq * n > sf THEN 2 ELSE 0 END + "
-    "CASE WHEN cents * n > sc THEN 1 ELSE 0 END AS segment "
+    "CASE WHEN CAST(rec AS HUGEINT) * n <= sr THEN 4 ELSE 0 END + "
+    "CASE WHEN CAST(freq AS HUGEINT) * n > sf THEN 2 ELSE 0 END + "
+    "CASE WHEN CAST(cents AS HUGEINT) * n > sc THEN 1 ELSE 0 END AS segment "
     "FROM f CROSS JOIN r) "
     "SELECT segment, count(*) AS n_customers, "
     "sum(rec) AS sum_recency_days, sum(freq) AS sum_orders, "

@@ -508,12 +508,12 @@ def test_rendezvous_moves_land_only_on_the_new_part(spark, keys):
         assert r.old == r.new or r.new == 4
 
 
-def test_kcenter_distances_are_non_increasing(spark):
+def test_kcenter_distances_are_non_increasing(spark, sf_dir):
     """Farthest-point traversal: each chosen center's distance to the
     prior centers is <= the previous round's (the greedy 2-approx
     guarantee's monotone core)."""
     from nebula_storage_spark.workload_ext4 import q_kcenter_init
-    rows = sorted(q_kcenter_init(spark, "/root/testdata/sf0.001").collect(),
+    rows = sorted(q_kcenter_init(spark, sf_dir).collect(),
                   key=lambda r: r.center_idx)
     d2s = [r.d2 for r in rows[1:]]
     assert d2s == sorted(d2s, reverse=True)
@@ -545,3 +545,126 @@ def test_butterfly_equals_naive_k22_enumeration(spark, edges):
         .agg(F.coalesce(F.sum(F.expr("shared * (shared - 1) DIV 2")),
                         F.lit(0)).alias("bf"))).first().bf
     assert got == naive
+
+
+@given(st.lists(st.tuples(st.integers(0, 12), st.integers(0, 12)),
+                min_size=1, max_size=40))
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_greedy_coloring_is_proper(spark, edges):
+    """Jones-Plassmann invariant: no edge joins two DECIDED nodes of the
+    same color (undecided nodes report -1 and are exempt), and every
+    assigned color is < rounds."""
+    from nebula_storage_spark.operators.analytics import greedy_coloring
+    rounds = 4
+    df = spark.createDataFrame([(a, b, 0) for a, b in edges],
+                               "_src bigint, _dst bigint, _rank bigint")
+    col = {r.node: r.color
+           for r in greedy_coloring(df, rounds=rounds).collect()}
+    for a, b in edges:
+        if a == b:
+            continue
+        ca, cb = col[a], col[b]
+        assert ca < rounds and cb < rounds
+        if ca != -1 and cb != -1:
+            assert ca != cb, f"edge ({a},{b}) monochromatic color {ca}"
+
+
+@given(st.lists(st.tuples(st.integers(0, 9), st.integers(0, 9)),
+                min_size=3, max_size=35))
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_k_truss_rounds_shrink_monotonically(spark, edges):
+    """k-truss peel monotonicity: the round-(r+1) edge set is a subset of
+    round r's, and a surviving edge's recounted support never grows."""
+    from nebula_storage_spark.operators.analytics import k_truss_fixed
+    df = spark.createDataFrame([(a, b, 0) for a, b in edges],
+                               "_src bigint, _dst bigint, _rank bigint")
+    r1 = {(r.a, r.b): r.support for r in k_truss_fixed(df, k=3, rounds=1).collect()}
+    r2 = {(r.a, r.b): r.support for r in k_truss_fixed(df, k=3, rounds=2).collect()}
+    assert set(r2) <= set(r1)
+    for e, s2 in r2.items():
+        assert s2 <= r1[e], f"support grew for {e}: {r1[e]} -> {s2}"
+
+
+def test_pq_adc_self_distance_is_minimal(spark, sf_dir):
+    """ADC lower-bound invariant: code(q, s) is the NEAREST centroid to
+    q's subvector, so est_d2(q, q) = sum_s min_j d(q_s, c_j) <=
+    est_d2(q, x) for EVERY corpus x — the query's own reconstruction is
+    its ADC-nearest. Checked on the full (untruncated) ADC scan."""
+    from nebula_storage_spark.pipeline.pq import pq_adc_topk
+    from nebula_storage_spark.graph import read_parquet
+    emb = read_parquet(spark, f"{sf_dir}/embeddings.parquet")
+    full = pq_adc_topk(emb, n_queries=3, topk=1 << 30)
+    rows = full.collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.q_id, []).append(r)
+    for q, rs in by_q.items():
+        self_d = next(r.est_d2 for r in rs if r.vec_id == q)
+        assert self_d == min(r.est_d2 for r in rs)
+
+
+@given(st.lists(st.tuples(st.integers(0, 8), st.integers(0, 8)),
+                min_size=1, max_size=30))
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_scc_coloring_matches_tarjan(spark, edges):
+    """scc_coloring emits EXACTLY the strongly connected components:
+    compared as partitions against an iterative Tarjan run driver-side
+    on the same edge list (stronger than the r3-advice sampled-pair
+    reachability check — every pair is pinned)."""
+    from nebula_storage_spark.operators.analytics import scc_coloring
+    es = sorted({(a, b) for a, b in edges if a != b})
+    if not es:
+        return
+    df = spark.createDataFrame([(a, b, 0) for a, b in es],
+                               "_src bigint, _dst bigint, _rank bigint")
+    got = {}
+    for r in scc_coloring(df).collect():
+        got.setdefault(r.scc_id, set()).add(r.node)
+    # iterative Tarjan
+    nodes = sorted({n for e in es for n in e})
+    adj = {n: [] for n in nodes}
+    for a, b in es:
+        adj[a].append(b)
+    index, low, onstk, stk, comps = {}, {}, set(), [], []
+    counter = [0]
+    for root in nodes:
+        if root in index:
+            continue
+        work = [(root, 0)]
+        while work:
+            v, pi = work[-1]
+            if pi == 0:
+                index[v] = low[v] = counter[0]
+                counter[0] += 1
+                stk.append(v)
+                onstk.add(v)
+            recurse = False
+            for i in range(pi, len(adj[v])):
+                w = adj[v][i]
+                if w not in index:
+                    work[-1] = (v, i + 1)
+                    work.append((w, 0))
+                    recurse = True
+                    break
+                if w in onstk:
+                    low[v] = min(low[v], index[w])
+            if recurse:
+                continue
+            if low[v] == index[v]:
+                comp = set()
+                while True:
+                    w = stk.pop()
+                    onstk.discard(w)
+                    comp.add(w)
+                    if w == v:
+                        break
+                comps.append(comp)
+            work.pop()
+            if work:
+                u = work[-1][0]
+                low[u] = min(low[u], low[v])
+    want = {frozenset(c) for c in comps}
+    assert {frozenset(c) for c in got.values()} == want

@@ -3,6 +3,16 @@
 queries()/oracle_sql() pair compared against DuckDB (the t2 gate),
 at the sf dir given as argv[1] (default sf0.01).
 
+Two gates per query, both must hold:
+  1. value gate  — bit-exact multiset equality of all rows (float canon
+     is the raw IEEE bits, with -0.0 normalized to 0.0);
+  2. type gate   — per-column FETCHED-type identity between the DuckDB
+     arrow result schema and the Spark dtypes.  Round 4 proved values
+     are not enough: DuckDB promotes sum(BIGINT) to HUGEINT
+     (decimal128(38,0)), which the driver's hash fetches differently
+     from Spark's BIGINT even when every value is equal.  Any DECIMAL
+     in a final schema, on either engine, is a hard failure.
+
 Usage: python tools/verify_drive.py [/root/testdata/sf0.01] [query ...]
 """
 
@@ -18,6 +28,7 @@ from collections import Counter
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import duckdb
+import pyarrow as pa
 
 from nebula_storage_spark.session import get_spark
 
@@ -30,7 +41,11 @@ def canon(v):
         # Bit-exact: the driver hashes raw values, so any canon looser
         # than the IEEE bits (e.g. round(v, 4)) can pass locally what
         # the driver's hash fails — exactly how the r3 stats_variance
-        # red row slipped through.
+        # red row slipped through.  -0.0 is normalized to 0.0 first:
+        # the sign of a zero is not value-significant to the driver's
+        # string/pandas hash, only to the raw bit pattern.
+        if v == 0.0:
+            v = 0.0
         return "nan" if math.isnan(v) else struct.pack(">d", v)
     if isinstance(v, dt.datetime):
         return v.replace(tzinfo=None).isoformat()
@@ -42,6 +57,61 @@ def canon(v):
 def rows_to_multiset(rows, cols):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     return Counter(tuple(canon(r[i]) for i in order) for r in rows)
+
+
+def arrow_to_spark_dtype(t: pa.DataType) -> str:
+    """Map an arrow fetch type to the Spark dtype string it must equal.
+    Decimals deliberately map to a sentinel that never matches."""
+    if pa.types.is_decimal(t):
+        return "!DECIMAL"
+    if pa.types.is_int64(t) or pa.types.is_uint32(t):
+        return "bigint"
+    if pa.types.is_int32(t) or pa.types.is_int16(t) or pa.types.is_int8(t):
+        return "int"
+    if pa.types.is_float64(t) or pa.types.is_float32(t):
+        return "double"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "string"
+    if pa.types.is_boolean(t):
+        return "boolean"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return f"array<{arrow_to_spark_dtype(t.value_type)}>"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "binary"
+    return f"?{t}"
+
+
+# Spark dtype aliases that fetch identically to the canonical name.
+_SPARK_DTYPE_ALIAS = {
+    "smallint": "int", "tinyint": "int", "float": "double",
+    "timestamp_ntz": "timestamp",
+}
+
+
+def _norm_spark(dtype: str) -> str:
+    if dtype.startswith("decimal"):
+        return "!SPARK_DECIMAL"
+    for k, v in _SPARK_DTYPE_ALIAS.items():
+        if dtype == k:
+            return v
+        dtype = dtype.replace(f"<{k}>", f"<{v}>")
+    return dtype
+
+
+def type_mismatches(arrow_schema: pa.Schema, spark_dtypes) -> list[str]:
+    """Compare fetched types column-by-column (order-free, by name)."""
+    a = {f.name: arrow_to_spark_dtype(f.type) for f in arrow_schema}
+    s = {name: _norm_spark(d) for name, d in spark_dtypes}
+    out = []
+    for name in sorted(set(a) | set(s)):
+        at, st = a.get(name, "<missing>"), s.get(name, "<missing>")
+        if at != st:
+            out.append(f"{name}: oracle={at} spark={st}")
+    return out
 
 
 def main() -> int:
@@ -67,14 +137,20 @@ def main() -> int:
         if name not in oracles:
             print(f"--  {name}: rows-only check, {sum(smulti.values())} rows")
             continue
-        cur = con.execute(oracles[name])
-        ocols = [d[0] for d in cur.description]
-        omulti = rows_to_multiset(cur.fetchall(), ocols)
-        ok = smulti == omulti and sorted(sdf.columns) == sorted(ocols)
+        otable = con.execute(oracles[name]).fetch_arrow_table()
+        ocols = otable.schema.names
+        omulti = rows_to_multiset(
+            [tuple(row[c] for c in ocols) for row in otable.to_pylist()],
+            list(ocols))
+        tmism = type_mismatches(otable.schema, sdf.dtypes)
+        ok = (smulti == omulti and sorted(sdf.columns) == sorted(ocols)
+              and not tmism)
         print(f"{'OK ' if ok else 'MISMATCH'} {name}: "
               f"spark={sum(smulti.values())} oracle={sum(omulti.values())}")
         if not ok:
             fails.append(name)
+            for m in tmism:
+                print(f"    type: {m}")
             for side, diff in (("oracle-only", omulti - smulti),
                                ("spark-only", smulti - omulti)):
                 for row in list(diff)[:3]:
