@@ -3631,7 +3631,38 @@ _DRIVER_GREEN_R03 = frozenset({
     "tpch_q4_semi", "tpch_q6", "triangle_counts", "vocab_topk",
 })
 
-_DRIVER_GREEN = _DRIVER_GREEN_R01 | _DRIVER_GREEN_R02 | _DRIVER_GREEN_R03
+# Round-4 driver rows (CORRECTNESS_r04.json): 38 green. The 12 red rows
+# (all hash-only, all the HUGEINT/decimal fetched-type defect fixed in
+# round 5 by the registry-level BIGINT casts) are deliberately EXCLUDED
+# so they re-sample first and earn fresh green records — see
+# _FIXED_R05 below.
+_DRIVER_GREEN_R04 = frozenset({
+    "bpe_pair_counts", "customer_value_quartiles", "dedup_chunk_exact",
+    "dedup_fuzzy", "dedup_minhash_incremental", "doc_mixture_sample",
+    "edge_triangle_support", "events_anomaly_zscore",
+    "events_cohort_retention", "events_fill_forward", "events_funnel",
+    "events_lead_lag", "hll_incremental", "hof_surface",
+    "index_incremental", "inverted_index_search", "knn_ivf_incremental",
+    "knn_lsh_multiprobe", "mm_video_meta", "price_size_correlation",
+    "scc_components", "scd2_history", "store_compaction", "stream_enrich",
+    "stream_join", "tpch_q10", "tpch_q13", "tpch_q14", "tpch_q15",
+    "tpch_q16_shape", "tpch_q17", "tpch_q19", "tpch_q20_shape",
+    "tpch_q21_shape", "tpch_q2_shape", "tpch_q5", "tpch_q7", "tpch_q8",
+})
+
+# The 12 round-4 red rows, every one the oracle fetched-type defect
+# (HUGEINT / decimal final columns), fixed in round 5 by the
+# _ORACLE_BIGINT_CASTS wrapper + the zorder_pruning cents rewrite —
+# sampled FIRST so the fix earns driver-recorded green rows.
+_FIXED_R05 = frozenset({
+    "bm25_topk", "doc_rarity_score", "events_rolling_avg",
+    "harmonic_centrality", "revenue_grouping_sets", "source_concentration",
+    "stats_variance", "tpch_q11_shape", "tpch_q12_shape", "tpch_q22_shape",
+    "tpch_q9_shape", "zorder_pruning",
+})
+
+_DRIVER_GREEN = (_DRIVER_GREEN_R01 | _DRIVER_GREEN_R02
+                 | _DRIVER_GREEN_R03 | _DRIVER_GREEN_R04)
 
 # Newest registrations — ordered after the never-checked round-1..3
 # queries (which must drain first) but before the greens.
@@ -3691,18 +3722,22 @@ def build_queries() -> dict[str, Query]:
     out.update(_core_queries())
     out.update(EXT3_QUERIES)
     out.update(EXT4_QUERIES)
-    # insertion order = driver sampling priority: (1) stats_variance (the
-    # r3 red row, now fixed — needs a fresh green record), (2) queries with
-    # no driver CORRECTNESS row yet, oldest registrations first, (3) new
-    # round-4 queries, (4) everything already driver-green.
-    ordered = {k: out[k] for k in ("stats_variance",) if k in out}
+    # insertion order = driver sampling priority: (1) the 12 round-4 red
+    # rows, fixed in round 5 (oracle fetched-type casts) — fresh green
+    # records wanted first; (2) queries with no driver CORRECTNESS row
+    # yet, oldest registrations first (incl. the 23 just-cast latent
+    # HUGEINT oracles); (3) round-3-registered never-checked; (4) the
+    # newest registrations; (5) everything already driver-green.
+    ordered = {k: out[k] for k in sorted(_FIXED_R05) if k in out}
     ordered.update({k: v for k, v in out.items()
                     if k not in _DRIVER_GREEN and k not in _ADDED_R03
                     and k not in _ADDED_R04 and k not in ordered})
     ordered.update({k: v for k, v in out.items()
-                    if k in _ADDED_R03 and k not in _DRIVER_GREEN})
-    ordered.update({k: v for k, v in out.items() if k in _ADDED_R04})
-    ordered.update({k: v for k, v in out.items() if k in _DRIVER_GREEN})
+                    if k in _ADDED_R03 and k not in _DRIVER_GREEN
+                    and k not in ordered})
+    ordered.update({k: v for k, v in out.items()
+                    if k in _ADDED_R04 and k not in ordered})
+    ordered.update({k: v for k, v in out.items() if k not in ordered})
     return ordered
 
 

@@ -1,6 +1,9 @@
 """Mirror of the driver's t2 gate: every workload query must match its
 DuckDB oracle on the same parquet tables (order-insensitive multiset of
-rows, columns aligned by name)."""
+rows, columns aligned by name) AND fetch with identical per-column
+types — the round-4 driver sample proved bit-equal VALUES are not
+enough when the oracle's fetched type is HUGEINT/DECIMAL while Spark's
+is BIGINT (the hash sees the type)."""
 
 from __future__ import annotations
 
@@ -21,6 +24,8 @@ def _canon_val(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
+        if v == 0.0:
+            v = 0.0  # -0.0 ≡ 0.0 (sign of zero is not value-significant)
         # Bit-exact (matches the driver's hash strictness — round(v, 4)
         # let the r3 stats_variance ULP divergence pass locally).
         return struct.pack(">d", v)
@@ -38,17 +43,21 @@ def _canon(rows, cols):
 
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_query_matches_oracle(name, spark, sf_dir, duck):
+    from tools.verify_drive import type_mismatches
+
     sdf = QUERIES[name](spark, sf_dir)
     srows = sdf.collect()
     scols = sdf.columns
 
     assert name in ORACLES, f"{name} has no oracle"
-    cur = duck.execute(ORACLES[name])
-    ocols = [d[0] for d in cur.description]
-    orows = cur.fetchall()
+    otable = duck.execute(ORACLES[name]).fetch_arrow_table()
+    ocols = list(otable.schema.names)
+    orows = [tuple(row[c] for c in ocols) for row in otable.to_pylist()]
 
     assert sorted(scols) == sorted(ocols), \
         f"{name}: column mismatch {sorted(scols)} vs {sorted(ocols)}"
+    tmism = type_mismatches(otable.schema, sdf.dtypes)
+    assert not tmism, f"{name}: fetched-type mismatch {tmism}"
     sc, oc = _canon(srows, scols), _canon(orows, ocols)
     assert len(srows) == len(orows), \
         f"{name}: row count {len(srows)} vs {len(orows)}"
