@@ -888,23 +888,43 @@ def scc_components(edges: DataFrame, rounds: int = 8) -> DataFrame:
 
 
 def _min_label_fixpoint(e: DataFrame, nodes: DataFrame,
-                        max_rounds: int = 16) -> DataFrame:
+                        max_rounds: int = 16,
+                        loop_parts: int | None = None) -> DataFrame:
     """Forward min-label propagation (labels flow along src→dst) with
     POINTER DOUBLING, run to fixpoint: returns (node, label) with
     label(v) = min({v} ∪ {u : u →* v in e}). The label-of-label hop is
     sound on a DIRECTED graph: label(v)=u means u→*v and label(u)=w
     means w→*u, so w→*v — each round therefore doubles the reach and
-    fixpoint lands in O(log diameter) rounds. Convergence is detected
-    by counting changed labels on the already-materialized round frame;
-    raises if max_rounds is exhausted while labels are still changing
+    fixpoint lands in O(log diameter) rounds.
+
+    Driver-round-trip budget (the real cost of iterative ops on tiny
+    frontiers): ONE Spark job per round — the round frame is persist()ed
+    and materialized by the same aggregation that decides convergence.
+    Labels only ever DECREASE (every round min's over a superset that
+    includes the old label), so Σlabel is strictly monotone: the
+    fixpoint is reached exactly when Σlabel stops falling. The sum runs
+    in DECIMAL(38,0) so 10^10 nodes × 10^9 ids can't overflow int64.
+    Plans are truncated with localCheckpoint every few rounds instead of
+    every round (lineage depth between truncations is bounded and the
+    per-round frames are cached, so there is no O(K²) re-evaluation).
+    Raises if max_rounds is exhausted while Σlabel is still falling
     (2^max_rounds reach — silently returning unconverged labels would
     let scc_coloring split an SCC, r4 advice).
     """
-    labels = (nodes.select("node", F.col("node").alias("label"))
+    def narrow(df: DataFrame) -> DataFrame:
+        # size-gated: a frontier that fits one task runs as one task —
+        # 32-wide stages on a few thousand rows are pure scheduler
+        # overhead; at cluster scale loop_parts is None and the frames
+        # keep their natural parallelism
+        return df.coalesce(loop_parts) if loop_parts else df
+
+    labels = (narrow(nodes.select("node", F.col("node").alias("label")))
               .localCheckpoint())
-    changed = 0
+    prev_sum = None  # Σlabel of the current `labels` (None = unknown)
     rounds_run = 0
-    for _ in range(max_rounds):
+    converged = False
+    cached: list[DataFrame] = []
+    for r in range(max_rounds):
         rounds_run += 1
         nbr = (e.join(labels, e[SRC] == labels["node"])
                .select(F.col(DST).alias("node"), "label"))
@@ -913,20 +933,40 @@ def _min_label_fixpoint(e: DataFrame, nodes: DataFrame,
                      F.col("x.label") == F.col("y.node"))
                .select(F.col("x.node").alias("node"),
                        F.col("y.label").alias("label")))
-        new = (labels.union(nbr).union(lol)
-               .groupBy("node").agg(F.min("label").alias("label"))
-               .localCheckpoint())
-        changed = (new.alias("n").join(labels.alias("o"), "node")
-                   .filter(F.col("n.label") != F.col("o.label")).count())
+        new = narrow(labels.union(nbr).union(lol)
+                     .groupBy("node").agg(F.min("label").alias("label")))
+        if (r + 1) % 4 == 0:
+            new = new.localCheckpoint()     # truncate plan growth
+        else:
+            new = new.persist()
+            cached.append(new)
+        cur_sum = new.agg(
+            F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+        ).first().s
+        if prev_sum is None:
+            # first round: Σ over the identity labels, computed on the
+            # already-materialized seed frame (one extra job, once)
+            prev_sum = labels.agg(
+                F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+            ).first().s
         labels = new
-        if changed == 0:
+        if cur_sum == prev_sum:
+            converged = True
+            prev_sum = cur_sum
             break
-    if changed != 0:
+        prev_sum = cur_sum
+    if not converged and rounds_run == max_rounds:
+        for df in cached:
+            df.unpersist()
         raise RuntimeError(
             f"_min_label_fixpoint: no fixpoint within {max_rounds} rounds "
-            f"({changed} labels still changing); raise max_rounds "
+            f"(Σlabel still falling); raise max_rounds "
             f"(reach is 2^rounds, so the graph's min-ancestor distance "
             f"exceeds 2^{max_rounds})")
+    # pin the result before releasing the per-round caches it derives from
+    labels = labels.localCheckpoint()
+    for df in cached:
+        df.unpersist()
     SCC_STATS["fixpoint_rounds"].append(rounds_run)
     return labels
 
@@ -934,11 +974,69 @@ def _min_label_fixpoint(e: DataFrame, nodes: DataFrame,
 # Round telemetry for the most recent scc_coloring run — lets the bench
 # record the measured O(levels·log diameter) claim instead of arguing it
 # in prose (PLANS.md §scc_coloring). Reset at each scc_coloring entry.
-SCC_STATS: dict[str, list[int]] = {"fixpoint_rounds": [], "outer": []}
+SCC_STATS: dict[str, list[int]] = {"fixpoint_rounds": [], "outer": [],
+                                   "tail_edges": []}
+
+
+def _tarjan_scc(edge_list: list[tuple[int, int]]) -> dict[int, int]:
+    """Iterative Tarjan on a driver-resident edge list: {node: scc_id}
+    with scc_id = the component's minimum member — the same labeling the
+    distributed trim/color/peel produces (the color-class root is the
+    class minimum), so the two paths compose seamlessly."""
+    nodes = sorted({n for e in edge_list for n in e})
+    adj: dict[int, list[int]] = {n: [] for n in nodes}
+    for a, b in edge_list:
+        adj[a].append(b)
+    index: dict[int, int] = {}
+    low: dict[int, int] = {}
+    onstk: set[int] = set()
+    stk: list[int] = []
+    out: dict[int, int] = {}
+    counter = 0
+    for root in nodes:
+        if root in index:
+            continue
+        work = [(root, 0)]
+        while work:
+            v, pi = work[-1]
+            if pi == 0:
+                index[v] = low[v] = counter
+                counter += 1
+                stk.append(v)
+                onstk.add(v)
+            advanced = False
+            for i in range(pi, len(adj[v])):
+                w = adj[v][i]
+                if w not in index:
+                    work[-1] = (v, i + 1)
+                    work.append((w, 0))
+                    advanced = True
+                    break
+                if w in onstk:
+                    low[v] = min(low[v], index[w])
+            if advanced:
+                continue
+            if low[v] == index[v]:
+                comp = []
+                while True:
+                    w = stk.pop()
+                    onstk.discard(w)
+                    comp.append(w)
+                    if w == v:
+                        break
+                m = min(comp)
+                for w in comp:
+                    out[w] = m
+            work.pop()
+            if work:
+                u = work[-1][0]
+                low[u] = min(low[u], low[v])
+    return out
 
 
 def scc_coloring(edges: DataFrame, max_outer: int = 64,
-                 max_rounds: int = 16) -> DataFrame:
+                 max_rounds: int = 16,
+                 driver_tail_edges: int = 50_000) -> DataFrame:
     """Whole-graph strongly connected components via the COLORING
     algorithm over the pointer-doubling primitive — the scale-safe
     replacement for scc_components' transitive-closure route on
@@ -966,71 +1064,144 @@ def scc_coloring(edges: DataFrame, max_outer: int = 64,
     Every outer round peels at least each class root, so progress is
     guaranteed; raises if max_outer is exhausted rather than return a
     silently partial answer.
+
+    Driver-round-trip budget: ONE job per trim iteration (the surviving
+    core's persist+count; singleton counts fall out of python-side
+    arithmetic, n_remaining − n_core, so the singles frame is never
+    separately materialized), one job per doubling round (see
+    _min_label_fixpoint), one count per outer round for the shrunken
+    node set. Shuffle width is scaled to the live edge count (restored
+    on exit) — the frontier frames are tiny compared to the input and
+    32-wide shuffles would be pure scheduler overhead; on a cluster the
+    same knob scales UP with |E|.
+
+    Driver tail (the GraphFrames-CC pattern): trim/peel shrink the live
+    edge set geometrically, and once it fits the driver
+    (≤ driver_tail_edges ≈ sub-MB) ONE collect + an O(V+E) iterative
+    Tarjan replaces dozens of distributed rounds and their scheduler
+    tax. Labeling is identical (scc_id = component minimum), so the two
+    paths compose; pass driver_tail_edges=0 to force the distributed
+    loop end-to-end (the property suite does, to pin the loop itself).
     """
     SCC_STATS["fixpoint_rounds"].clear()
     SCC_STATS["outer"].clear()
+    SCC_STATS["tail_edges"].clear()
+    spark = edges.sparkSession
     cur = (edges.select(SRC, DST).filter(F.col(SRC) != F.col(DST))
            .distinct().localCheckpoint())
+    n_edges = cur.count()
     remaining = (cur.select(F.col(SRC).alias("node"))
                  .union(cur.select(F.col(DST).alias("node")))
                  .distinct().localCheckpoint())
+    n_remaining = remaining.count()
+    saved_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    # two regimes: a frontier small enough for one task runs the whole
+    # loop single-partition (the 100 TB path scales partitions with |E|)
+    loop_parts = max(1, min(int(saved_parts), n_edges // 100_000))
+
+    def narrow(df: DataFrame) -> DataFrame:
+        return df.coalesce(loop_parts)
+
     done: list[DataFrame] = []
-    for _outer in range(max_outer):
-        SCC_STATS["outer"].append(_outer + 1)
-        # 1. trim to fixpoint
-        while True:
-            srcs = cur.select(F.col(SRC).alias("node")).distinct()
-            dsts = cur.select(F.col(DST).alias("node")).distinct()
-            core = srcs.join(dsts, "node", "left_semi").localCheckpoint()
-            singles = (remaining.join(core, "node", "left_anti")
-                       .select("node", F.col("node").alias("scc_id"))
-                       .localCheckpoint())
-            if singles.count() == 0:
+    cached: list[DataFrame] = []
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
+        cur = narrow(cur).localCheckpoint()
+        remaining = narrow(remaining).localCheckpoint()
+        n_live = n_edges
+        for _outer in range(max_outer):
+            # driver tail: remainder fits one task's worth of memory —
+            # finish sequentially (identical min-member labeling)
+            if 0 < n_live <= driver_tail_edges:
+                SCC_STATS["tail_edges"].append(n_live)
+                comp = _tarjan_scc(
+                    [(r[0], r[1]) for r in cur.collect()])
+                done.append(spark.createDataFrame(
+                    sorted(comp.items()), "node bigint, scc_id bigint"))
+                # remaining nodes with no live edge left (all their
+                # neighbors were peeled) are singleton SCCs
+                covered = spark.createDataFrame(
+                    [(n,) for n in sorted(comp)], "node bigint")
+                done.append(remaining.join(covered, "node", "left_anti")
+                            .select("node", F.col("node").alias("scc_id")))
+                n_remaining = 0
                 break
-            done.append(singles)
-            remaining = core
-            cur = (cur.join(core.select(F.col("node").alias(SRC)),
-                            SRC, "left_semi")
-                   .join(core.select(F.col("node").alias(DST)),
-                         DST, "left_semi")
-                   .localCheckpoint())
-        if remaining.count() == 0:
-            break
-        # 2. color
-        colors = _min_label_fixpoint(cur, remaining, max_rounds)
-        # 3. peel: min descendant within the color class, via the same
-        # doubling on reversed same-color edges
-        lsrc = colors.select(F.col("node").alias(SRC),
-                             F.col("label").alias("c1"))
-        ldst = colors.select(F.col("node").alias(DST),
-                             F.col("label").alias("c2"))
-        same_rev = (cur.join(lsrc, SRC).join(ldst, DST)
-                    .filter(F.col("c1") == F.col("c2"))
-                    .select(F.col(DST).alias(SRC), F.col(SRC).alias(DST))
-                    .localCheckpoint())
-        desc = _min_label_fixpoint(same_rev, remaining, max_rounds)
-        member = (colors.join(desc.withColumnRenamed("label", "mdesc"),
-                              "node")
-                  .filter(F.col("label") == F.col("mdesc"))
-                  .select("node", F.col("label").alias("scc_id"))
-                  .localCheckpoint())
-        done.append(member)
-        remaining = (remaining.join(member, "node", "left_anti")
-                     .localCheckpoint())
-        cur = (cur.join(member.select(F.col("node").alias(SRC)),
-                        SRC, "left_anti")
-               .join(member.select(F.col("node").alias(DST)),
-                     DST, "left_anti")
-               .localCheckpoint())
-    else:
-        if remaining.count() > 0:
-            raise RuntimeError(
-                f"scc_coloring did not converge in {max_outer} rounds")
-    if not done:  # no edges at all
-        return remaining.select("node", F.col("node").alias("scc_id"))
-    out = done[0]
-    for d in done[1:]:
-        out = out.unionByName(d)
+            SCC_STATS["outer"].append(_outer + 1)
+            # 1. trim to fixpoint — 1 job per iteration
+            while True:
+                srcs = cur.select(F.col(SRC).alias("node")).distinct()
+                dsts = cur.select(F.col(DST).alias("node")).distinct()
+                core = (narrow(srcs.join(dsts, "node", "left_semi"))
+                        .localCheckpoint(False))
+                n_core = core.count()
+                if n_core == n_remaining:
+                    break
+                done.append(remaining.join(core, "node", "left_anti")
+                            .select("node",
+                                    F.col("node").alias("scc_id")))
+                remaining = core
+                n_remaining = n_core
+                cur = (narrow(
+                    cur.join(core.select(F.col("node").alias(SRC)),
+                             SRC, "left_semi")
+                    .join(core.select(F.col("node").alias(DST)),
+                          DST, "left_semi"))
+                       .persist())
+                cached.append(cur)
+            if n_remaining == 0:
+                break
+            cur = cur.localCheckpoint()  # pin before the fixpoints
+            # 2. color
+            colors = _min_label_fixpoint(cur, remaining, max_rounds,
+                                         loop_parts)
+            # 3. peel: min descendant within the color class, via the
+            # same doubling on reversed same-color edges
+            lsrc = colors.select(F.col("node").alias(SRC),
+                                 F.col("label").alias("c1"))
+            ldst = colors.select(F.col("node").alias(DST),
+                                 F.col("label").alias("c2"))
+            same_rev = (narrow(
+                cur.join(lsrc, SRC).join(ldst, DST)
+                .filter(F.col("c1") == F.col("c2"))
+                .select(F.col(DST).alias(SRC),
+                        F.col(SRC).alias(DST)))
+                .persist())
+            cached.append(same_rev)
+            desc = _min_label_fixpoint(same_rev, remaining, max_rounds,
+                                       loop_parts)
+            member = (narrow(
+                colors.join(desc.withColumnRenamed("label", "mdesc"),
+                            "node")
+                .filter(F.col("label") == F.col("mdesc"))
+                .select("node", F.col("label").alias("scc_id")))
+                .localCheckpoint(False))
+            done.append(member)
+            remaining = (narrow(remaining.join(member, "node", "left_anti"))
+                         .localCheckpoint(False))
+            n_remaining = remaining.count()
+            cur = (narrow(
+                cur.join(member.select(F.col("node").alias(SRC)),
+                         SRC, "left_anti")
+                .join(member.select(F.col("node").alias(DST)),
+                      DST, "left_anti"))
+                   .persist())
+            cached.append(cur)
+            n_live = cur.count()
+        else:
+            if n_remaining > 0:
+                raise RuntimeError(
+                    f"scc_coloring did not converge in {max_outer} rounds")
+        if not done:  # no edges at all
+            return remaining.select("node", F.col("node").alias("scc_id"))
+        out = done[0]
+        for d in done[1:]:
+            out = out.unionByName(d)
+        # materialize BEFORE releasing the per-round caches it reads
+        out = out.localCheckpoint()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", saved_parts)
+        for df in cached:
+            df.unpersist()
     return out
 
 

@@ -613,7 +613,10 @@ def test_scc_coloring_matches_tarjan(spark, edges):
     """scc_coloring emits EXACTLY the strongly connected components:
     compared as partitions against an iterative Tarjan run driver-side
     on the same edge list (stronger than the r3-advice sampled-pair
-    reachability check — every pair is pinned)."""
+    reachability check — every pair is pinned). driver_tail_edges=0
+    forces the DISTRIBUTED trim/color/peel loop — the default would
+    route graphs this small through the driver-tail Tarjan, which
+    would make this test circular."""
     from nebula_storage_spark.operators.analytics import scc_coloring
     es = sorted({(a, b) for a, b in edges if a != b})
     if not es:
@@ -621,7 +624,7 @@ def test_scc_coloring_matches_tarjan(spark, edges):
     df = spark.createDataFrame([(a, b, 0) for a, b in es],
                                "_src bigint, _dst bigint, _rank bigint")
     got = {}
-    for r in scc_coloring(df).collect():
+    for r in scc_coloring(df, driver_tail_edges=0).collect():
         got.setdefault(r.scc_id, set()).add(r.node)
     # iterative Tarjan
     nodes = sorted({n for e in es for n in e})
@@ -668,3 +671,24 @@ def test_scc_coloring_matches_tarjan(spark, edges):
                 low[u] = min(low[u], low[v])
     want = {frozenset(c) for c in comps}
     assert {frozenset(c) for c in got.values()} == want
+
+
+@given(st.lists(st.tuples(st.integers(0, 10), st.integers(0, 10)),
+                min_size=1, max_size=40))
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_scc_driver_tail_agrees_with_distributed_loop(spark, edges):
+    """The driver-tail Tarjan path (default for small remainders) and
+    the forced distributed trim/color/peel loop produce the identical
+    (node, scc_id) labeling — min member labels the component on both
+    paths, so they compose at any crossover point."""
+    from nebula_storage_spark.operators.analytics import scc_coloring
+    es = sorted({(a, b) for a, b in edges if a != b})
+    if not es:
+        return
+    df = spark.createDataFrame([(a, b, 0) for a, b in es],
+                               "_src bigint, _dst bigint, _rank bigint")
+    tail = {(r.node, r.scc_id) for r in scc_coloring(df).collect()}
+    loop = {(r.node, r.scc_id)
+            for r in scc_coloring(df, driver_tail_edges=0).collect()}
+    assert tail == loop

@@ -337,9 +337,18 @@ def main() -> None:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
         spark.catalog.clearCache()
     # scc_coloring: the O(levels·log diameter) round claim, MEASURED —
-    # the operator records per-phase telemetry (analytics.SCC_STATS)
+    # the operator records per-phase telemetry (analytics.SCC_STATS).
+    # The distributed loop is forced (driver_tail_edges=0): the gate
+    # graph is small enough that the default would route through the
+    # driver-tail Tarjan and measure nothing.
     from nebula_storage_spark.operators import analytics
-    n_sccs = qs["scc_coloring"](spark, sf_dir).count()
+    orig_scc = analytics.scc_coloring
+    analytics.scc_coloring = (
+        lambda e, **kw: orig_scc(e, **{**kw, "driver_tail_edges": 0}))
+    try:
+        n_sccs = qs["scc_coloring"](spark, sf_dir).count()
+    finally:
+        analytics.scc_coloring = orig_scc
     outer = len(analytics.SCC_STATS["outer"])
     fix = list(analytics.SCC_STATS["fixpoint_rounds"])
     out += [
@@ -349,7 +358,11 @@ def main() -> None:
         "(`operators/analytics.py:scc_coloring`). The complexity claim "
         "is O(SCC-DAG levels) outer rounds × O(log diameter) doubling "
         "rounds per fixpoint; measured here on the uncapped derived "
-        f"event graph at `{sf_dir}`:",
+        f"event graph at `{sf_dir}` with the distributed loop FORCED "
+        "(`driver_tail_edges=0`; by default a live remainder of "
+        "≤ 50k edges finishes as ONE driver-side Tarjan collect — the "
+        "GraphFrames-CC sequential-tail pattern — with identical "
+        "min-member labeling, hypothesis-tested against the loop):",
         "",
         f"- SCCs emitted: **{n_sccs}**",
         f"- outer trim/color/peel rounds: **{outer}** "
@@ -361,9 +374,10 @@ def main() -> None:
         "",
         "Every fixpoint converged in ≤ max(fix) rounds — log-scale in "
         "the component diameter, matching the doubling argument; state "
-        "per round stays O(|V|+|E|) (localCheckpoint'ed), never "
-        "O(reachability pairs) — the property that lets the same code "
-        "run at 10⁹ vertices.",
+        "per round stays O(|V|+|E|) (persist/localCheckpoint'ed, ONE "
+        "Spark job per doubling round via the monotone Σlabel "
+        "convergence check), never O(reachability pairs) — the "
+        "property that lets the same code run at 10⁹ vertices.",
         ""]
     with open(os.path.join(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))), "PLANS.md"), "w") as f:
