@@ -408,9 +408,20 @@ def q_ft_index_incremental(spark, sf_dir):
         include_cols=["doc_id"])
     adds = postings.filter(F.col("doc_id") % 7 == 0)
     dels = postings.filter(F.col("doc_id") % 5 == 0)
-    idx = apply_index_delta(spark, path, adds, dels, ["token"],
-                            key_col="doc_id")
+    apply_index_delta(spark, path, adds, dels, ["token"],
+                      key_col="doc_id")
     terms = ["dup", "vector"]
+    # retrieval reads ONLY the query terms' bucket directories: the
+    # term list's bucket ids (same pmod(hash) the layout used) become a
+    # partition filter on `_bucket=` — at 100 TB the AND query touches
+    # 2 bucket dirs of the postings projection, not the whole index
+    # (plan shows PartitionFilters on the parquet scan)
+    term_buckets = [r.b for r in spark.createDataFrame(
+        [(t,) for t in terms], "token string")
+        .select(F.pmod(F.hash("token"), F.lit(8)).alias("b"))
+        .distinct().collect()]
+    idx = (spark.read.parquet(path)
+           .filter(F.col("_bucket").isin(term_buckets)))
     hits = (idx.filter(F.col("token").isin(*terms))
             .groupBy("doc_id")
             .agg(F.count(F.lit(1)).alias("nterms"))
