@@ -20,6 +20,24 @@ from nebula_storage_spark.workload import build_queries
 
 # query -> (lines-of-interest filter, commentary)
 SHOWCASE = {
+    "ft_index_incremental": (
+        ("PartitionFilters", "PushedFilters", "ReadSchema"),
+        "Fulltext postings index after op-log catch-up "
+        "(RebuildFTIndexTask.cpp analog): the AND retrieval computes its "
+        "query terms' bucket ids with the same pmod(hash) the layout "
+        "used, so the scan carries `PartitionFilters` on the `_bucket=` "
+        "directories PLUS the pushed token filter — a 100 TB postings "
+        "projection answers a 2-term query from 2 bucket dirs. The "
+        "catch-up itself was ONE dynamic-partition-overwrite touching "
+        "only the delta's buckets (operators/index_rebuild.py)."),
+    "time_surface": (
+        ("PushedFilters", "ReadSchema", "Exchange"),
+        "TIME-typed property surface (RowWriterV2.h:54-67 re-expressed "
+        "as µs-of-day BIGINT): the user_id predicate reaches the "
+        "parquet scan as `PushedFilters`, `ReadSchema` prunes to 3 "
+        "columns, and there is NO Exchange anywhere — codec field "
+        "extraction (hh/mi/ss/µs) is pure codegen integer arithmetic "
+        "on the scan output."),
     "lookup_prefix": (
         ("PushedFilters", "ReadSchema"),
         "Index-lookup semantics: the equality hint reaches the parquet scan "
