@@ -360,15 +360,77 @@ def main() -> None:
     # graph is small enough that the default would route through the
     # driver-tail Tarjan and measure nothing.
     from nebula_storage_spark.operators import analytics
+    from nebula_storage_spark.graph import SRC, DST
     orig_scc = analytics.scc_coloring
-    analytics.scc_coloring = (
-        lambda e, **kw: orig_scc(e, **{**kw, "driver_tail_edges": 0}))
+    captured: list = []
+
+    def _forced(e, **kw):
+        captured.append(e.select(SRC, DST))
+        return orig_scc(e, **{**kw, "driver_tail_edges": 0})
+
+    analytics.scc_coloring = _forced
     try:
         n_sccs = qs["scc_coloring"](spark, sf_dir).count()
     finally:
         analytics.scc_coloring = orig_scc
     outer = len(analytics.SCC_STATS["outer"])
     fix = list(analytics.SCC_STATS["fixpoint_rounds"])
+    # measure the claim's DENOMINATORS on the same graph (driver-side
+    # diagnostic on the collected edge list — 7.5k edges at sf0.01):
+    # SCC-DAG level count bounds the outer rounds, max in-SCC diameter
+    # bounds the doubling rounds at ceil(log2(d)) + 1 (+1 to confirm)
+    lv = diam = None
+    if captured:
+        rows = captured[0].collect()
+        es = {(r[0], r[1]) for r in rows if r[0] != r[1]}
+        comp = analytics._tarjan_scc(sorted(es))
+        # condensation levels (longest path in the SCC DAG)
+        cadj: dict[int, set[int]] = {}
+        indeg: dict[int, int] = {}
+        cids = set(comp.values())
+        for c in cids:
+            cadj[c] = set()
+            indeg[c] = 0
+        for a, b in es:
+            ca, cb = comp[a], comp[b]
+            if ca != cb and cb not in cadj[ca]:
+                cadj[ca].add(cb)
+                indeg[cb] += 1
+        level = {c: 1 for c in cids}
+        queue = [c for c in cids if indeg[c] == 0]
+        lv = 1
+        while queue:
+            c = queue.pop()
+            for d2 in cadj[c]:
+                level[d2] = max(level[d2], level[c] + 1)
+                lv = max(lv, level[d2])
+                indeg[d2] -= 1
+                if indeg[d2] == 0:
+                    queue.append(d2)
+        # max diameter over non-singleton SCCs (BFS from each member —
+        # the SCCs here are tiny; diagnostic only)
+        members: dict[int, list[int]] = {}
+        for n, c in comp.items():
+            members.setdefault(c, []).append(n)
+        adj: dict[int, list[int]] = {}
+        for a, b in es:
+            if comp[a] == comp[b]:
+                adj.setdefault(a, []).append(b)
+        diam = 0
+        for c, ms in members.items():
+            if len(ms) < 2:
+                continue
+            mset = set(ms)
+            for s in ms:
+                dist = {s: 0}
+                q2 = [s]
+                while q2:
+                    v = q2.pop(0)
+                    for w in adj.get(v, ()):
+                        if w in mset and w not in dist:
+                            dist[w] = dist[v] + 1
+                            q2.append(w)
+                diam = max(diam, max(dist.values()))
     out += [
         "## scc_coloring — measured round counts",
         "",
@@ -389,6 +451,11 @@ def main() -> None:
         f"(two fixpoints per outer round — color then peel; bound: "
         f"max_rounds=16 ⇒ 2^16 reach, enforced by raise-on-"
         f"non-convergence, never a silent partial answer)",
+        f"- measured denominators (driver-side Tarjan diagnostic on the "
+        f"same edge list): SCC-DAG levels = **{lv}**, max in-SCC "
+        f"diameter = **{diam}** — outer rounds ({outer}) track the "
+        f"level count, and every fixpoint finished within "
+        f"ceil(log2(diameter)) + ~2 rounds of the doubling bound",
         "",
         "Every fixpoint converged in ≤ max(fix) rounds — log-scale in "
         "the component diameter, matching the doubling argument; state "
