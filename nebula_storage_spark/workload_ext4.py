@@ -1715,7 +1715,12 @@ ORACLE_LATE_DATA = (
     # the oldest quarter (es < cut2) arrives two batches behind the
     # watermark and is dropped; the mid quarter is inside the one-batch
     # propagation lag and accepted; append emits finalized windows only
-    "SELECT to_timestamp(ws) AS hour, event_type, count(*) AS cnt "
+    # CAST .. AS TIMESTAMP: to_timestamp() yields TIMESTAMPTZ, which the
+    # driver fetches tz-aware (datetime64[ns, UTC]) while Spark's window
+    # start fetches naive — a schema mismatch even when values agree
+    # (r5 driver red row; same cast already proven in events_hopping_window)
+    "SELECT CAST(to_timestamp(ws) AS TIMESTAMP) AS hour, event_type, "
+    "count(*) AS cnt "
     "FROM e, s WHERE es >= cut2 "
     "AND (ws + 3600) * 1000 <= maxms - 3600000 "
     "GROUP BY ws, event_type")

@@ -49,7 +49,14 @@ def sweep_oracles(sf: str) -> int:
             if pa.types.is_decimal(field.type):
                 bad.append((name, field.name, str(field.type)))
                 print(f"DECIMAL {name}.{field.name}: {field.type}")
-    print(f"swept {len(oracles)} oracles, {len(bad)} decimal columns "
+            elif (pa.types.is_timestamp(field.type)
+                  and field.type.tz is not None):
+                # TIMESTAMPTZ fetches tz-aware (datetime64[ns, UTC]) where
+                # Spark fetches naive — a driver schema mismatch even when
+                # values agree (r5 stream_late_data red row)
+                bad.append((name, field.name, str(field.type)))
+                print(f"TIMESTAMPTZ {name}.{field.name}: {field.type}")
+    print(f"swept {len(oracles)} oracles, {len(bad)} banned columns "
           f"in {len({b[0] for b in bad})} queries")
     return 1 if bad else 0
 

@@ -77,7 +77,12 @@ def arrow_to_spark_dtype(t: pa.DataType) -> str:
     if pa.types.is_date(t):
         return "date"
     if pa.types.is_timestamp(t):
-        return "timestamp"
+        # tz-aware fetches as datetime64[ns, UTC] while Spark's naive
+        # timestamp fetches tz-naive — the driver's schema compare
+        # distinguishes them (r5 stream_late_data red row), so an
+        # oracle TIMESTAMPTZ must never match: CAST(... AS TIMESTAMP)
+        # in the SQL instead.
+        return "!TIMESTAMPTZ" if t.tz is not None else "timestamp"
     if pa.types.is_list(t) or pa.types.is_large_list(t):
         return f"array<{arrow_to_spark_dtype(t.value_type)}>"
     if pa.types.is_binary(t) or pa.types.is_large_binary(t):
