@@ -940,15 +940,29 @@ def _min_label_fixpoint(e: DataFrame, nodes: DataFrame,
         else:
             new = new.persist()
             cached.append(new)
-        cur_sum = new.agg(
-            F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
-        ).first().s
+        # count rides the same aggregation (no extra job): a NULL sum
+        # over a NONEMPTY frame (non-numeric ids cast to NULL, or
+        # decimal overflow) would otherwise compare None == None and
+        # silently declare convergence after one round with wrong labels
+        row = new.agg(
+            F.sum(F.col("label").cast("decimal(38,0)")).alias("s"),
+            F.count(F.lit(1)).alias("n")).first()
+        cur_sum = row.s
+        if cur_sum is None and row.n > 0:
+            raise ValueError(
+                "_min_label_fixpoint: Σlabel is NULL over a nonempty "
+                "frame — label column must be non-null integral")
         if prev_sum is None:
             # first round: Σ over the identity labels, computed on the
             # already-materialized seed frame (one extra job, once)
-            prev_sum = labels.agg(
-                F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
-            ).first().s
+            seed = labels.agg(
+                F.sum(F.col("label").cast("decimal(38,0)")).alias("s"),
+                F.count(F.lit(1)).alias("n")).first()
+            if seed.s is None and seed.n > 0:
+                raise ValueError(
+                    "_min_label_fixpoint: seed Σlabel is NULL over a "
+                    "nonempty frame — node ids must be non-null integral")
+            prev_sum = seed.s
         labels = new
         if cur_sum == prev_sum:
             converged = True
@@ -1114,8 +1128,13 @@ def scc_coloring(edges: DataFrame, max_outer: int = 64,
             # finish sequentially (identical min-member labeling)
             if 0 < n_live <= driver_tail_edges:
                 SCC_STATS["tail_edges"].append(n_live)
+                # access by NAME: the trim/peel using-column joins move
+                # the join key first, so cur's column order can be
+                # [_dst, _src] by the time the tail engages — positional
+                # access would hand Tarjan the reversed edge list
                 comp = _tarjan_scc(
-                    [(r[0], r[1]) for r in cur.collect()])
+                    [(r[SRC], r[DST])
+                     for r in cur.select(SRC, DST).collect()])
                 done.append(spark.createDataFrame(
                     sorted(comp.items()), "node bigint, scc_id bigint"))
                 # remaining nodes with no live edge left (all their

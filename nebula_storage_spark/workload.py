@@ -774,17 +774,11 @@ def q_scc_components(spark, sf_dir):
     return scc_components(edges, rounds=8)
 
 
-def q_scc_coloring(spark, sf_dir):
-    """Whole-graph SCC via the COLORING algorithm
-    (analytics.scc_coloring) — the UNCAPPED companion to
-    scc_components: the same derived successor-cycle graph over ALL
-    users (no user_id cap), plus a DAG chain linking each grp's minimum
-    user to the next grp's so the SCC DAG has real levels and the peel
-    runs multiple outer rounds. Output is O(V) (node, scc_id); the
-    O(V²) reachability closure never materializes — total rounds are
-    O(SCC-DAG levels · log diameter). The oracle is algorithm-
-    independent: WITH RECURSIVE exact closure + mutual-min."""
-    from .operators.analytics import scc_coloring
+def _scc_gate_graph(spark, sf_dir):
+    """The derived whole-graph SCC input shared by q_scc_coloring and
+    q_scc_coloring_full: successor cycles over ALL users per
+    (event_type, grp) class, plus a DAG chain linking each grp's
+    minimum user to the next grp's so the SCC DAG has real levels."""
     ev = load_events(spark, sf_dir)
     firsts = (ev.select("event_type", (F.col("user_id") % 4).alias("grp"),
                         "user_id", "ts")
@@ -806,7 +800,35 @@ def q_scc_coloring(spark, sf_dir):
     chain = (mins.alias("x")
              .join(mins.alias("y"), F.col("y.grp") == F.col("x.grp") + 1)
              .select(F.col("x.mu").alias(SRC), F.col("y.mu").alias(DST)))
-    return scc_coloring(cyc.unionByName(chain).distinct())
+    return cyc.unionByName(chain).distinct()
+
+
+def q_scc_coloring(spark, sf_dir):
+    """Whole-graph SCC via the COLORING algorithm
+    (analytics.scc_coloring) — the UNCAPPED companion to
+    scc_components: the same derived successor-cycle graph over ALL
+    users (no user_id cap), plus a DAG chain linking each grp's minimum
+    user to the next grp's so the SCC DAG has real levels and the peel
+    runs multiple outer rounds. Output is O(V) (node, scc_id); the
+    O(V²) reachability closure never materializes — total rounds are
+    O(SCC-DAG levels · log diameter). The oracle is algorithm-
+    independent: WITH RECURSIVE exact closure + mutual-min."""
+    from .operators.analytics import scc_coloring
+    return scc_coloring(_scc_gate_graph(spark, sf_dir))
+
+
+def q_scc_coloring_full(spark, sf_dir):
+    """scc_coloring with driver_tail_edges=0: forces the distributed
+    trim/color/peel loop END-TO-END against the same algorithm-
+    independent oracle. The default-tail variant finishes the gate
+    graph (~7.5k live edges < the 50k tail threshold) in the driver
+    Tarjan, so without this variant the distributed loop was pinned
+    only by ≤35-edge hypothesis graphs (r5 advice): this registration
+    restores the gate-scale value check for the loop itself, including
+    the post-peel column-order regime the tail never sees."""
+    from .operators.analytics import scc_coloring
+    return scc_coloring(_scc_gate_graph(spark, sf_dir),
+                        driver_tail_edges=0)
 
 
 def q_hll_incremental(spark, sf_dir):
@@ -2421,6 +2443,10 @@ m AS (SELECT fw.src AS node, fw.dst AS peer FROM tc fw
       UNION ALL SELECT node, node FROM nodes)
 SELECT node, min(peer) AS scc_id FROM m GROUP BY node"""
 
+# Same derived graph, same semantics — the variant differs only in the
+# Spark-side execution path (no driver tail), so the oracle is shared.
+ORACLE_EXT["scc_coloring_full"] = ORACLE_EXT["scc_coloring"]
+
 ORACLE_EXT["cms_token_counts"] = _oracle_cms()
 ORACLE_EXT["bloom_vocab_probe"] = _oracle_bloom()
 ORACLE_EXT["hof_surface"] = """
@@ -3661,8 +3687,41 @@ _FIXED_R05 = frozenset({
     "tpch_q9_shape", "zorder_pruning",
 })
 
+# Green rows in CORRECTNESS_r05.json (49 of 50; the one red was
+# stream_late_data's oracle TIMESTAMPTZ, fixed in round 6).
+_DRIVER_GREEN_R05 = frozenset({
+    "analyze_table_stats", "ann_recall_eval", "bm25_topk",
+    "bpe_train_merges", "butterfly_count", "cluster_top_terms",
+    "conductance_brands", "dedup_semantic_rerank", "dedup_setsim_prefix",
+    "degree_log_histogram", "doc_rarity_score", "dq_checks",
+    "embedding_robust_scale", "embedding_smoothing", "event_type_trigrams",
+    "events_last_state", "events_m4_downsample",
+    "events_markov_transitions", "events_new_users_daily", "events_pivot",
+    "events_rolling_avg", "find_path_strings", "global_transitivity",
+    "greedy_set_cover", "hard_negative_mining", "harmonic_centrality",
+    "hits_scores", "k_truss_edges", "kcenter_init", "knn_pq_adc",
+    "louvain_one_sweep", "rendezvous_parts", "revenue_grouping_sets",
+    "rfm_segments", "source_concentration", "source_logs_parse",
+    "stats_variance", "store_merkle_diff", "store_orphan_gc",
+    "store_snapshot_diff", "tpch_q11_shape", "tpch_q12_shape",
+    "tpch_q22_shape", "tpch_q9_shape", "training_shards",
+    "user_churn_flags", "vocab_coverage_curve", "weighted_pagerank",
+    "zorder_pruning",
+})
+
+# The one round-5 red row — the oracle's to_timestamp() TIMESTAMPTZ vs
+# Spark's naive window start (values matched; schema did not), fixed in
+# round 6 by CAST(... AS TIMESTAMP) — sampled FIRST so the fix earns a
+# driver-recorded green row.
+_FIXED_R06 = frozenset({"stream_late_data"})
+
+# Queries first registered in round 6 — after the never-checked backlog,
+# before the greens.
+_ADDED_R06 = frozenset({"scc_coloring_full"})
+
 _DRIVER_GREEN = (_DRIVER_GREEN_R01 | _DRIVER_GREEN_R02
-                 | _DRIVER_GREEN_R03 | _DRIVER_GREEN_R04)
+                 | _DRIVER_GREEN_R03 | _DRIVER_GREEN_R04
+                 | _DRIVER_GREEN_R05)
 
 # Newest registrations — ordered after the never-checked round-1..3
 # queries (which must drain first) but before the greens.
@@ -3722,21 +3781,25 @@ def build_queries() -> dict[str, Query]:
     out.update(_core_queries())
     out.update(EXT3_QUERIES)
     out.update(EXT4_QUERIES)
-    # insertion order = driver sampling priority: (1) the 12 round-4 red
-    # rows, fixed in round 5 (oracle fetched-type casts) — fresh green
-    # records wanted first; (2) queries with no driver CORRECTNESS row
-    # yet, oldest registrations first (incl. the 23 just-cast latent
-    # HUGEINT oracles); (3) round-3-registered never-checked; (4) the
-    # newest registrations; (5) everything already driver-green.
-    ordered = {k: out[k] for k in sorted(_FIXED_R05) if k in out}
+    # insertion order = driver sampling priority: (1) the round-5 red
+    # row, fixed in round 6 (oracle TIMESTAMPTZ cast) — a fresh green
+    # record wanted first; (2) queries with no driver CORRECTNESS row
+    # yet, oldest registrations first; (3) round-3-registered
+    # never-checked; (4) round-4; (5) round-6 registrations;
+    # (6) everything already driver-green.
+    ordered = {k: out[k] for k in sorted(_FIXED_R06) if k in out}
     ordered.update({k: v for k, v in out.items()
                     if k not in _DRIVER_GREEN and k not in _ADDED_R03
-                    and k not in _ADDED_R04 and k not in ordered})
+                    and k not in _ADDED_R04 and k not in _ADDED_R06
+                    and k not in ordered})
     ordered.update({k: v for k, v in out.items()
                     if k in _ADDED_R03 and k not in _DRIVER_GREEN
                     and k not in ordered})
     ordered.update({k: v for k, v in out.items()
-                    if k in _ADDED_R04 and k not in ordered})
+                    if k in _ADDED_R04 and k not in _DRIVER_GREEN
+                    and k not in ordered})
+    ordered.update({k: v for k, v in out.items()
+                    if k in _ADDED_R06 and k not in ordered})
     ordered.update({k: v for k, v in out.items() if k not in ordered})
     return ordered
 
@@ -3788,6 +3851,7 @@ def _core_queries() -> dict[str, Query]:
         "hll_incremental": q_hll_incremental,
         "scc_components": q_scc_components,
         "scc_coloring": q_scc_coloring,
+        "scc_coloring_full": q_scc_coloring_full,
         "price_size_correlation": q_price_size_correlation,
         "zorder_pruning": q_zorder_pruning,
         "index_incremental": q_index_incremental,

@@ -394,15 +394,28 @@ def q_ft_index_incremental(spark, sf_dir):
     posture as `index_incremental`).  Query: boolean AND retrieval of
     {dup, vector} over the updated index; oracle = the same retrieval
     over the post-op document set (live docs = doc_id % 5 != 0)."""
+    import glob
     import os
+    import shutil
     from nebula_storage_spark.operators.index_rebuild import (
         apply_index_delta, rebuild_index_bucketed)
     docs = _docs(spark, sf_dir)
     postings = (docs.select("doc_id",
                             F.explode(F.split("text", " ")).alias("token"))
                 .distinct().select("token", "doc_id"))
-    path = (f"/tmp/nebula_spark_ft_incr/"
-            f"{os.path.basename(sf_dir.rstrip('/'))}")
+    # per-process staging root: the index build is an in-place
+    # read-modify-write (dynamic partition overwrite), so concurrent
+    # drives at the same sf_dir (driver gate + bench + pytest) must not
+    # interleave on one directory. Reap siblings whose owning process is
+    # gone so /tmp doesn't grow across runs (same pattern as
+    # streaming/window.py stream_late_data).
+    base = "/tmp/nebula_spark_ft_incr"
+    for d in glob.glob(f"{base}/*_*"):
+        pid = d.rsplit("_", 1)[-1]
+        if pid.isdigit() and not os.path.exists(f"/proc/{pid}"):
+            shutil.rmtree(d, ignore_errors=True)
+    path = (f"{base}/"
+            f"{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}")
     rebuild_index_bucketed(
         postings.filter(F.col("doc_id") % 7 != 0), ["token"], path,
         include_cols=["doc_id"])

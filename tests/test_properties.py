@@ -692,3 +692,36 @@ def test_scc_driver_tail_agrees_with_distributed_loop(spark, edges):
     loop = {(r.node, r.scc_id)
             for r in scc_coloring(df, driver_tail_edges=0).collect()}
     assert tail == loop
+
+
+def test_scc_tail_engages_after_peel(spark):
+    """The driver tail must also be correct when it engages AFTER a
+    distributed peel round — by then cur has been through using-column
+    semi/anti joins that move the join key first, flipping the column
+    order to [_dst, _src] (r5 advice: a positional collect would hand
+    Tarjan the REVERSED edge list; only name-based access is safe, and
+    the tiny-graph agreement test above never reaches this regime).
+
+    Graph: three 5-cycles chained min→min (17 edges, SCC-DAG levels =
+    3). driver_tail_edges=12 forces round 1 through the distributed
+    trim/color/peel (17 > 12), which peels exactly the first cycle;
+    the 11 surviving edges then drop into the tail. SCCs and their
+    min-member ids are known in closed form."""
+    from nebula_storage_spark.operators.analytics import (
+        SCC_STATS, scc_coloring)
+    es = []
+    for c in range(3):
+        base = 10 * c
+        es += [(base + i, base + (i + 1) % 5) for i in range(5)]
+    es += [(0, 10), (10, 20)]  # DAG chain between cycle minima
+    df = spark.createDataFrame([(a, b, 0) for a, b in es],
+                               "_src bigint, _dst bigint, _rank bigint")
+    got = {(r.node, r.scc_id)
+           for r in scc_coloring(df, driver_tail_edges=12).collect()}
+    want = {(10 * c + i, 10 * c) for c in range(3) for i in range(5)}
+    assert got == want
+    # pin the regime itself: at least one distributed outer round ran,
+    # and the tail then took over a nonzero remainder
+    assert SCC_STATS["outer"], "distributed loop never ran"
+    assert SCC_STATS["tail_edges"] == [11], (
+        f"tail engaged at {SCC_STATS['tail_edges']}, expected [11]")
