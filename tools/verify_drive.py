@@ -68,8 +68,12 @@ def arrow_to_spark_dtype(t: pa.DataType) -> str:
         return "bigint"
     if pa.types.is_int32(t) or pa.types.is_int16(t) or pa.types.is_int8(t):
         return "int"
-    if pa.types.is_float64(t) or pa.types.is_float32(t):
+    if pa.types.is_float64(t):
         return "double"
+    if pa.types.is_float32(t):
+        # distinct from double: a float32/float64 cross-engine pair
+        # fetches as different pandas dtypes (driver schema mismatch)
+        return "float"
     if pa.types.is_string(t) or pa.types.is_large_string(t):
         return "string"
     if pa.types.is_boolean(t):
@@ -91,8 +95,10 @@ def arrow_to_spark_dtype(t: pa.DataType) -> str:
 
 
 # Spark dtype aliases that fetch identically to the canonical name.
+# NOTE: "float" is NOT aliased to "double" — FloatType fetches as
+# pandas float32, distinguishable from float64 by the driver.
 _SPARK_DTYPE_ALIAS = {
-    "smallint": "int", "tinyint": "int", "float": "double",
+    "smallint": "int", "tinyint": "int",
     "timestamp_ntz": "timestamp",
 }
 
