@@ -24,10 +24,10 @@ def _canon_val(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
-        if v == 0.0:
-            v = 0.0  # -0.0 ≡ 0.0 (sign of zero is not value-significant)
-        # Bit-exact (matches the driver's hash strictness — round(v, 4)
-        # let the r3 stats_variance ULP divergence pass locally).
+        # Bit-exact INCLUDING the sign of zero (matches verify_drive's
+        # canon — a pandas object-hash of np.float64 hashes the bit
+        # pattern, where -0.0 != 0.0; the full drive passes under this,
+        # so both engines emit identical zero signs on every query).
         return struct.pack(">d", v)
     if isinstance(v, dt.datetime):
         return v.replace(tzinfo=None).isoformat()

@@ -38,14 +38,12 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 def canon(v):
     if isinstance(v, float):
-        # Bit-exact: the driver hashes raw values, so any canon looser
-        # than the IEEE bits (e.g. round(v, 4)) can pass locally what
-        # the driver's hash fails — exactly how the r3 stats_variance
-        # red row slipped through.  -0.0 is normalized to 0.0 first:
-        # the sign of a zero is not value-significant to the driver's
-        # string/pandas hash, only to the raw bit pattern.
-        if v == 0.0:
-            v = 0.0
+        # Bit-exact, INCLUDING the sign of zero: the driver may hash
+        # the raw float bytes (pandas object-hash of np.float64 hashes
+        # the bit pattern), where -0.0 != 0.0 even though they compare
+        # equal — so the local canon must not normalize it away. The
+        # full drive passes under this: both engines emit identical
+        # zero signs on every gated query.
         return "nan" if math.isnan(v) else struct.pack(">d", v)
     if isinstance(v, dt.datetime):
         return v.replace(tzinfo=None).isoformat()
