@@ -267,15 +267,10 @@ def stream_late_data(spark: SparkSession, sf_dir: str,
     es = F.unix_timestamp("ts")
     tag = os.path.basename(sf_dir.rstrip("/"))
     # per-process staging root: concurrent drives (driver gate + bench +
-    # pytest) at the same sf_dir must not clobber each other's feed dirs.
-    # Reap siblings whose owning process is gone so /tmp doesn't grow
-    # across runs (a live pid's dir is never touched).
-    base = "/tmp/nebula_stream_late"
-    for d in glob.glob(f"{base}/*_*"):
-        pid = d.rsplit("_", 1)[-1]
-        if pid.isdigit() and not os.path.exists(f"/proc/{pid}"):
-            shutil.rmtree(d, ignore_errors=True)
-    root = f"{base}/{tag}_{os.getpid()}"
+    # pytest) at the same sf_dir must not clobber each other's feed dirs
+    # (staging.pid_staging_root reaps dead-pid siblings).
+    from nebula_storage_spark.staging import pid_staging_root
+    root = pid_staging_root("/tmp/nebula_stream_late", tag)
     shutil.rmtree(root, ignore_errors=True)
     stage = f"{root}/stage"
     feed = f"{root}/feed"

@@ -451,7 +451,9 @@ def q_index_rebuild(spark, sf_dir):
     import os
     from .operators import rebuild_index
     g = tpch_graph(spark, sf_dir)
-    path = f"/tmp/nebula_spark_index/part_brand_size_{os.path.basename(sf_dir.rstrip('/'))}"
+    from .staging import pid_staging_root, sf_tag
+    path = (pid_staging_root("/tmp/nebula_spark_index", sf_tag(sf_dir))
+            + "/part_brand_size")
     idx = rebuild_index(g.tag_df("part"), ["p_brand", "p_size"], path,
                         include_cols=[VID, "p_name", "p_retailprice"])
     return lookup(idx, [Hint.prefix("p_brand", "Brand#21"),
@@ -472,8 +474,8 @@ def q_index_incremental(spark, sf_dir):
                                           rebuild_index_bucketed)
     g = tpch_graph(spark, sf_dir)
     p = g.tag_df("part").select("p_size", VID, "p_name")
-    path = (f"/tmp/nebula_spark_idx_incr/"
-            f"{os.path.basename(sf_dir.rstrip('/'))}")
+    from .staging import pid_staging_root, sf_tag
+    path = pid_staging_root("/tmp/nebula_spark_idx_incr", sf_tag(sf_dir))
     rebuild_index_bucketed(p.filter(F.col(VID) % 7 != 0), ["p_size"],
                            path, include_cols=[VID, "p_name"])
     adds = p.filter(F.col(VID) % 7 == 0)
@@ -490,8 +492,9 @@ def q_index_rebuild_edge(spark, sf_dir):
     import os
     from .operators import rebuild_index
     g = tpch_graph(spark, sf_dir)
-    path = ("/tmp/nebula_spark_index/"
-            f"contains_shipdate_{os.path.basename(sf_dir.rstrip('/'))}")
+    from .staging import pid_staging_root, sf_tag
+    path = (pid_staging_root("/tmp/nebula_spark_index", sf_tag(sf_dir))
+            + "/contains_shipdate")
     idx = rebuild_index(g.edges["contains"], ["l_shipdate", SRC], path,
                         include_cols=[DST, RANK, "l_quantity"])
     return lookup(idx, [Hint.range("l_shipdate", "1996-03-01", "1996-03-08")],
@@ -1078,7 +1081,8 @@ def q_schema_evolution(spark, sf_dir):
     import os
     g = tpch_graph(spark, sf_dir)
     c = g.vertices["customer"]
-    base = f"/tmp/nebula_spark_schema_evo/{os.path.basename(sf_dir.rstrip('/'))}"
+    from .staging import pid_staging_root, sf_tag
+    base = pid_staging_root("/tmp/nebula_spark_schema_evo", sf_tag(sf_dir))
     # v1 writer: schema version without c_mktsegment (vids < 500)
     (c.filter(F.col(VID) < 500).select(VID, "c_name", "c_acctbal")
      .write.mode("overwrite").parquet(f"{base}/v=1"))
@@ -1722,7 +1726,8 @@ def q_store_roundtrip(spark, sf_dir):
     sub.add_vertices_df("nation", g.vertices["nation"])
     sub.add_vertices_df("region", g.vertices["region"])
     sub.edges["nation_region"] = g.edges["nation_region"]
-    root = f"/tmp/nebula_spark_store/{os.path.basename(sf_dir.rstrip('/'))}"
+    from .staging import pid_staging_root, sf_tag
+    root = pid_staging_root("/tmp/nebula_spark_store", sf_tag(sf_dir))
     save_store(sub, root, num_partitions=4)
     g2 = load_store(spark, root, resident=False)
     return get_neighbors(g2, list(range(25)), "nation_region",
@@ -1742,7 +1747,8 @@ def q_store_checkpoint(spark, sf_dir):
                            list_checkpoints, load_store, restore_checkpoint,
                            save_store)
     g = tpch_graph(spark, sf_dir)
-    root = f"/tmp/nebula_spark_ckpt/{os.path.basename(sf_dir.rstrip('/'))}"
+    from .staging import pid_staging_root, sf_tag
+    root = pid_staging_root("/tmp/nebula_spark_ckpt", sf_tag(sf_dir))
     shutil.rmtree(root, ignore_errors=True)
     # mutation 1: tag even-keyed nations, then save the store
     sub = GraphStore(catalog=g.catalog)
@@ -1836,7 +1842,9 @@ def q_source_orc_roundtrip(spark, sf_dir):
     import os
     from .sources import read_table, write_table
     g = tpch_graph(spark, sf_dir)
-    path = f"/tmp/nebula_spark_src/{os.path.basename(sf_dir.rstrip('/'))}/part_orc"
+    from .staging import pid_staging_root, sf_tag
+    path = (pid_staging_root("/tmp/nebula_spark_src", sf_tag(sf_dir))
+            + "/part_orc")
     write_table(g.vertices["part"], path, fmt="orc")
     return read_table(spark, path, fmt="orc")
 
@@ -1987,8 +1995,8 @@ def q_zorder_pruning(spark, sf_dir):
         f"((({zx}) DIV {1 << i}) % 2) * {1 << (2 * i)}"
         f" + ((({zy}) DIV {1 << i}) % 2) * {1 << (2 * i + 1)}"
         for i in range(8))
-    path = (f"/tmp/nebula_spark_zorder/"
-            f"{os.path.basename(sf_dir.rstrip('/'))}")
+    from .staging import pid_staging_root, sf_tag
+    path = pid_staging_root("/tmp/nebula_spark_zorder", sf_tag(sf_dir))
     (p.withColumn("_z", F.expr(interleave))
      .repartitionByRange(8, "_z").sortWithinPartitions("_z")
      .write.mode("overwrite").parquet(path))
@@ -2119,7 +2127,9 @@ def q_source_csv_roundtrip(spark, sf_dir):
     import os
     from .sources import read_table, write_table
     g = tpch_graph(spark, sf_dir)
-    path = f"/tmp/nebula_spark_src/{os.path.basename(sf_dir.rstrip('/'))}/nation_csv"
+    from .staging import pid_staging_root, sf_tag
+    path = (pid_staging_root("/tmp/nebula_spark_src", sf_tag(sf_dir))
+            + "/nation_csv")
     write_table(g.vertices["nation"], path, fmt="csv")
     back = read_table(spark, path, fmt="csv",
                       schema="_vid bigint, n_name string, n_regionkey int")
@@ -2137,8 +2147,9 @@ def q_source_partitioned_pruning(spark, sf_dir):
     (utils/NebulaKeyUtils.h:97-99)."""
     import os
     g = tpch_graph(spark, sf_dir)
-    path = (f"/tmp/nebula_spark_src/{os.path.basename(sf_dir.rstrip('/'))}"
-            f"/orders_by_status")
+    from .staging import pid_staging_root, sf_tag
+    path = (pid_staging_root("/tmp/nebula_spark_src", sf_tag(sf_dir))
+            + "/orders_by_status")
     (g.vertices["order"]
      .write.mode("overwrite").partitionBy("o_orderstatus").parquet(path))
     back = spark.read.parquet(path)
@@ -2152,7 +2163,9 @@ def q_source_json_roundtrip(spark, sf_dir):
     import os
     from .sources import read_table, write_table
     g = tpch_graph(spark, sf_dir)
-    path = f"/tmp/nebula_spark_src/{os.path.basename(sf_dir.rstrip('/'))}/supplier_json"
+    from .staging import pid_staging_root, sf_tag
+    path = (pid_staging_root("/tmp/nebula_spark_src", sf_tag(sf_dir))
+            + "/supplier_json")
     write_table(g.vertices["supplier"], path, fmt="json")
     back = read_table(
         spark, path, fmt="json",

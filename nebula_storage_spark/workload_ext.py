@@ -283,9 +283,10 @@ def q_store_compaction(spark, sf_dir):
     changes rows."""
     import os
     from .store_io import compact_small_files
-    tag = os.path.basename(sf_dir.rstrip("/"))
-    small = f"/tmp/nebula_compact/{tag}/docs_small"
-    packed = f"/tmp/nebula_compact/{tag}/docs_packed"
+    from .staging import pid_staging_root, sf_tag
+    root = pid_staging_root("/tmp/nebula_compact", sf_tag(sf_dir))
+    small = f"{root}/docs_small"
+    packed = f"{root}/docs_packed"
     docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
     docs.repartition(64).write.mode("overwrite").parquet(small)
     out = compact_small_files(spark, small, packed, "doc_id", 4)
@@ -394,9 +395,7 @@ def q_ft_index_incremental(spark, sf_dir):
     posture as `index_incremental`).  Query: boolean AND retrieval of
     {dup, vector} over the updated index; oracle = the same retrieval
     over the post-op document set (live docs = doc_id % 5 != 0)."""
-    import glob
     import os
-    import shutil
     from nebula_storage_spark.operators.index_rebuild import (
         apply_index_delta, rebuild_index_bucketed)
     docs = _docs(spark, sf_dir)
@@ -406,16 +405,10 @@ def q_ft_index_incremental(spark, sf_dir):
     # per-process staging root: the index build is an in-place
     # read-modify-write (dynamic partition overwrite), so concurrent
     # drives at the same sf_dir (driver gate + bench + pytest) must not
-    # interleave on one directory. Reap siblings whose owning process is
-    # gone so /tmp doesn't grow across runs (same pattern as
-    # streaming/window.py stream_late_data).
-    base = "/tmp/nebula_spark_ft_incr"
-    for d in glob.glob(f"{base}/*_*"):
-        pid = d.rsplit("_", 1)[-1]
-        if pid.isdigit() and not os.path.exists(f"/proc/{pid}"):
-            shutil.rmtree(d, ignore_errors=True)
-    path = (f"{base}/"
-            f"{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}")
+    # interleave on one directory (staging.pid_staging_root reaps
+    # dead-pid siblings so /tmp stays bounded).
+    from .staging import pid_staging_root, sf_tag
+    path = pid_staging_root("/tmp/nebula_spark_ft_incr", sf_tag(sf_dir))
     rebuild_index_bucketed(
         postings.filter(F.col("doc_id") % 7 != 0), ["token"], path,
         include_cols=["doc_id"])
@@ -715,7 +708,8 @@ def q_store_snapshot_diff(spark, sf_dir):
     from .store_io import (create_checkpoint, load_store,
                            restore_checkpoint, save_store, snapshot_diff)
     g = tpch_graph(spark, sf_dir)
-    root = f"/tmp/nebula_spark_ckpt_diff/{os.path.basename(sf_dir.rstrip('/'))}"
+    from .staging import pid_staging_root, sf_tag
+    root = pid_staging_root("/tmp/nebula_spark_ckpt_diff", sf_tag(sf_dir))
     shutil.rmtree(root, ignore_errors=True)
     # state v1: even-keyed nations tagged #M1
     sub = GraphStore(catalog=g.catalog)
@@ -881,8 +875,9 @@ def q_source_logs_parse(spark, sf_dir):
     table exactly — proving the parse is lossless."""
     import os
     ev = load_events(spark, sf_dir)
-    log_dir = (f"/tmp/nebula_logs/"
-               f"{os.path.basename(sf_dir.rstrip('/'))}/events")
+    from .staging import pid_staging_root, sf_tag
+    log_dir = (pid_staging_root("/tmp/nebula_logs", sf_tag(sf_dir))
+               + "/events")
     cents = (F.col("value").cast("decimal(18,2)") * 100).cast("bigint")
     lines = ev.select(F.concat(
         F.lit("ts="), F.unix_timestamp("ts").cast("string"),

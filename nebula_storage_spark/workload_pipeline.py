@@ -706,7 +706,8 @@ def q_knn_ivf_persisted(spark, sf_dir):
     import os
     from .pipeline.similarity import build_ivf_index, search_ivf_index
     emb = _emb(spark, sf_dir)
-    path = f"/tmp/nebula_spark_ivf/{os.path.basename(sf_dir.rstrip('/'))}"
+    from .staging import pid_staging_root, sf_tag
+    path = pid_staging_root("/tmp/nebula_spark_ivf", sf_tag(sf_dir))
     build_ivf_index(emb, path)
     queries = emb.filter(F.col("vec_id").isin(KNN_QUERY_IDS))
     return search_ivf_index(spark, path, queries, k=5, nprobe=1)
@@ -725,8 +726,8 @@ def q_knn_ivf_incremental(spark, sf_dir):
     emb = _emb(spark, sf_dir)
     base = emb.filter(F.col("vec_id") % 5 != 0)
     delta = emb.filter(F.col("vec_id") % 5 == 0)
-    path = (f"/tmp/nebula_spark_ivf_incr/"
-            f"{os.path.basename(sf_dir.rstrip('/'))}")
+    from .staging import pid_staging_root, sf_tag
+    path = pid_staging_root("/tmp/nebula_spark_ivf_incr", sf_tag(sf_dir))
     build_ivf_index(base, path)
     append_ivf_index(delta, path)
     queries = emb.filter(F.col("vec_id").isin(KNN_QUERY_IDS))
