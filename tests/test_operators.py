@@ -1065,6 +1065,27 @@ def test_index_delta_oplog_semantics(spark, tmp_path):
                    (40, 4, "new")}    # added; 3 deleted, 5 add+delete
 
 
+def test_bucketed_index_retrieval_prunes_partitions(spark, tmp_path):
+    """The 100 TB posture of ft_index_incremental's retrieval (workload_
+    ext.py): filtering the bucketed postings projection on `_bucket`
+    must reach the scan as a PARTITION filter (only the query terms'
+    bucket directories are listed/read), not as a post-scan row filter
+    — the plan carries it in PartitionFilters."""
+    from pyspark.sql import functions as F
+    from nebula_storage_spark.operators.index_rebuild import (
+        rebuild_index_bucketed)
+    path = str(tmp_path / "bidx")
+    base = spark.createDataFrame(
+        [(k, v, f"p{k}") for k, v in [(10, 1), (20, 2), (30, 3), (40, 4)]],
+        "k bigint, _vid bigint, payload string")
+    rebuild_index_bucketed(base, ["k"], path, n_buckets=4,
+                           include_cols=["_vid", "payload"])
+    scan = spark.read.parquet(path).filter(F.col("_bucket").isin([0, 2]))
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "_bucket" in plan.split("PartitionFilters", 1)[1][:200]
+
+
 def test_triangle_edge_support_counts_shared_edge(spark):
     from nebula_storage_spark.operators.analytics import (
         triangle_counts, triangle_edge_support)
