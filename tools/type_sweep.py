@@ -7,7 +7,7 @@ differently from Spark's BIGINT under the driver's value hash even when
 values are equal (r4 verdict: 11/11 sampled such oracles failed).
 
 Spark side (--spark): every queries() entry's OUTPUT SCHEMA, resolved
-by Catalyst analysis only — no job runs, so the full 254-query surface
+by Catalyst analysis only — no job runs, so the full 255-query surface
 sweeps in seconds. Any decimal dtype in a final schema is the
 zorder_pruning failure mode (DuckDB fetches decimal as float64, Spark
 as Decimal objects).
