@@ -285,6 +285,54 @@ SHOWCASE = {
         "compare is gated by a broadcast semi-join on the diverging "
         "buckets — at 100 TB replicas ship KBs of digests, and only "
         "drifted buckets pay row traffic."),
+    "knn_hyperplane_lsh": (
+        ("BroadcastExchange", "WindowGroupLimit", "Exchange",
+         "HashAggregate"),
+        "Hyperplane-LSH ANN: the tiny query-side band table rides a "
+        "BroadcastExchange into the (band, key) bucket join — the "
+        "corpus is touched only at its buckets' occupancy, never "
+        "all-pairs — and candidate re-rank ends in a per-query "
+        "WindowGroupLimit top-k. The corpus band signature is pure "
+        "codegen integer arithmetic (±1 planes, quantized vectors), so "
+        "at 100 TB the only corpus-wide cost is one scan + one shuffle "
+        "on the band key, which AQE coalesces."),
+    "edge_triangle_support": (
+        ("Exchange", "HashAggregate", "BroadcastHashJoin",
+         "SortMergeJoin", "Scan ExistingRDD"),
+        "Per-edge triangle support (the k-truss inner loop): triangles "
+        "are enumerated on the DEGREE-ORDERED orientation, so every "
+        "wedge is generated at its lowest-degree endpoint — the "
+        "classic O(|E|^1.5) bound that survives power-law skew — and "
+        "support falls out of one union + hash aggregate over the "
+        "closed wedges. No per-node adjacency ever materializes "
+        "driver-side."),
+    "k_core": (
+        ("HashAggregate", "Exchange", "Scan ExistingRDD",
+         "BroadcastHashJoin"),
+        "K-round k-core peel: the final plan reads the last round's "
+        "survivor frame as a checkpointed LogicalRDD (`Scan "
+        "ExistingRDD`) — each round references its input FOUR times "
+        "(degree union twice + two join branches), so without the "
+        "per-round localCheckpoint the analyzed plan grows ~4^rounds "
+        "and planning time dwarfs the work by round 3. Per round: one "
+        "degree aggregate (persisted, computed once) + two size-gated "
+        "joins; the surviving edge frame shrinks monotonically, so "
+        "later rounds are cheaper."),
+    "greedy_coloring": (
+        ("Scan ExistingRDD", "Exchange", "HashAggregate",
+         "BroadcastHashJoin", "SortMergeJoin"),
+        "Jones-Plassmann coloring, K=3 priority rounds: `u` (uncolored "
+        "frontier), `act` (edges with both endpoints uncolored, md5 "
+        "priorities attached once up front) and the colored "
+        "accumulator are all localCheckpoint()ed per round — lazy "
+        "accumulation re-evaluates every earlier leg inside each "
+        "later round's used-color join (measured 6.2 s vs the 4.7 s "
+        "floor at bench scale). The mex over neighbour colors folds "
+        "to a bit_or bitmask + bounded CASE (pure codegen). Measured "
+        "floor at sf0.1 (300k directed edge rows, 165k nodes): ~6 s "
+        "warm — real md5/join work, NOT scheduler tax: narrowing the "
+        "loop's shuffle width (the scc_coloring fix) REGRESSED it to "
+        "7.8 s, so the 32-wide plan stands (BENCH_NOTES round 6)."),
 }
 
 
