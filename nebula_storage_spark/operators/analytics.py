@@ -924,61 +924,68 @@ def _min_label_fixpoint(e: DataFrame, nodes: DataFrame,
     rounds_run = 0
     converged = False
     cached: list[DataFrame] = []
-    for r in range(max_rounds):
-        rounds_run += 1
-        nbr = (e.join(labels, e[SRC] == labels["node"])
-               .select(F.col(DST).alias("node"), "label"))
-        lol = (labels.alias("x")
-               .join(labels.alias("y"),
-                     F.col("x.label") == F.col("y.node"))
-               .select(F.col("x.node").alias("node"),
-                       F.col("y.label").alias("label")))
-        new = narrow(labels.union(nbr).union(lol)
-                     .groupBy("node").agg(F.min("label").alias("label")))
-        if (r + 1) % 4 == 0:
-            new = new.localCheckpoint()     # truncate plan growth
-        else:
-            new = new.persist()
-            cached.append(new)
-        # count rides the same aggregation (no extra job): a NULL sum
-        # over a NONEMPTY frame (non-numeric ids cast to NULL, or
-        # decimal overflow) would otherwise compare None == None and
-        # silently declare convergence after one round with wrong labels
-        row = new.agg(
-            F.sum(F.col("label").cast("decimal(38,0)")).alias("s"),
-            F.count(F.lit(1)).alias("n")).first()
-        cur_sum = row.s
-        if cur_sum is None and row.n > 0:
-            raise ValueError(
-                "_min_label_fixpoint: Σlabel is NULL over a nonempty "
-                "frame — label column must be non-null integral")
-        if prev_sum is None:
-            # first round: Σ over the identity labels, computed on the
-            # already-materialized seed frame (one extra job, once)
-            seed = labels.agg(
+    # Any exit — fixpoint, NULL-Σ ValueError, max-rounds RuntimeError —
+    # must release the per-round persisted frames; the except arm keeps
+    # the error paths from leaking executor cache.
+    try:
+        for r in range(max_rounds):
+            rounds_run += 1
+            nbr = (e.join(labels, e[SRC] == labels["node"])
+                   .select(F.col(DST).alias("node"), "label"))
+            lol = (labels.alias("x")
+                   .join(labels.alias("y"),
+                         F.col("x.label") == F.col("y.node"))
+                   .select(F.col("x.node").alias("node"),
+                           F.col("y.label").alias("label")))
+            new = narrow(labels.union(nbr).union(lol)
+                         .groupBy("node").agg(F.min("label").alias("label")))
+            if (r + 1) % 4 == 0:
+                new = new.localCheckpoint()     # truncate plan growth
+            else:
+                new = new.persist()
+                cached.append(new)
+            # count rides the same aggregation (no extra job): a NULL sum
+            # over a NONEMPTY frame (non-numeric ids cast to NULL, or
+            # decimal overflow) would otherwise compare None == None and
+            # silently declare convergence after one round with wrong labels
+            row = new.agg(
                 F.sum(F.col("label").cast("decimal(38,0)")).alias("s"),
                 F.count(F.lit(1)).alias("n")).first()
-            if seed.s is None and seed.n > 0:
+            cur_sum = row.s
+            if cur_sum is None and row.n > 0:
                 raise ValueError(
-                    "_min_label_fixpoint: seed Σlabel is NULL over a "
-                    "nonempty frame — node ids must be non-null integral")
-            prev_sum = seed.s
-        labels = new
-        if cur_sum == prev_sum:
-            converged = True
+                    "_min_label_fixpoint: Σlabel is NULL over a nonempty "
+                    "frame — label column must be non-null integral")
+            if prev_sum is None:
+                # first round: Σ over the identity labels, computed on the
+                # already-materialized seed frame (one extra job, once)
+                seed = labels.agg(
+                    F.sum(F.col("label").cast("decimal(38,0)")).alias("s"),
+                    F.count(F.lit(1)).alias("n")).first()
+                if seed.s is None and seed.n > 0:
+                    raise ValueError(
+                        "_min_label_fixpoint: seed Σlabel is NULL over a "
+                        "nonempty frame — node ids must be non-null integral")
+                prev_sum = seed.s
+            labels = new
+            if cur_sum == prev_sum:
+                converged = True
+                prev_sum = cur_sum
+                break
             prev_sum = cur_sum
-            break
-        prev_sum = cur_sum
-    if not converged and rounds_run == max_rounds:
+        if not converged and rounds_run == max_rounds:
+            raise RuntimeError(
+                f"_min_label_fixpoint: no fixpoint within {max_rounds} "
+                f"rounds (Σlabel still falling); raise max_rounds "
+                f"(reach is 2^rounds, so the graph's min-ancestor "
+                f"distance exceeds 2^{max_rounds})")
+        # pin the result before releasing the per-round caches it
+        # derives from
+        labels = labels.localCheckpoint()
+    except Exception:
         for df in cached:
             df.unpersist()
-        raise RuntimeError(
-            f"_min_label_fixpoint: no fixpoint within {max_rounds} rounds "
-            f"(Σlabel still falling); raise max_rounds "
-            f"(reach is 2^rounds, so the graph's min-ancestor distance "
-            f"exceeds 2^{max_rounds})")
-    # pin the result before releasing the per-round caches it derives from
-    labels = labels.localCheckpoint()
+        raise
     for df in cached:
         df.unpersist()
     SCC_STATS["fixpoint_rounds"].append(rounds_run)

@@ -281,7 +281,6 @@ def q_store_compaction(spark, sf_dir):
     source untouched. The query returns the compacted readback, which
     must hash-match the original table: compaction moves bytes, never
     changes rows."""
-    import os
     from .store_io import compact_small_files
     from .staging import pid_staging_root, sf_tag
     root = pid_staging_root("/tmp/nebula_compact", sf_tag(sf_dir))
@@ -395,7 +394,6 @@ def q_ft_index_incremental(spark, sf_dir):
     posture as `index_incremental`).  Query: boolean AND retrieval of
     {dup, vector} over the updated index; oracle = the same retrieval
     over the post-op document set (live docs = doc_id % 5 != 0)."""
-    import os
     from nebula_storage_spark.operators.index_rebuild import (
         apply_index_delta, rebuild_index_bucketed)
     docs = _docs(spark, sf_dir)
@@ -702,7 +700,6 @@ def q_store_snapshot_diff(spark, sf_dir):
     added / deleted / changed (store_io.snapshot_diff: one full-outer
     join on the key, null-safe compares). The read-side complement of
     the BR lifecycle gated by store_checkpoint."""
-    import os
     import shutil
     from .graph import GraphStore
     from .store_io import (create_checkpoint, load_store,
@@ -873,7 +870,6 @@ def q_source_logs_parse(spark, sf_dir):
     regexp_extract (JVM codegen — the standard raw-log landing-zone
     pattern), then aggregated. The aggregate must match the original
     table exactly — proving the parse is lossless."""
-    import os
     ev = load_events(spark, sf_dir)
     from .staging import pid_staging_root, sf_tag
     log_dir = (pid_staging_root("/tmp/nebula_logs", sf_tag(sf_dir))

@@ -1715,11 +1715,15 @@ ORACLE_LATE_DATA = (
     # the oldest quarter (es < cut2) arrives two batches behind the
     # watermark and is dropped; the mid quarter is inside the one-batch
     # propagation lag and accepted; append emits finalized windows only
-    # CAST .. AS TIMESTAMP: to_timestamp() yields TIMESTAMPTZ, which the
+    # make_timestamp(µs): to_timestamp() yields TIMESTAMPTZ, which the
     # driver fetches tz-aware (datetime64[ns, UTC]) while Spark's window
     # start fetches naive — a schema mismatch even when values agree
-    # (r5 driver red row; same cast already proven in events_hopping_window)
-    "SELECT CAST(to_timestamp(ws) AS TIMESTAMP) AS hour, event_type, "
+    # (r5 driver red row). CAST(to_timestamp(..) AS TIMESTAMP) fixed the
+    # schema but rendered the epoch in DuckDB's SESSION timezone (host
+    # TZ by default) while Spark pins UTC — correct only on a UTC host.
+    # make_timestamp builds the naive TIMESTAMP from epoch micros
+    # directly, timezone-free on any host (r6 advice).
+    "SELECT make_timestamp(ws * 1000000) AS hour, event_type, "
     "count(*) AS cnt "
     "FROM e, s WHERE es >= cut2 "
     "AND (ws + 3600) * 1000 <= maxms - 3600000 "

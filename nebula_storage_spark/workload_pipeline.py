@@ -703,7 +703,6 @@ def q_knn_ivf_persisted(spark, sf_dir):
     """IVF index lifecycle: build (partitioned-by-cell on disk) once, then
     probe — identical results to the in-memory knn_ivf (same algorithm,
     same nprobe), so it shares that oracle."""
-    import os
     from .pipeline.similarity import build_ivf_index, search_ivf_index
     emb = _emb(spark, sf_dir)
     from .staging import pid_staging_root, sf_tag
@@ -720,7 +719,6 @@ def q_knn_ivf_incremental(spark, sf_dir):
     merged index. Shares the FULL-corpus knn_ivf oracle — passing proves
     base+delta ≡ full rebuild, the additive-sketch law that makes the
     index maintainable at 100 TB without rebuilds."""
-    import os
     from .pipeline.similarity import (append_ivf_index, build_ivf_index,
                                       search_ivf_index)
     emb = _emb(spark, sf_dir)

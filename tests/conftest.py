@@ -26,6 +26,8 @@ def sf_dir():
 def duck():
     import duckdb
     con = duckdb.connect()
+    # pin UTC: match Spark's spark.sql.session.timeZone on any host
+    con.execute("SET TimeZone='UTC'")
     for t in ["region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "events", "documents", "embeddings"]:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")

@@ -34,6 +34,7 @@ def sweep_oracles(sf: str) -> int:
     import pyarrow as pa
     import __spark_entry__ as E
     con = duckdb.connect()
+    con.execute("SET TimeZone='UTC'")  # match Spark's UTC pin
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
     bad = []

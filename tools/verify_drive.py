@@ -5,7 +5,8 @@ at the sf dir given as argv[1] (default sf0.01).
 
 Two gates per query, both must hold:
   1. value gate  — bit-exact multiset equality of all rows (float canon
-     is the raw IEEE bits, with -0.0 normalized to 0.0);
+     is the raw IEEE bits, PRESERVING the sign of zero — the driver may
+     hash raw float bytes, where -0.0 != 0.0; see canon());
   2. type gate   — per-column FETCHED-type identity between the DuckDB
      arrow result schema and the Spark dtypes.  Round 4 proved values
      are not enough: DuckDB promotes sum(BIGINT) to HUGEINT
@@ -133,6 +134,10 @@ def main() -> int:
     print("ENTRY rows:", df.count(), "cols:", df.columns)
 
     con = duckdb.connect()
+    # Pin the oracle session TZ: DuckDB renders tz-sensitive casts
+    # in the HOST timezone by default, while Spark pins UTC —
+    # matches the harness to Spark on any host (r6 advice).
+    con.execute("SET TimeZone='UTC'")
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
 
