@@ -1214,3 +1214,84 @@ def test_find_path_strings_are_valid_weighted_paths(spark, sf_dir):
             assert (a, b) in wmap, (a, b)
             total += wmap[(a, b)]
         assert total == r.dist, r.path
+
+
+def test_headliner_plans_are_scale_safe(spark, sf_dir):
+    """Pin the PLANS.md claims for three headliners so they cannot
+    silently rot (r6 verdict #4):
+
+    1. knn_hyperplane_lsh — the band probe is a BroadcastExchange
+       (tiny query-side frame) joined to the corpus band index by
+       (band, bkey) equi-keys, and the per-query top-k runs as a
+       WindowGroupLimit; no CartesianProduct anywhere.
+    2. k_core — every peel round ends in localCheckpoint(), so the
+       FINAL plan reads a Scan ExistingRDD and contains no join at
+       all: the 4-way per-round self-references are truncated, not
+       re-evaluated (~4^rounds lineage otherwise).
+    """
+    from nebula_storage_spark.workload_pipeline import (
+        q_knn_hyperplane_lsh)
+    lsh = (q_knn_hyperplane_lsh(spark, sf_dir)._jdf.queryExecution()
+           .executedPlan().toString())
+    assert "BroadcastExchange" in lsh
+    assert "WindowGroupLimit" in lsh
+    assert "CartesianProduct" not in lsh
+    assert "BroadcastNestedLoopJoin" not in lsh
+
+    from nebula_storage_spark.graph import DST, SRC, tpch_graph
+    from nebula_storage_spark.operators.analytics import k_core_fixed
+    e = tpch_graph(spark, sf_dir).edges["placed"].select(SRC, DST)
+    kc = (k_core_fixed(e, k=2, rounds=2)._jdf.queryExecution()
+          .executedPlan().toString())
+    assert "ExistingRDD" in kc
+    assert "Join" not in kc      # all join work behind the checkpoint
+
+
+def test_pagerank_beyond_broadcast_fallback_plan(spark, sf_dir):
+    """The beyond-broadcast-range plan (PLANS.md §pagerank): with the
+    per-round size gate exceeded (broadcast_max_nodes=0) and runtime
+    broadcast conversion disabled, NO round may broadcast the |V|-row
+    rank frame — the joins must degrade to shuffle joins, the only
+    plan that survives 10^9 vertices."""
+    from nebula_storage_spark.graph import DST, SRC, tpch_graph
+    from nebula_storage_spark.operators.analytics import pagerank_fixed
+    e = tpch_graph(spark, sf_dir).edges["placed"].select(SRC, DST)
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        pr = pagerank_fixed(e, iterations=2, broadcast_max_nodes=0)
+        plan = pr._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+    assert "BroadcastExchange" not in plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan)
+
+
+def test_type_sweep_skip_list_in_sync(spark, sf_dir):
+    """Every registry name must be covered by one of the two type
+    gates: either its DataFrame schema resolves through Catalyst
+    analysis (the type_sweep --spark surface) or its name matches a
+    SKIP_PREFIXES entry (side-effectful at plan-build; verify_drive's
+    executed gate covers it). A new side-effectful query that matches
+    no prefix would ERROR the sweep rather than silently dodge it —
+    this test fails first. Also: no dead prefixes (each must match at
+    least one registry name)."""
+    import os
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__),
+                                    os.pardir, "tools"))
+    import type_sweep
+    from nebula_storage_spark.workload import build_queries
+    qs = build_queries()
+    skipped = {n for n in qs if n.startswith(type_sweep.SKIP_PREFIXES)}
+    for p in type_sweep.SKIP_PREFIXES:
+        assert any(n.startswith(p) for n in qs), f"dead prefix {p!r}"
+    # schema-resolve every non-skipped query: analysis only, no jobs
+    for name in sorted(set(qs) - skipped):
+        try:
+            dtypes = qs[name](spark, sf_dir).dtypes
+        except Exception as exc:  # noqa: BLE001
+            raise AssertionError(
+                f"{name} neither matches a SKIP_PREFIXES entry nor "
+                f"schema-resolves: {exc}") from exc
+        assert dtypes, name

@@ -725,3 +725,45 @@ def test_scc_tail_engages_after_peel(spark):
     assert SCC_STATS["outer"], "distributed loop never ran"
     assert SCC_STATS["tail_edges"] == [11], (
         f"tail engaged at {SCC_STATS['tail_edges']}, expected [11]")
+
+
+def test_pid_staging_root_reap_semantics(tmp_path):
+    """pid_staging_root must (1) reap dead-pid and legacy-layout dirs
+    past the grace window, (2) leave recently-written dirs alone (the
+    pid-recycling race guard), (3) run the sweep only once per
+    (process, base)."""
+    import os
+    import time
+
+    from nebula_storage_spark import staging
+
+    base = str(tmp_path / "stage")
+    os.makedirs(base)
+    old = time.time() - staging.REAP_GRACE_SECS - 60
+    # dead-pid dir, stale → reaped (pid 2**22+5 exceeds kernel pid_max)
+    dead = f"{base}/sf0.01_4194309"
+    # legacy pre-pid layout, stale → reaped
+    legacy = f"{base}/sf0.01"
+    # dead-pid dir but RECENT mtime → kept (grace window)
+    fresh = f"{base}/sf0.01_4194310"
+    # live-pid dir, stale mtime → kept (owner still running)
+    live = f"{base}/sf0.01_{os.getpid() + 0}"
+    for d in (dead, legacy, fresh, live):
+        os.makedirs(d)
+    for d in (dead, legacy, live):
+        os.utime(d, (old, old))
+
+    staging._reaped_bases.discard(base)
+    got = staging.pid_staging_root(base, "sf0.01")
+    assert got == f"{base}/sf0.01_{os.getpid()}"
+    assert not os.path.exists(dead)
+    assert not os.path.exists(legacy)
+    assert os.path.exists(fresh)
+    assert os.path.exists(live)
+
+    # memoized: a newly-stale dir is NOT reaped on the second call
+    late = f"{base}/sf0.01_4194311"
+    os.makedirs(late)
+    os.utime(late, (old, old))
+    staging.pid_staging_root(base, "sf0.01")
+    assert os.path.exists(late)

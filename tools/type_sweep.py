@@ -28,6 +28,24 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
+# Queries that run jobs at PLAN-BUILD time (write artifacts, train
+# models, drive streams): skipped by the Spark-side schema sweep —
+# building their DataFrame would execute side effects. Their final
+# types are still gated: verify_drive's executed comparison fetches
+# and type-checks every one of them. tests/test_operators.py::
+# test_type_sweep_skip_list_in_sync asserts every registry name either
+# schema-resolves lazily or matches one of these prefixes, so a new
+# side-effectful query cannot silently dodge both gates.
+SKIP_PREFIXES = ("store_", "stream_", "index_", "source_csv",
+                 "source_json", "source_orc", "zorder", "bucketed",
+                 "ft_index", "knn_ivf_persisted", "knn_ivf_incremental",
+                 "dedup_minhash_incremental", "kv_ops", "ttl_purge",
+                 "add_", "upsert_", "delete_", "hll_incremental",
+                 "schema_evolution", "scc_coloring", "kmeans",
+                 "cluster_top_terms", "knn_pq_adc", "bpe_train",
+                 "kcenter", "hard_negative", "embedding_smoothing",
+                 "ann_recall", "dedup_semantic", "greedy_coloring")
+
 
 def sweep_oracles(sf: str) -> int:
     import duckdb
@@ -70,20 +88,9 @@ def sweep_spark(sf: str) -> int:
     import __spark_entry__ as E
     from nebula_storage_spark.session import get_spark
     spark = get_spark("type-sweep")
-    # queries that run jobs at plan-build time (write artifacts, train
-    # models, drive streams): covered by verify_drive's executed gate
-    skip_prefixes = ("store_", "stream_", "index_", "source_csv",
-                     "source_json", "source_orc", "zorder", "bucketed",
-                     "ft_index", "knn_ivf_persisted", "knn_ivf_incremental",
-                     "dedup_minhash_incremental", "kv_ops", "ttl_purge",
-                     "add_", "upsert_", "delete_", "hll_incremental",
-                     "schema_evolution", "scc_coloring", "kmeans",
-                     "cluster_top_terms", "knn_pq_adc", "bpe_train",
-                     "kcenter", "hard_negative", "embedding_smoothing",
-                     "ann_recall", "dedup_semantic", "greedy_coloring")
     bad, n = [], 0
     for name, q in sorted(E.queries().items()):
-        if name.startswith(skip_prefixes):
+        if name.startswith(SKIP_PREFIXES):
             continue
         try:
             dtypes = q(spark, sf).dtypes
