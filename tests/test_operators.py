@@ -1224,10 +1224,13 @@ def test_headliner_plans_are_scale_safe(spark, sf_dir):
        (tiny query-side frame) joined to the corpus band index by
        (band, bkey) equi-keys, and the per-query top-k runs as a
        WindowGroupLimit; no CartesianProduct anywhere.
-    2. k_core — every peel round ends in localCheckpoint(), so the
-       FINAL plan reads a Scan ExistingRDD and contains no join at
-       all: the 4-way per-round self-references are truncated, not
-       re-evaluated (~4^rounds lineage otherwise).
+    2. k_core — per-round state is the O(|V|) alive set, checkpointed
+       each round (LogicalRDD truncation), while the O(|E|) canonical
+       edge frame is checkpointed once: the FINAL plan reads Scan
+       ExistingRDD leaves and its join count is CONSTANT in `rounds`
+       (only the last restriction's two left-semi joins survive;
+       without truncation lineage grows exponentially), with no
+       CartesianProduct.
     """
     from nebula_storage_spark.workload_pipeline import (
         q_knn_hyperplane_lsh)
@@ -1241,10 +1244,16 @@ def test_headliner_plans_are_scale_safe(spark, sf_dir):
     from nebula_storage_spark.graph import DST, SRC, tpch_graph
     from nebula_storage_spark.operators.analytics import k_core_fixed
     e = tpch_graph(spark, sf_dir).edges["placed"].select(SRC, DST)
-    kc = (k_core_fixed(e, k=2, rounds=2)._jdf.queryExecution()
-          .executedPlan().toString())
-    assert "ExistingRDD" in kc
-    assert "Join" not in kc      # all join work behind the checkpoint
+    plans = [
+        (k_core_fixed(e, k=2, rounds=r)._jdf.queryExecution()
+         .executedPlan().toString())
+        for r in (1, 3)]
+    for kc in plans:
+        assert "ExistingRDD" in kc
+        assert "CartesianProduct" not in kc
+        assert "BroadcastNestedLoopJoin" not in kc
+    joins = [kc.count("Join") for kc in plans]
+    assert joins[0] == joins[1] > 0   # lineage truncated per round
 
 
 def test_pagerank_beyond_broadcast_fallback_plan(spark, sf_dir):
