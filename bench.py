@@ -66,6 +66,10 @@ HEADLINERS = [
     "bpe_train_merges",   # iterative BPE trainer (corpus read once)
     "knn_pq_adc",         # product-quantization ADC scan
     "scc_coloring",       # trim/color/peel SCC (pointer doubling rounds)
+    # round-7 baseline-gate widening (r6 verdict #3): two more queries
+    # with direct BASELINE.md comparators
+    "lookup_residual",    # residual-filter lookup vs ref full-index sweep
+    "upsert_update_cond",  # conditional upsert post-image vs ref upsert rate
 ]
 
 
