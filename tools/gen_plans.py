@@ -308,16 +308,21 @@ SHOWCASE = {
         "driver-side."),
     "k_core": (
         ("HashAggregate", "Exchange", "Scan ExistingRDD",
-         "BroadcastHashJoin"),
-        "K-round k-core peel: the final plan reads the last round's "
-        "survivor frame as a checkpointed LogicalRDD (`Scan "
-        "ExistingRDD`) — each round references its input FOUR times "
-        "(degree union twice + two join branches), so without the "
-        "per-round localCheckpoint the analyzed plan grows ~4^rounds "
-        "and planning time dwarfs the work by round 3. Per round: one "
-        "degree aggregate (persisted, computed once) + two size-gated "
-        "joins; the surviving edge frame shrinks monotonically, so "
-        "later rounds are cheaper."),
+         "BroadcastHashJoin", "SortMergeJoin"),
+        "K-round k-core peel, O(|V|) round state: the canonical "
+        "dedup'd edge frame is checkpointed ONCE (`Scan ExistingRDD`); "
+        "each round restricts it to alive endpoints via two size-gated "
+        "left-semi joins (BroadcastHashJoin below the ~5M-node gate, "
+        "shuffled above — the 10⁹-vertex plan), counts degrees in one "
+        "explode + partial-agg pass, and checkpoints only the alive "
+        "SET — 16 B/vertex, not the edge frame. Bit-identical to "
+        "peeling a shrinking edge frame (alive sets shrink "
+        "monotonically, so e0 ∩ alive² ≡ e_prev ∩ alive²). The final "
+        "plan's join count is constant in `rounds` (test-pinned). "
+        "Measured at 120 M-edge amplification (tools/loop_scaling.py): "
+        "the O(|E|)-checkpoint formulation held ~4 materialized 120 M-"
+        "row frames and went super-linear (147 s/round); this one is "
+        "28 s/round, log-log slope 0.72."),
     "greedy_coloring": (
         ("Scan ExistingRDD", "Exchange", "HashAggregate",
          "BroadcastHashJoin", "SortMergeJoin"),
