@@ -51,14 +51,18 @@ from pyspark.sql import functions as F
 from nebula_storage_spark.graph import DST, SRC, tpch_graph
 from nebula_storage_spark.operators.analytics import (
     BROADCAST_MAX_NODES, SCC_STATS, connected_components_doubling,
-    k_core_fixed, pagerank_fixed, scc_coloring)
+    greedy_coloring, k_core_fixed, label_propagation_fixed,
+    maximal_independent_set, pagerank_fixed, personalized_pagerank,
+    scc_coloring, sssp_fixed)
 from nebula_storage_spark.session import get_spark
 
 REP_STRIDE = 10 ** 9   # all gate-graph vids are far below 1e9
 
 
 def amplify(edges, factor: int, parts: int = 32):
-    """F disjoint copies of (src, dst), replica r offset by r*STRIDE."""
+    """F disjoint copies of (src, dst, *extra), replica r offset by
+    r*STRIDE; non-endpoint columns (e.g. sssp's weight) pass through."""
+    extra = [c for c in edges.columns if c not in (SRC, DST)]
     if factor == 1:
         return edges.repartition(parts, SRC)
     spark = edges.sparkSession
@@ -66,7 +70,8 @@ def amplify(edges, factor: int, parts: int = 32):
                        .select(F.col("id").alias("_rep")))
     return (edges.crossJoin(reps)
             .select((F.col(SRC) + F.col("_rep") * REP_STRIDE).alias(SRC),
-                    (F.col(DST) + F.col("_rep") * REP_STRIDE).alias(DST))
+                    (F.col(DST) + F.col("_rep") * REP_STRIDE).alias(DST),
+                    *extra)
             .repartition(parts, SRC))
 
 
@@ -98,6 +103,25 @@ def scc_graph(spark, sf_dir):
     return _scc_gate_graph(spark, sf_dir)
 
 
+def sssp_graph(spark, sf_dir):
+    """q_sssp_distances' weighted 3-layer undirected graph (placed w=1,
+    contains w=l_quantity). Single-source: only replica 0's component
+    carries finite distances in amplified graphs, so the cell measures
+    the round's edge-scan/join side — exactly the part that scales
+    with |E|; the frontier side is |V|-bounded by construction."""
+    g = tpch_graph(spark, sf_dir)
+    placed = g.edges["placed"].select(
+        F.col(SRC).alias(SRC), (F.col(DST) + 10_000_000).alias(DST),
+        F.lit(1).cast("long").alias("w"))
+    contains = g.edges["contains"].select(
+        (F.col(SRC) + 10_000_000).alias(SRC),
+        (F.col(DST) + 20_000_000).alias(DST),
+        F.col("l_quantity").cast("long").alias("w"))
+    fwd = placed.unionByName(contains)
+    return fwd.unionByName(fwd.select(F.col(DST).alias(SRC),
+                                      F.col(SRC).alias(DST), "w"))
+
+
 # op -> (graph builder, runner(edges) -> (result_df, rounds))
 OPS = {
     "pagerank": (pagerank_graph,
@@ -108,6 +132,23 @@ OPS = {
         cc_graph,
         lambda e: (connected_components_doubling(e, iterations=3), 3)),
     "scc_coloring_full": (scc_graph, None),   # rounds from SCC_STATS
+    # round-7 widening: the rest of the iterative-loop headliner family
+    "label_propagation": (
+        cc_graph,
+        lambda e: (label_propagation_fixed(e, iterations=3), 3)),
+    "sssp_distances": (
+        sssp_graph,
+        lambda e: (sssp_fixed(e, source=1, iterations=4), 4)),
+    "maximal_independent_set": (
+        k_core_graph,
+        lambda e: (maximal_independent_set(e, rounds=4), 4)),
+    "personalized_pagerank": (
+        pagerank_graph,
+        lambda e: (personalized_pagerank(
+            e, seeds=[0, 1, 2, 3, 4], iterations=5), 5)),
+    "greedy_coloring": (
+        pagerank_graph,
+        lambda e: (greedy_coloring(e, rounds=3), 3)),
 }
 
 
