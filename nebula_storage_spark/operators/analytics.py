@@ -289,7 +289,9 @@ def connected_components_doubling_oracle_sql(edges_sql: str,
 
 
 def maximal_independent_set(edges: DataFrame, rounds: int = 4,
-                            prefix: str = "mis#") -> DataFrame:
+                            prefix: str = "mis#",
+                            broadcast_max_nodes: int | None = None
+                            ) -> DataFrame:
     """Luby's maximal-independent-set algorithm with DETERMINISTIC
     priorities: md5(node) replaces the per-round RNG draw, ties broken
     by node id, so the selected set is reproducible on any engine (the
@@ -299,10 +301,18 @@ def maximal_independent_set(edges: DataFrame, rounds: int = 4,
     majority (Luby: expected O(log n) rounds to finish). Output:
     (node, status) with status ∈ {'in','out','undecided'}.
 
-    Scale: per round = two semi-joins restricting edges to undecided
-    endpoints, one comparison join to find beaten nodes, one semi-join
-    for the fallout — all hash joins on the node key; the undecided
-    frontier shrinks geometrically and is localCheckpoint()ed per round.
+    Scale: per round = two joins restricting edges to undecided
+    endpoints, one |E|-scan distinct for the beaten set, one |E|-scan
+    for the fallout. Every per-round |V|-row frame (undecided u, win,
+    out) is localCheckpoint()ed BEFORE fan-out use — win feeds out, the
+    u update, and the winners union; left lazy, each reference re-runs
+    the full-|E| comparison join (the k_core super-linear defect class:
+    measured at 120 M edges via tools/loop_scaling.py, re-evaluation +
+    unhinted 240 M-row SMJs cost 136 s/round; materialized + size-gated
+    broadcasts ~4×+ less). The u/win/out sides ride _round_hint's
+    size-gated broadcast: below the gate the persisted edge frame never
+    shuffles inside a round; above it the joins fall back to shuffled —
+    the only feasible plan at 10⁹ vertices.
     """
     a, b = F.col(SRC), F.col(DST)
     und = (edges.filter(a != b)
@@ -317,23 +327,26 @@ def maximal_independent_set(edges: DataFrame, rounds: int = 4,
          .withColumn("h", F.expr(pri)).localCheckpoint())
     winners, outs = None, None
     for _ in range(rounds):
+        hint = _round_hint(u.count(), broadcast_max_nodes)
         eu = (both
-              .join(u.select(F.col("node").alias(SRC),
-                             F.col("h").alias("ha")), SRC)
-              .join(u.select(F.col("node").alias(DST),
-                             F.col("h").alias("hb")), DST))
+              .join(hint(u.select(F.col("node").alias(SRC),
+                                  F.col("h").alias("ha"))), SRC)
+              .join(hint(u.select(F.col("node").alias(DST),
+                                  F.col("h").alias("hb"))), DST))
         beaten = (eu.filter(
             (F.col("hb") > F.col("ha"))
             | ((F.col("hb") == F.col("ha")) & (F.col(DST) > F.col(SRC))))
             .select(F.col(SRC).alias("node")).distinct())
-        win = u.join(beaten, "node", "left_anti").select("node")
-        out = (both.join(win.withColumnRenamed("node", SRC), SRC)
+        win = (u.join(hint(beaten), "node", "left_anti").select("node")
+               .localCheckpoint())
+        out = (both.join(hint(win.withColumnRenamed("node", SRC)), SRC)
                .select(F.col(DST).alias("node")).distinct()
-               .join(u.select("node"), "node", "left_semi"))
+               .join(hint(u.select("node")), "node", "left_semi")
+               .localCheckpoint())
         winners = win if winners is None else winners.union(win)
         outs = out if outs is None else outs.union(out)
-        u = (u.join(win, "node", "left_anti")
-             .join(out, "node", "left_anti").localCheckpoint())
+        u = (u.join(hint(win), "node", "left_anti")
+             .join(hint(out), "node", "left_anti").localCheckpoint())
     nodes = both.select(F.col(SRC).alias("node")).distinct()
     return (nodes
             .join(winners.withColumn("_in", F.lit(1)).distinct(),
