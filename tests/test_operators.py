@@ -1276,6 +1276,31 @@ def test_pagerank_beyond_broadcast_fallback_plan(spark, sf_dir):
     assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan)
 
 
+def test_mis_final_plan_truncated_per_round(spark, sf_dir):
+    """maximal_independent_set pins the k_core invariant (the r7
+    loop_scaling sweep caught MIS re-running its full-|E| comparison
+    join 3× per round through lazy win/out frames — 135.9 s/round at
+    120 M edges, 2.6× fixed): every per-round |V|-row frame is
+    localCheckpoint()ed before fan-out use, so the FINAL plan reads
+    Scan ExistingRDD leaves and its join count is CONSTANT in `rounds`
+    (only the two status left-joins survive; the per-round comparison
+    joins all sit behind checkpoints), with no CartesianProduct."""
+    from nebula_storage_spark.graph import DST, SRC, tpch_graph
+    from nebula_storage_spark.operators.analytics import (
+        maximal_independent_set)
+    e = tpch_graph(spark, sf_dir).edges["placed"].select(SRC, DST)
+    plans = [
+        (maximal_independent_set(e, rounds=r)._jdf.queryExecution()
+         .executedPlan().toString())
+        for r in (1, 3)]
+    for p in plans:
+        assert "ExistingRDD" in p
+        assert "CartesianProduct" not in p
+        assert "BroadcastNestedLoopJoin" not in p
+    joins = [p.count("Join") for p in plans]
+    assert joins[0] == joins[1] > 0   # lineage truncated per round
+
+
 def test_type_sweep_skip_list_in_sync(spark, sf_dir):
     """Every registry name must be covered by one of the two type
     gates: either its DataFrame schema resolves through Catalyst
