@@ -19,9 +19,9 @@ Measured per (operator, factor):
                 after a factor-1 warmup of the same operator);
   - rounds:     the loop's round count (fixed iterations for
                 pagerank/k_core/cc; SCC_STATS telemetry for scc);
-  - sec_per_round, state_rows (|V|, the per-round checkpoint payload —
-    each round persists/localCheckpoints one (bigint, bigint) row per
-    vertex, so checkpoint bytes ≈ 16·state_rows + row overhead);
+  - sec_per_round, vertices (|V| — also the per-round checkpoint
+    payload: each round persists/localCheckpoints one or two bigints
+    per vertex, so checkpoint bytes ≈ 16·vertices + row overhead);
   - regime:     'broadcast' if |V| is under BROADCAST_MAX_NODES (the
                 per-round frame broadcasts; the persisted edges never
                 move) else 'shuffle' (the 10⁹-vertex plan).
