@@ -2203,19 +2203,57 @@ def q_stream_stateful_count(spark, sf_dir):
     return stream_stateful_counts(spark, sf_dir)
 
 
+def _pagerank_gate_graph(spark, sf_dir):
+    """The undirected-ized offset customer↔order graph the pagerank /
+    personalized_pagerank / greedy_coloring gate queries run on.
+    Shared with tools/loop_scaling.py so the amplified-scale evidence
+    always measures the gated graph, not a drifted copy. Order keys
+    overlap customer keys numerically — offset one side so the two
+    vertex domains stay disjoint, then undirected-ize."""
+    g = tpch_graph(spark, sf_dir)
+    placed = g.edges["placed"].select(SRC, DST)
+    fwd = placed.select(F.col(SRC).alias(SRC),
+                        (F.col(DST) + 10_000_000).alias(DST))
+    return fwd.union(fwd.select(F.col(DST).alias(SRC),
+                                F.col(SRC).alias(DST)))
+
+
+def _cc_gate_graph(spark, sf_dir):
+    """The directed offset bipartite customer→order graph the
+    connected_components_doubling / label_propagation gate queries run
+    on (shared with tools/loop_scaling.py, as above)."""
+    g = tpch_graph(spark, sf_dir)
+    placed = g.edges["placed"].select(SRC, DST)
+    return placed.select(F.col(SRC).alias(SRC),
+                         (F.col(DST) + 10_000_000).alias(DST))
+
+
+def _sssp_gate_graph(spark, sf_dir):
+    """The weighted 3-layer undirected graph q_sssp_distances runs on:
+    placed edges weigh 1, contains edges weigh l_quantity (integral in
+    TPC-H, so min/plus arithmetic is bit-exact vs the oracle); layers
+    offset orders +10M, parts +20M (shared with tools/loop_scaling.py,
+    as above)."""
+    g = tpch_graph(spark, sf_dir)
+    placed = g.edges["placed"].select(
+        F.col(SRC).alias(SRC), (F.col(DST) + 10_000_000).alias(DST),
+        F.lit(1).cast("long").alias("w"))
+    contains = g.edges["contains"].select(
+        (F.col(SRC) + 10_000_000).alias(SRC),
+        (F.col(DST) + 20_000_000).alias(DST),
+        F.col("l_quantity").cast("long").alias("w"))
+    fwd = placed.unionByName(contains)
+    return fwd.unionByName(fwd.select(F.col(DST).alias(SRC),
+                                      F.col(SRC).alias(DST), "w"))
+
+
 def q_pagerank(spark, sf_dir):
     """DataFrame-iterative PageRank (the GraphX-bridge analytics path),
     integer fixed-point for oracle determinism, over the undirected-ized
     customer↔order graph."""
     from .operators import pagerank_fixed
-    g = tpch_graph(spark, sf_dir)
-    placed = g.edges["placed"].select(SRC, DST)
-    # order keys overlap customer keys numerically — offset one side so the
-    # two vertex domains stay disjoint, then undirected-ize
-    fwd = placed.select(F.col(SRC).alias(SRC),
-                        (F.col(DST) + 10_000_000).alias(DST))
-    edges = fwd.union(fwd.select(F.col(DST).alias(SRC), F.col(SRC).alias(DST)))
-    return pagerank_fixed(edges, iterations=5)
+    return pagerank_fixed(_pagerank_gate_graph(spark, sf_dir),
+                          iterations=5)
 
 
 def _oracle_pagerank() -> str:
@@ -2231,12 +2269,8 @@ def q_personalized_pagerank(spark, sf_dir):
     """Personalized PageRank: restart mass pinned to 5 seed customers —
     the 'similar to these' relevance primitive, same fixed-point loop."""
     from .operators.analytics import personalized_pagerank
-    g = tpch_graph(spark, sf_dir)
-    placed = g.edges["placed"].select(SRC, DST)
-    fwd = placed.select(F.col(SRC).alias(SRC),
-                        (F.col(DST) + 10_000_000).alias(DST))
-    edges = fwd.union(fwd.select(F.col(DST).alias(SRC), F.col(SRC).alias(DST)))
-    return personalized_pagerank(edges, seeds=[0, 1, 2, 3, 4], iterations=5)
+    return personalized_pagerank(_pagerank_gate_graph(spark, sf_dir),
+                                 seeds=[0, 1, 2, 3, 4], iterations=5)
 
 
 def _oracle_personalized_pagerank() -> str:
@@ -3007,18 +3041,8 @@ def q_sssp_distances(spark, sf_dir):
     plus arithmetic is bit-exact vs the oracle). Layer ids are offset
     (orders +10M, parts +20M) the same way q_connected_components does."""
     from .operators.analytics import sssp_fixed
-    g = tpch_graph(spark, sf_dir)
-    placed = g.edges["placed"].select(
-        F.col(SRC).alias(SRC), (F.col(DST) + 10_000_000).alias(DST),
-        F.lit(1).cast("long").alias("w"))
-    contains = g.edges["contains"].select(
-        (F.col(SRC) + 10_000_000).alias(SRC),
-        (F.col(DST) + 20_000_000).alias(DST),
-        F.col("l_quantity").cast("long").alias("w"))
-    fwd = placed.unionByName(contains)
-    und = fwd.unionByName(fwd.select(F.col(DST).alias(SRC),
-                                     F.col(SRC).alias(DST), "w"))
-    return sssp_fixed(und, source=1, iterations=4)
+    return sssp_fixed(_sssp_gate_graph(spark, sf_dir),
+                      source=1, iterations=4)
 
 
 def q_incremental_view_maintenance(spark, sf_dir):
@@ -3086,11 +3110,8 @@ def q_connected_components_doubling(spark, sf_dir):
     q_connected_components — the O(log d) convergence path for
     large-diameter graphs."""
     from .operators.analytics import connected_components_doubling
-    g = tpch_graph(spark, sf_dir)
-    placed = g.edges["placed"].select(SRC, DST)
-    edges = placed.select(F.col(SRC).alias(SRC),
-                          (F.col(DST) + 10_000_000).alias(DST))
-    return connected_components_doubling(edges, iterations=3)
+    return connected_components_doubling(_cc_gate_graph(spark, sf_dir),
+                                         iterations=3)
 
 
 def _oracle_cc_doubling() -> str:
@@ -3366,11 +3387,8 @@ def q_label_propagation(spark, sf_dir):
     offset customer↔order bipartite graph as pagerank — the community-
     detection member of the GraphX-bridge family."""
     from .operators.analytics import label_propagation_fixed
-    g = tpch_graph(spark, sf_dir)
-    placed = g.edges["placed"].select(SRC, DST)
-    edges = placed.select(F.col(SRC).alias(SRC),
-                          (F.col(DST) + 10_000_000).alias(DST))
-    return label_propagation_fixed(edges, iterations=3)
+    return label_propagation_fixed(_cc_gate_graph(spark, sf_dir),
+                                   iterations=3)
 
 
 def _oracle_label_propagation() -> str:
@@ -3687,6 +3705,58 @@ _LATEST_R04 = frozenset({
     "tpch_q7", "tpch_q8",
 })
 
+# Queries whose LATEST driver row is CORRECTNESS_r05.json (49).
+_LATEST_R05 = frozenset({
+    "analyze_table_stats", "ann_recall_eval", "bm25_topk",
+    "bpe_train_merges", "butterfly_count", "cluster_top_terms",
+    "conductance_brands", "dedup_semantic_rerank",
+    "dedup_setsim_prefix", "degree_log_histogram",
+    "doc_rarity_score", "dq_checks", "embedding_robust_scale",
+    "embedding_smoothing", "event_type_trigrams",
+    "events_last_state", "events_m4_downsample",
+    "events_markov_transitions", "events_new_users_daily",
+    "events_pivot", "events_rolling_avg", "find_path_strings",
+    "global_transitivity", "greedy_set_cover",
+    "hard_negative_mining", "harmonic_centrality", "hits_scores",
+    "k_truss_edges", "kcenter_init", "knn_pq_adc",
+    "louvain_one_sweep", "rendezvous_parts",
+    "revenue_grouping_sets", "rfm_segments", "source_concentration",
+    "source_logs_parse", "stats_variance", "store_merkle_diff",
+    "store_orphan_gc", "store_snapshot_diff", "tpch_q11_shape",
+    "tpch_q12_shape", "tpch_q22_shape", "tpch_q9_shape",
+    "training_shards", "user_churn_flags", "vocab_coverage_curve",
+    "weighted_pagerank", "zorder_pruning",
+})
+
+# Queries whose LATEST driver row is CORRECTNESS_r06.json (50).
+_LATEST_R06 = frozenset({
+    "basket_affinity", "betweenness_2hop", "bigram_lm_rarity",
+    "closeness_centrality", "corpus_stats", "decontaminate",
+    "dedup_apply", "dedup_containment", "dedup_exact",
+    "dedup_jaccard_histogram", "dedup_minhash_incremental",
+    "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_simhash",
+    "dedup_simhash_pairs", "doc_fingerprint", "embedding_near_dup",
+    "events_mad_outliers", "events_winsorize",
+    "ft_index_incremental", "greedy_coloring", "kmeans_embeddings",
+    "knn_bruteforce", "knn_hyperplane_lsh", "knn_ivf",
+    "knn_ivf_incremental", "knn_ivf_nprobe", "knn_ivf_persisted",
+    "knn_lsh_multiprobe", "lang_id", "modularity_brands",
+    "node2vec_walks", "pack_sequences", "quality_filter",
+    "repetition_stats", "scc_coloring", "scc_coloring_full",
+    "shard_balance_audit", "skyline_parts", "source_tv_distance",
+    "split_assign", "stratified_sample", "stream_late_data",
+    "text_features", "text_normalize", "text_redact",
+    "tfidf_top_terms", "time_surface", "top_docs_per_source",
+    "walk_visit_counts",
+})
+
+# Every query with ANY driver CORRECTNESS row (r1–r6) — the cohorts
+# above partition this set by latest-row round. A registry name NOT in
+# this union has never been driver-checked and must sample FIRST.
+_DRIVER_CHECKED_EVER = (frozenset(_REFRESH_HEAD) | _LATEST_R01
+                        | _LATEST_R02 | _LATEST_R03 | _LATEST_R04
+                        | _LATEST_R05 | _LATEST_R06)
+
 
 def build_queries() -> dict[str, Query]:
     from .workload_pipeline import build_pipeline_queries
@@ -3696,11 +3766,16 @@ def build_queries() -> dict[str, Query]:
     out.update(_core_queries())
     out.update(EXT3_QUERIES)
     out.update(EXT4_QUERIES)
-    # insertion order = driver sampling priority: see _REFRESH_HEAD
-    # comment above. r5/r6-latest rows are already post-canon and sort
-    # last in registration order.
-    ordered = {k: out[k] for k in _REFRESH_HEAD if k in out}
-    for cohort in (_LATEST_R01, _LATEST_R02, _LATEST_R03, _LATEST_R04):
+    # insertion order = driver sampling priority: (1) queries with NO
+    # driver CORRECTNESS row yet (new registrations — must gain a row
+    # their first round), (2) _REFRESH_HEAD (see comment above),
+    # (3) stalest-provenance cohorts oldest-first; r5/r6-latest rows
+    # are already post-canon and sort last in registration order.
+    ordered = {k: v for k, v in out.items()
+               if k not in _DRIVER_CHECKED_EVER}
+    ordered.update({k: out[k] for k in _REFRESH_HEAD if k in out})
+    for cohort in (_LATEST_R01, _LATEST_R02, _LATEST_R03, _LATEST_R04,
+                   _LATEST_R05):
         ordered.update({k: v for k, v in out.items()
                         if k in cohort and k not in ordered})
     ordered.update({k: v for k, v in out.items() if k not in ordered})

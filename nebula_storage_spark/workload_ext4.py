@@ -428,13 +428,8 @@ def q_greedy_coloring(spark, sf_dir):
     (measured: 47/2000 colored in 3 rounds there). Deterministic md5
     priorities, so reproducible on any engine and partitioning."""
     from .operators.analytics import greedy_coloring
-    g = tpch_graph(spark, sf_dir)
-    placed = g.edges["placed"].select(SRC, DST)
-    fwd = placed.select(F.col(SRC).alias(SRC),
-                        (F.col(DST) + 10_000_000).alias(DST))
-    und = fwd.union(fwd.select(F.col(DST).alias(SRC),
-                               F.col(SRC).alias(DST)))
-    return greedy_coloring(und, rounds=3)
+    from .workload import _pagerank_gate_graph
+    return greedy_coloring(_pagerank_gate_graph(spark, sf_dir), rounds=3)
 
 
 def _oracle_coloring() -> str:

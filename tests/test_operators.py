@@ -1217,8 +1217,9 @@ def test_find_path_strings_are_valid_weighted_paths(spark, sf_dir):
 
 
 def test_headliner_plans_are_scale_safe(spark, sf_dir):
-    """Pin the PLANS.md claims for three headliners so they cannot
-    silently rot (r6 verdict #4):
+    """Pin the PLANS.md claims for two headliners so they cannot
+    silently rot (r6 verdict #4; the third claim — pagerank's
+    beyond-broadcast fallback — has its own test below):
 
     1. knn_hyperplane_lsh — the band probe is a BroadcastExchange
        (tiny query-side frame) joined to the corpus band index by
@@ -1299,6 +1300,33 @@ def test_mis_final_plan_truncated_per_round(spark, sf_dir):
         assert "BroadcastNestedLoopJoin" not in p
     joins = [p.count("Join") for p in plans]
     assert joins[0] == joins[1] > 0   # lineage truncated per round
+
+
+def test_driver_sampling_order_invariants(monkeypatch):
+    """The driver samples queries() in insertion order with a fixed
+    budget, so build_queries() order IS the provenance-refresh policy.
+    Three invariants: (1) the per-round provenance cohorts partition
+    the registry exactly (no name unaccounted, no overlaps — a query
+    in two cohorts would double-sample, one in none would never
+    refresh); (2) with no new registrations the _REFRESH_HEAD trio
+    leads; (3) a query with NO driver CORRECTNESS row ever (a new
+    registration) sorts FIRST, ahead of every green query — the safety
+    net that guarantees new queries gain a driver row their first
+    round."""
+    from nebula_storage_spark import workload as w
+    qs = w.build_queries()
+    cohorts = [frozenset(w._REFRESH_HEAD), w._LATEST_R01, w._LATEST_R02,
+               w._LATEST_R03, w._LATEST_R04, w._LATEST_R05, w._LATEST_R06]
+    assert sum(len(c) for c in cohorts) == len(w._DRIVER_CHECKED_EVER)
+    assert frozenset().union(*cohorts) == w._DRIVER_CHECKED_EVER
+    assert set(qs) == w._DRIVER_CHECKED_EVER      # nothing unaccounted
+    assert list(qs)[:3] == list(w._REFRESH_HEAD)
+    # simulate a brand-new registration: drop one name from the
+    # checked-ever set and it must jump to the very front
+    probe = "tpch_q1"
+    monkeypatch.setattr(w, "_DRIVER_CHECKED_EVER",
+                        w._DRIVER_CHECKED_EVER - {probe})
+    assert next(iter(w.build_queries())) == probe
 
 
 def test_type_sweep_skip_list_in_sync(spark, sf_dir):

@@ -15,8 +15,9 @@ while per-round WORK scales exactly ×F — the isolation that makes
 Measured per (operator, factor):
   - edges:      |E| after amplification (persisted + counted untimed);
   - seconds:    wall time of the full call incl. one materializing
-                count of the result (min of `--reps` runs, default 1
-                after a factor-1 warmup of the same operator);
+                count of the result (min of `--reps` runs, default 1;
+                every operator is warmed untimed at the smallest
+                factor first, so no cell pays first-run codegen);
   - rounds:     the loop's round count (fixed iterations for
                 pagerank/k_core/cc; SCC_STATS telemetry for scc);
   - sec_per_round, vertices (|V| — also the per-round checkpoint
@@ -48,7 +49,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F
 
-from nebula_storage_spark.graph import DST, SRC, tpch_graph
+from nebula_storage_spark.graph import DST, SRC
 from nebula_storage_spark.operators.analytics import (
     BROADCAST_MAX_NODES, SCC_STATS, connected_components_doubling,
     greedy_coloring, k_core_fixed, label_propagation_fixed,
@@ -76,19 +77,17 @@ def amplify(edges, factor: int, parts: int = 32):
 
 
 def pagerank_graph(spark, sf_dir):
-    """q_pagerank's undirected customer↔order graph (workload.py)."""
-    placed = tpch_graph(spark, sf_dir).edges["placed"].select(SRC, DST)
-    fwd = placed.select(F.col(SRC).alias(SRC),
-                        (F.col(DST) + 10_000_000).alias(DST))
-    return fwd.union(fwd.select(F.col(DST).alias(SRC),
-                                F.col(SRC).alias(DST)))
+    """q_pagerank's undirected customer↔order graph — IMPORTED from
+    workload.py so the tool always measures the gated graph."""
+    from nebula_storage_spark.workload import _pagerank_gate_graph
+    return _pagerank_gate_graph(spark, sf_dir)
 
 
 def cc_graph(spark, sf_dir):
-    """q_connected_components_doubling's bipartite placed graph."""
-    placed = tpch_graph(spark, sf_dir).edges["placed"].select(SRC, DST)
-    return placed.select(F.col(SRC).alias(SRC),
-                         (F.col(DST) + 10_000_000).alias(DST))
+    """q_connected_components_doubling's bipartite placed graph
+    (shared workload helper, as above)."""
+    from nebula_storage_spark.workload import _cc_gate_graph
+    return _cc_gate_graph(spark, sf_dir)
 
 
 def k_core_graph(spark, sf_dir):
@@ -104,22 +103,14 @@ def scc_graph(spark, sf_dir):
 
 
 def sssp_graph(spark, sf_dir):
-    """q_sssp_distances' weighted 3-layer undirected graph (placed w=1,
-    contains w=l_quantity). Single-source: only replica 0's component
-    carries finite distances in amplified graphs, so the cell measures
-    the round's edge-scan/join side — exactly the part that scales
-    with |E|; the frontier side is |V|-bounded by construction."""
-    g = tpch_graph(spark, sf_dir)
-    placed = g.edges["placed"].select(
-        F.col(SRC).alias(SRC), (F.col(DST) + 10_000_000).alias(DST),
-        F.lit(1).cast("long").alias("w"))
-    contains = g.edges["contains"].select(
-        (F.col(SRC) + 10_000_000).alias(SRC),
-        (F.col(DST) + 20_000_000).alias(DST),
-        F.col("l_quantity").cast("long").alias("w"))
-    fwd = placed.unionByName(contains)
-    return fwd.unionByName(fwd.select(F.col(DST).alias(SRC),
-                                      F.col(SRC).alias(DST), "w"))
+    """q_sssp_distances' weighted 3-layer undirected graph (shared
+    workload helper: placed w=1, contains w=l_quantity). Single-source:
+    only replica 0's component carries finite distances in amplified
+    graphs, so the cell measures the round's edge-scan/join side —
+    exactly the part that scales with |E|; the frontier side is
+    |V|-bounded by construction."""
+    from nebula_storage_spark.workload import _sssp_gate_graph
+    return _sssp_gate_graph(spark, sf_dir)
 
 
 # op -> (graph builder, runner(edges) -> (result_df, rounds))
@@ -235,16 +226,21 @@ def main() -> int:
     sf = args[0] if args else "/root/testdata/sf0.1"
 
     spark = get_spark("loop-scaling")
-    # JVM/codegen warmup outside any timer
-    warm = amplify(pagerank_graph(spark, sf), 1).persist()
-    warm.count()
-    pagerank_fixed(warm, iterations=1).count()
-    warm.unpersist()
-    spark.catalog.clearCache()
 
     by_op: dict[str, list] = {}
     for op in ops:
         build, runner = OPS[op]
+        # warm THIS op at the smallest factor, untimed: without it the
+        # first timed cell pays first-run codegen/scan costs the larger
+        # cells don't, inflating sec_per_round at the smallest |E| and
+        # systematically DEFLATING the log-log slope — the statistic
+        # the sweep gates on.
+        w = amplify(build(spark, sf), min(factors)).persist()
+        w.count()
+        (run_scc(w)[0] if op == "scc_coloring_full"
+         else runner(w)[0]).count()
+        w.unpersist()
+        spark.catalog.clearCache()
         for f in factors:
             by_op.setdefault(op, []).append(
                 one_cell(spark, op, build, runner, sf, f, reps))
