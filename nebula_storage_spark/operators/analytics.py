@@ -42,7 +42,22 @@ from ..graph import DST, SRC
 # frame moves). At 10⁹ vertices a hardcoded broadcast would OOM the
 # driver; this gate is the difference between "works at sf0.1" and
 # "works at 100 TB".
+#
+# This 5M ceiling is for DUAL-KEY loops (k_core/MIS/greedy: the edge
+# frame joins per round on BOTH endpoints, so it cannot be
+# pre-partitioned for both and a dropped broadcast re-exchanges
+# O(|E|) rows — broadcast pays for itself until driver memory says
+# stop). For SINGLE-KEY loops whose persisted frames are provably
+# hash-partitioned on the one round-join key (pagerank/personalized:
+# edges on SRC, nodes on node), the shuffled plan only moves the
+# |V|-row frame — and MEASURED at |V|=5.0M that costs 6–8 s/round vs
+# the broadcast's 24 s (driver collect + redistribute every round),
+# with parity at |V|≤0.5M (BENCH_NOTES round-7 gate-boundary
+# experiment). Those ops use the lower gate below: broadcast keeps its
+# (mild, cluster-side) win for small frames and never enters the
+# measured 4×-penalty zone.
 BROADCAST_MAX_NODES = 5_000_000
+BROADCAST_MAX_NODES_SINGLE_KEY = 1_000_000
 
 
 def _round_hint(n_nodes: int, broadcast_max_nodes: int | None):
@@ -75,7 +90,11 @@ def pagerank_fixed(edges: DataFrame, iterations: int = 5,
     deg = edges.groupBy(SRC).agg(F.count(F.lit(1)).alias("_deg"))
     e = edges.select(SRC, DST).join(deg, SRC).persist()
     # |V| is needed anyway to size the per-round join strategy; nodes is
-    # persisted so this count is paid once
+    # persisted so this count is paid once. Single-key gate: e and
+    # nodes are hash-partitioned on the round-join key, so the dropped
+    # broadcast only shuffles the |V|-row frame (see constant above).
+    if broadcast_max_nodes is None:
+        broadcast_max_nodes = BROADCAST_MAX_NODES_SINGLE_KEY
     hint = _round_hint(nodes.count(), broadcast_max_nodes)
     ranks = nodes.select("node", F.lit(scale).cast("long").alias("rank"))
     for i in range(iterations):
@@ -120,6 +139,9 @@ def personalized_pagerank(edges: DataFrame, seeds: list[int],
              .distinct().persist())
     deg = edges.groupBy(SRC).agg(F.count(F.lit(1)).alias("_deg"))
     e = edges.select(SRC, DST).join(deg, SRC).persist()
+    # single-key gate, same partitioning argument as pagerank_fixed
+    if broadcast_max_nodes is None:
+        broadcast_max_nodes = BROADCAST_MAX_NODES_SINGLE_KEY
     hint = _round_hint(nodes.count(), broadcast_max_nodes)
     in_seed = F.col("node").isin(seeds)
     ranks = nodes.select(

@@ -51,10 +51,13 @@ from pyspark.sql import functions as F
 
 from nebula_storage_spark.graph import DST, SRC
 from nebula_storage_spark.operators.analytics import (
-    BROADCAST_MAX_NODES, SCC_STATS, connected_components_doubling,
-    greedy_coloring, k_core_fixed, label_propagation_fixed,
-    maximal_independent_set, pagerank_fixed, personalized_pagerank,
-    scc_coloring, sssp_fixed)
+    BROADCAST_MAX_NODES, BROADCAST_MAX_NODES_SINGLE_KEY, SCC_STATS,
+    connected_components_doubling, greedy_coloring, k_core_fixed,
+    label_propagation_fixed, maximal_independent_set, pagerank_fixed,
+    personalized_pagerank, scc_coloring, sssp_fixed)
+
+# ops on the lower single-key gate (see the constants' comment)
+SINGLE_KEY_OPS = frozenset({"pagerank", "personalized_pagerank"})
 from nebula_storage_spark.session import get_spark
 
 REP_STRIDE = 10 ** 9   # all gate-graph vids are far below 1e9
@@ -189,7 +192,10 @@ def one_cell(spark, op: str, build, runner, sf: str, factor: int,
         "op": op, "factor": factor, "edges": n_e, "vertices": n_v,
         "seconds": round(best, 3), "rounds": rounds_desc,
         "sec_per_round": round(best / n_rounds, 3),
-        "regime": ("broadcast" if n_v <= BROADCAST_MAX_NODES
+        "regime": ("broadcast"
+                   if n_v <= (BROADCAST_MAX_NODES_SINGLE_KEY
+                              if op in SINGLE_KEY_OPS
+                              else BROADCAST_MAX_NODES)
                    else "shuffle"),
     }
     print(json.dumps(cell), flush=True)
