@@ -70,21 +70,51 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3,
     Candidates = pairs sharing ≥1 shingle (inverted-index self-join — no
     cross join); verify = exact Jaccard ≥ threshold. Output
     (id_a, id_b, jaccard_x10000) with id_a < id_b.
+
+    Scale (unpruned path): the verify NEVER joins candidate pairs to the
+    shingle ARRAYS — measured in tools/dedup_scaling.py, carrying two
+    ~300-element arrays per candidate row blows the intermediate past
+    local disk at 500 k docs (each candidate ≈ 12 KB). Instead the
+    shared-shingle count per pair is aggregated straight off the
+    inverted-index self-join (map-side partial count, rows of 3 longs),
+    and |A∪B| = |A|+|B|−|∩| from a per-doc size frame: identical
+    integer Jaccard (shingles are per-doc distinct), intermediate
+    O(Σf²) thin rows instead of O(candidates × array bytes).
     """
-    # shingling feeds 3 plan branches (inverted index + both verify sides):
-    # persist once — recomputing the tokenizer per branch triples the scan
+    # shingling feeds the index + the size frame: persist once —
+    # recomputing the tokenizer per branch doubles the scan
     sh = doc_shingles(docs, n=n, id_col=id_col, text_col=text_col).persist()
     inv = sh.select(F.col(id_col).alias("_id"), F.explode("shingles").alias("g"))
     if max_shingle_freq is not None:
+        # capped path: candidates from the pruned index, verified with
+        # exact FULL-array Jaccard (the cap bounds the candidate count
+        # by construction, so the array join stays small; counting ∩
+        # off the capped index would UNDERCOUNT shared shingles)
         freq = inv.groupBy("g").agg(F.count(F.lit(1)).alias("_f"))
         inv = (inv.join(freq.filter(F.col("_f") <= max_shingle_freq), "g")
                .drop("_f"))
-    cand = (inv.alias("a").join(inv.alias("b"), "g")
-            .filter(F.col("a._id") < F.col("b._id"))
-            .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
-            .distinct())
-    return _verify_jaccard(cand, sh, id_col, threshold_x10000,
-                           broadcast_cand=False)
+        cand = (inv.alias("a").join(inv.alias("b"), "g")
+                .filter(F.col("a._id") < F.col("b._id"))
+                .select(F.col("a._id").alias("id_a"),
+                        F.col("b._id").alias("id_b"))
+                .distinct())
+        return _verify_jaccard(cand, sh, id_col, threshold_x10000,
+                               broadcast_cand=False)
+    inter = (inv.alias("a").join(inv.alias("b"), "g")
+             .filter(F.col("a._id") < F.col("b._id"))
+             .groupBy(F.col("a._id").alias("id_a"),
+                      F.col("b._id").alias("id_b"))
+             .agg(F.count(F.lit(1)).alias("_i")))
+    sizes = sh.select(F.col(id_col).alias("_sid"),
+                      F.size("shingles").cast("bigint").alias("_n"))
+    jx = F.expr("(_i * 10000) DIV (_na + _nb - _i)")
+    return (inter
+            .join(sizes.select(F.col("_sid").alias("id_a"),
+                               F.col("_n").alias("_na")), "id_a")
+            .join(sizes.select(F.col("_sid").alias("id_b"),
+                               F.col("_n").alias("_nb")), "id_b")
+            .select("id_a", "id_b", jx.alias("jaccard_x10000"))
+            .filter(F.col("jaccard_x10000") >= threshold_x10000))
 
 
 def _verify_jaccard(cand: DataFrame, sh: DataFrame, id_col: str,

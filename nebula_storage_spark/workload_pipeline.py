@@ -193,6 +193,15 @@ def q_dedup_simhash(spark, sf_dir):
 
 
 def q_dedup_simhash_pairs(spark, sf_dir):
+    """Pigeonhole Hamming-pairs at bits=16 — the GATE configuration:
+    a small fingerprint space makes the oracle check nontrivial at 5 k
+    docs. 16 bits is gate-ONLY: tools/dedup_scaling.py measures its
+    pair output growing quadratically with corpus size (2^16
+    fingerprints saturate — chance collisions, not join shape). The
+    corpus-scale configuration is bits=64 (4 x 16-bit blocks,
+    Hamming <= 3; chance collisions ~C(64,3)/2^64 = 0), measured
+    linear in the same sweep; the banded equi-join pipeline is
+    identical at either width."""
     return simhash_pairs(_docs(spark, sf_dir), bits=16, max_hamming=3)
 
 
