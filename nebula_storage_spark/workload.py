@@ -1151,11 +1151,8 @@ def q_connected_components(spark, sf_dir):
     """Fixed-iteration min-label propagation (the second GraphX-bridge
     algorithm) over the same offset bipartite graph as pagerank."""
     from .operators import connected_components_fixed
-    g = tpch_graph(spark, sf_dir)
-    placed = g.edges["placed"].select(SRC, DST)
-    edges = placed.select(F.col(SRC).alias(SRC),
-                          (F.col(DST) + 10_000_000).alias(DST))
-    return connected_components_fixed(edges, iterations=3)
+    return connected_components_fixed(_cc_gate_graph(spark, sf_dir),
+                                      iterations=3)
 
 
 def q_vocab_topk(spark, sf_dir):
