@@ -348,7 +348,16 @@ def containment_pairs(docs: DataFrame, n: int = 3,
     index before the self-join (same skew guard as ngram_jaccard_pairs —
     a boilerplate shingle shared by f docs alone contributes f² candidate
     rows; the cap bounds the hottest join key). Verification still scores
-    FULL shingle sets — pruning only narrows candidates."""
+    FULL shingle sets — pruning only narrows candidates.
+
+    Scale (unpruned path): the |∩| per pair aggregates straight off the
+    inverted-index self-join and the denominator |A| comes from a
+    per-doc size frame — same count-based exact verify as
+    ngram_jaccard_pairs, after tools/dedup_scaling.py measured the
+    candidates×shingle-ARRAY join overrunning local disk at 500 k docs.
+    The capped path keeps the array verify: the cap bounds candidates
+    by construction, and |∩| counted off the capped index would
+    undercount shared shingles."""
     sh = doc_shingles(docs, n=n, id_col=id_col, text_col=text_col).persist()
     inv = sh.select(F.col(id_col).alias("_id"),
                     F.explode("shingles").alias("g"))
@@ -356,18 +365,33 @@ def containment_pairs(docs: DataFrame, n: int = 3,
         freq = inv.groupBy("g").agg(F.count(F.lit(1)).alias("_f"))
         inv = (inv.join(freq.filter(F.col("_f") <= max_shingle_freq), "g")
                .drop("_f"))
-    und = (inv.alias("a").join(inv.alias("b"), "g")
-           .filter(F.col("a._id") < F.col("b._id"))
-           .select(F.col("a._id").alias("id_a"),
-                   F.col("b._id").alias("id_b"))
-           .distinct())
-    cand = und.union(und.select(F.col("id_b").alias("id_a"),
-                                F.col("id_a").alias("id_b")))
-    av = sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sa"))
-    bv = sh.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sb"))
-    cx = F.expr("(CAST(size(array_intersect(sa, sb)) AS BIGINT) * 10000) "
-                "DIV size(sa)")
-    return (cand.join(av, "id_a").join(bv, "id_b")
+        und = (inv.alias("a").join(inv.alias("b"), "g")
+               .filter(F.col("a._id") < F.col("b._id"))
+               .select(F.col("a._id").alias("id_a"),
+                       F.col("b._id").alias("id_b"))
+               .distinct())
+        cand = und.union(und.select(F.col("id_b").alias("id_a"),
+                                    F.col("id_a").alias("id_b")))
+        av = sh.select(F.col(id_col).alias("id_a"),
+                       F.col("shingles").alias("sa"))
+        bv = sh.select(F.col(id_col).alias("id_b"),
+                       F.col("shingles").alias("sb"))
+        cx = F.expr("(CAST(size(array_intersect(sa, sb)) AS BIGINT) "
+                    "* 10000) DIV size(sa)")
+        return (cand.join(av, "id_a").join(bv, "id_b")
+                .select("id_a", "id_b", cx.alias("containment_x10000"))
+                .filter(F.col("containment_x10000") >= threshold_x10000))
+    inter = (inv.alias("a").join(inv.alias("b"), "g")
+             .filter(F.col("a._id") < F.col("b._id"))
+             .groupBy(F.col("a._id").alias("id_a"),
+                      F.col("b._id").alias("id_b"))
+             .agg(F.count(F.lit(1)).alias("_i")))
+    both = inter.union(inter.select(F.col("id_b").alias("id_a"),
+                                    F.col("id_a").alias("id_b"), "_i"))
+    sizes = sh.select(F.col(id_col).alias("id_a"),
+                      F.size("shingles").cast("bigint").alias("_na"))
+    cx = F.expr("(_i * 10000) DIV _na")
+    return (both.join(sizes, "id_a")
             .select("id_a", "id_b", cx.alias("containment_x10000"))
             .filter(F.col("containment_x10000") >= threshold_x10000))
 
