@@ -43,7 +43,8 @@ from pyspark.sql import functions as F
 
 from nebula_storage_spark.graph import read_parquet
 from nebula_storage_spark.pipeline.dedup import (
-    minhash_lsh_pairs, ngram_jaccard_pairs, simhash_pairs)
+    containment_pairs, minhash_lsh_pairs, ngram_jaccard_pairs,
+    simhash_pairs)
 from nebula_storage_spark.session import get_spark
 
 REP_STRIDE = 10 ** 9
@@ -99,6 +100,7 @@ OPS = {
     "simhash64": (lambda d: simhash_pairs(d, bits=64, max_hamming=3),
                   "demo"),
     "ngram_jaccard": (lambda d: ngram_jaccard_pairs(d), "exact"),
+    "containment": (lambda d: containment_pairs(d), "exact"),
 }
 
 
