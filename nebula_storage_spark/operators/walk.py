@@ -7,9 +7,13 @@ whole walk corpus is reproducible bit-for-bit at any partitioning (and
 by the DuckDB oracle).
 
 Scale: the adjacency is ranked once (row_number per src — one window
-shuffle), then each step is one hash-join of the walk frontier against
-the ranked adjacency: K steps = K joins of |walks| rows. No Python, no
-RNG state; the frontier stays (walk_id, cur, path) narrow.
+shuffle), then each step joins the walk frontier against the ranked
+adjacency on the single key `cur` so the cached hash(cur) partitioning
+serves every step: K steps move K × |walks| frontier rows and ZERO
+adjacency rows (measured, tools/walk_scaling.py — the earlier
+(cur, idx) two-key formulation re-exchanged the full adjacency every
+step). No Python, no RNG state; the frontier stays
+(walk_id, cur, path) narrow.
 """
 
 from __future__ import annotations
@@ -37,25 +41,36 @@ def random_walks(edges: DataFrame, seeds: DataFrame, steps: int = 4,
         raise ValueError("random_walks needs steps >= 1")
     adj = edges.select(SRC, DST).distinct()
     w = W.partitionBy(SRC).orderBy(DST)
+    # outdeg rides on every ranked row (a second window over the same
+    # partitioning, no extra shuffle) so each step is ONE join, and the
+    # step join's only equi-key is `cur`: the cached frame's hash(cur)
+    # partitioning (from the ranking window's exchange) then satisfies
+    # every step's distribution requirement, and the idx pick runs as a
+    # join CONDITION. Measured (tools/walk_scaling.py, 1.5 M edges,
+    # 500 walks, K=8): the former (cur, idx) equi-join re-exchanged the
+    # adjacency EVERY step (143 MB shuffle); this shape shuffles 0.1 MB
+    # — only the frontier moves, the persisted adjacency never does.
     ranked = (adj.select(F.col(SRC).alias("cur"), F.col(DST).alias("nxt"),
-                         (F.row_number().over(w) - 1).alias("idx"))
+                         (F.row_number().over(w) - 1).alias("idx"),
+                         F.count(F.lit(1)).over(W.partitionBy(SRC))
+                         .alias("outdeg"))
               .persist())
-    deg = ranked.groupBy("cur").agg(F.count(F.lit(1)).alias("outdeg"))
     state = seeds.select(
         F.col("node").alias("walk_id"), F.col("node").alias("cur"),
         F.col("node").cast("string").alias("path"))
     for t in range(steps):
         h = _step_hash("walk_id", t, prefix)
-        picked = (state.join(deg, "cur", "left")
-                  .select("walk_id", "cur", "path",
-                          F.expr(f"CASE WHEN outdeg IS NULL THEN NULL "
-                                 f"ELSE {h} % outdeg END").alias("idx")))
-        state = (picked.join(ranked, ["cur", "idx"], "left")
-                 .select("walk_id",
-                         F.coalesce("nxt", "cur").alias("cur"),
-                         F.when(F.col("nxt").isNull(), F.col("path"))
-                         .otherwise(F.concat("path", F.lit("->"),
-                                             F.col("nxt").cast("string")))
+        r = ranked.alias(f"_rw{t}")
+        cond = ((state["cur"] == F.col(f"_rw{t}.cur"))
+                & (F.col(f"_rw{t}.idx")
+                   == F.expr(h) % F.col(f"_rw{t}.outdeg")))
+        nxt = F.col(f"_rw{t}.nxt")
+        state = (state.join(r, cond, "left")
+                 .select(state["walk_id"],
+                         F.coalesce(nxt, state["cur"]).alias("cur"),
+                         F.when(nxt.isNull(), state["path"])
+                         .otherwise(F.concat(state["path"], F.lit("->"),
+                                             nxt.cast("string")))
                          .alias("path")))
     return state.select("walk_id", F.col("cur").alias("end_node"), "path")
 
@@ -75,24 +90,42 @@ def node2vec_walks(edges: DataFrame, seeds: DataFrame, steps: int = 3,
 
     Scale: each step is one equi-join of the frontier against the
     adjacency (fanout = outdeg, the inherent cost of second-order bias
-    — node2vec must inspect every neighbor's relation to prev) plus a
-    broadcastable equi-join for the common-neighbor marker; the
-    cumulative-weight window partitions by walk_id, never global."""
+    — node2vec must inspect every neighbor's relation to prev) plus the
+    common-neighbor marker, a single-key join of the candidates against
+    a persisted per-vertex sorted neighbor-ARRAY frame (the standard
+    adjacency-list layout of walk engines) probed with array_contains —
+    single-key because a `nxt = mn` equality would be extracted as a
+    second equi-key and force a hash(prev, nxt) re-exchange of the full
+    adjacency EVERY step (measured: ~1 |E| exchange per step,
+    tools/walk_scaling.py). Both cached frames descend from one
+    hash(cur) repartition, so after that single build exchange the
+    adjacency never moves — only frontier-sized frames shuffle per
+    step. Per-vertex array size is bounded by max outdeg (the layout's
+    usual skew contract). The cumulative-weight window partitions by
+    walk_id, never global."""
     if steps < 1:
         raise ValueError("node2vec_walks needs steps >= 1")
     wb, wc, wf = weights
-    adj = edges.select(SRC, DST).distinct()
-    nbrs = adj.select(F.col(SRC).alias("cur"), F.col(DST).alias("nxt"))
-    mark = adj.select(F.col(SRC).alias("mp"), F.col(DST).alias("mn"),
-                      F.lit(1).alias("is_common"))
+    adjc = (edges.select(SRC, DST).distinct()
+            .select(F.col(SRC).alias("cur"), F.col(DST).alias("nxt"))
+            .repartition("cur").persist())
+    # groupBy over the hash(cur)-partitioned cache: no second exchange
+    nbr_arr = (adjc.groupBy("cur")
+               .agg(F.sort_array(F.collect_set("nxt")).alias("_nbrs"))
+               .persist())
     state = seeds.select(
         F.col("node").alias("walk_id"), F.col("node").alias("prev"),
         F.col("node").alias("cur"), F.col("node").cast("string").alias("path"))
     for t in range(steps):
         h = _step_hash("walk_id", t, prefix)
-        cand = (state.join(nbrs, "cur", "left")
-                .join(mark, (F.col("prev") == F.col("mp"))
-                      & (F.col("nxt") == F.col("mn")), "left")
+        m = nbr_arr.alias(f"_n2vm{t}")
+        mcur, mnbrs = F.col(f"_n2vm{t}.cur"), F.col(f"_n2vm{t}._nbrs")
+        nb = state.join(adjc, "cur", "left")
+        cand = (nb.join(m, nb["prev"] == mcur, "left")
+                .select(nb["walk_id"], nb["prev"], nb["cur"], nb["path"],
+                        nb["nxt"],
+                        F.when(F.array_contains(mnbrs, nb["nxt"]),
+                               F.lit(1)).alias("is_common"))
                 .withColumn("w", F.expr(
                     f"CASE WHEN nxt IS NULL THEN NULL "
                     f"WHEN nxt = prev THEN {wb} "

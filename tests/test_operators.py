@@ -942,6 +942,46 @@ def test_random_walks_follow_edges_and_dead_ends_stop(spark):
         random_walks(edges, seeds, steps=0)
 
 
+def test_walk_step_joins_are_single_key(spark):
+    """The walk step joins must keep `cur` as the ONLY equi-key: the
+    idx/common-neighbor match rides as a join condition (random) or an
+    array_contains probe (node2vec). If it regresses to a second
+    extracted equi-key, the join requires hash(cur, idx) /
+    hash(prev, nxt) and re-exchanges the FULL cached adjacency every
+    step — measured at 1.5 M edges / 500 walks / K=8: 143 MB shuffle
+    vs 0.1 MB single-key (tools/walk_scaling.py; BENCH_NOTES). A
+    two-key step join prints ', idx#' / a second key inside the join
+    key list, which this asserts away."""
+    import re
+    from nebula_storage_spark.operators.walk import (node2vec_walks,
+                                                     random_walks)
+    edges = spark.createDataFrame([(i, (i * 7 + 1) % 50)
+                                   for i in range(200)],
+                                  "_src bigint, _dst bigint")
+    seeds = spark.createDataFrame([(i,) for i in range(10)], "node bigint")
+    for fn, K in ((random_walks, 3), (node2vec_walks, 3)):
+        plan = (fn(edges, seeds, steps=K)
+                ._jdf.queryExecution().executedPlan().toString())
+        # any join whose LEFT key list holds two or more keys
+        multi_key = re.findall(r"Join \[[^\]]+#\d+L?, [^\]]+#", plan)
+        assert not multi_key, f"{fn.__name__}: {multi_key[:3]}"
+
+
+def test_multimodal_blobs_never_shuffle(spark, sf_dir):
+    """'blobs never shuffled' (pipeline/multimodal.py), plan-pinned:
+    the synth->parse metadata pipeline is scan -> mapInPandas ->
+    mapInPandas with ZERO Exchange of the binary payload column."""
+    from nebula_storage_spark.graph import read_parquet
+    from nebula_storage_spark.pipeline.multimodal import (
+        image_meta, synth_image_payload)
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text")
+    plan = (image_meta(synth_image_payload(docs))
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan
+    assert plan.count("MapInPandas") == 2
+
+
 def test_cc_doubling_covers_long_path_in_log_rounds(spark):
     from nebula_storage_spark.operators.analytics import (
         connected_components_doubling, connected_components_fixed)
