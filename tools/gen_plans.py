@@ -230,11 +230,16 @@ SHOWCASE = {
         ("Window", "Exchange", "BroadcastHashJoin", "SortMergeJoin"),
         "Second-order biased walks: every Window is PARTITIONED by "
         "walk_id (the cumulative-weight interval draw — note no "
-        "'No Partition Defined' form), and each step is an equi-join of "
-        "the frontier against the adjacency plus a common-neighbor "
-        "marker join. Per-step cost is one shuffle of |walks|·outdeg "
-        "rows; the bias inspection of every neighbor is inherent to "
-        "node2vec semantics, not to this plan."),
+        "'No Partition Defined' form), and each step is a SINGLE-KEY "
+        "equi-join of the frontier against the persisted adjacency "
+        "plus a single-key probe of the persisted neighbor-array frame "
+        "(array_contains marker) — cur/prev are the only extracted "
+        "join keys, so the cached hash(cur) layout serves every step "
+        "and the adjacency is never re-exchanged (measured: "
+        "tools/walk_scaling.py; shape pytest-pinned). Per-step cost is "
+        "one shuffle of |walks|·outdeg frontier rows; the bias "
+        "inspection of every neighbor is inherent to node2vec "
+        "semantics, not to this plan."),
     "skyline_parts": (
         ("BroadcastHashJoin", "Window", "Exchange", "HashAggregate"),
         "Pareto skyline without a global sort: the strictly-lower-price "
