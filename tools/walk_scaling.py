@@ -32,6 +32,12 @@ regime; the deepwalk regime checks rows == |V| exactly).
 
 Usage: python tools/walk_scaling.py [sf_dir] [--factors 1,10,100]
                                     [--ops random,node2vec] [--reps N]
+       python tools/walk_scaling.py [sf_dir] --ksweep [factor]
+           # shuffle bytes vs STEP COUNT at one factor (fixed 500-seed
+           # frontier): the per-step-re-exchange tripwire. The cached
+           # adjacency must make the per-step byte delta frontier-sized
+           # — a two-key step join regression shows up as ~one |E|
+           # exchange (~12 MB/M edges) per extra step.
 """
 
 from __future__ import annotations
@@ -144,11 +150,54 @@ def slope(cells, ykey) -> float:
             / sum((x - mx) ** 2 for x in xs))
 
 
+def ksweep(sf: str, factor: int) -> int:
+    """shuffle bytes vs step count at one amplification factor."""
+    spark = get_spark_with_ui()
+    spark.sparkContext.setLogLevel("WARN")
+    app_id = spark.sparkContext.applicationId
+    e = amplify(base_graph(spark, sf), factor).persist()
+    n_e = e.count()
+    seeds = fixed_seeds(e).persist()
+    seeds.count()
+    bad = False
+    for op, steps_list in (("random", (2, 4, 8)), ("node2vec", (1, 3, 6))):
+        fn = {"random": lambda k: random_walks(e, seeds, steps=k),
+              "node2vec": lambda k: node2vec_walks(e, seeds, steps=k)}[op]
+        fn(min(steps_list)).count()          # untimed warmup + build
+        cells = []
+        for k in steps_list:
+            dt, sw, _ = measured(app_id, lambda: fn(k).count())
+            cells.append((k, sw))
+            print(json.dumps({"op": op, "edges": n_e, "steps": k,
+                              "seconds": round(dt, 3),
+                              "shuffle_kb": round(sw / 1024, 1)}),
+                  flush=True)
+        per_step = ((cells[-1][1] - cells[0][1])
+                    / (cells[-1][0] - cells[0][0]))
+        # tripwire: one |E| exchange is ~12 MB per 1 M edges; a healthy
+        # per-step delta is frontier-sized (KBs at 500 walks)
+        limit = 0.1 * n_e * 12.0 / 1_000_000 * 2**20
+        ok = per_step <= max(limit, 512 * 1024)
+        print(f"{op}: per-step shuffle delta "
+              f"{per_step / 2**20:.2f} MB ({'OK' if ok else 'RE-EXCHANGE'})",
+              flush=True)
+        bad = bad or not ok
+    return 1 if bad else 0
+
+
 def main() -> int:
     args = list(sys.argv[1:])
     factors = [1, 10, 100]
     ops = list(OPS)
     reps = 1
+    if "--ksweep" in args:
+        i = args.index("--ksweep")
+        factor = 10
+        if i + 1 < len(args) and args[i + 1].isdigit():
+            factor = int(args[i + 1])
+            del args[i + 1]
+        args.remove("--ksweep")
+        return ksweep(args[0] if args else "/root/testdata/sf0.1", factor)
     if "--factors" in args:
         i = args.index("--factors")
         factors = [int(x) for x in args[i + 1].split(",")]
