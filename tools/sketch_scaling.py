@@ -25,13 +25,19 @@ Ops:
                   cells; q_events_value_percentiles' shape): same flat
                   claim. Exactness gate: replicating the corpus leaves
                   every P50/P90/P99 bin IDENTICAL to the 1× answer.
+  - cms           count-min frequency estimates for 20 fixed
+                  base-replica users (d=4, w=1024): the sketch is d·w
+                  cells regardless of input, so shuffle stays ~flat.
+                  The probed users live only in replica 0, so their
+                  TRUE counts are constant across factors while the
+                  colliding mass grows with N — the never-underestimate
+                  guarantee plus a 3·N/w overestimate bound gate it.
   - exact_distinct  groupBy(event_type).count_distinct(user_id) — the
                   CONTROL: its shuffle is the distinct (group, user)
                   universe and must grow ~linearly. The hll-vs-exact
                   byte ratio at 100× is the 100 TB argument in one
-                  number. (CMS and Bloom share hll's partial-agg shape
-                  — d×w cells / m bits — and are covered by the same
-                  claim; HLL is the family's measured representative.)
+                  number. (Bloom shares the same partial-agg shape —
+                  ≤ m set bits — and is covered by the same claim.)
 
 Gates: hll estimate within 16% (≈2.5σ at p=8's 1.04/√256 ≈ 6.5%
 standard error — a sanity witness for the sketch math, not the claim
@@ -63,7 +69,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import SparkSession, Window as W, functions as F
 
-from nebula_storage_spark.operators.sketch import (hll_estimate,
+from nebula_storage_spark.operators.sketch import (count_min_estimates,
+                                                   hll_estimate,
                                                    hll_registers)
 
 REP_STRIDE = 10 ** 9
@@ -141,6 +148,17 @@ def run_exact(ev):
             .agg(F.count_distinct("user_id").alias("n")).collect()}
 
 
+CMS_QUERY_USERS = list(range(20))     # base-replica user ids
+
+
+def run_cms(ev):
+    items = ev.select(F.col("user_id").alias("item"))
+    queries = ev.sparkSession.createDataFrame(
+        [(u,) for u in CMS_QUERY_USERS], "item bigint")
+    return {r["item"]: r["cnt_est"]
+            for r in count_min_estimates(items, queries).collect()}
+
+
 def run_pct(ev, width: int = 5):
     bins = (ev.select("event_type",
                       F.expr(f"CAST(floor(value / {width}) AS BIGINT)")
@@ -171,6 +189,7 @@ def run_pct(ev, width: int = 5):
 OPS = {
     "hll": run_hll,
     "pct_bins": run_pct,
+    "cms": run_cms,
     "exact_distinct": run_exact,
 }
 
@@ -223,6 +242,19 @@ def main() -> int:
                 exact = result
             elif op == "hll":
                 hll_res = result
+            elif op == "cms":
+                truth = {r["user_id"]: r["n"] for r in
+                         a.filter(F.col("user_id")
+                                  .isin(CMS_QUERY_USERS))
+                         .groupBy("user_id")
+                         .agg(F.count(F.lit(1)).alias("n")).collect()}
+                bound = 3 * rows // 1024      # ~3x the per-row E[collision]
+                ok = all(result.get(u, 0) >= truth.get(u, 0)
+                         and result.get(u, 0) - truth.get(u, 0) <= bound
+                         for u in CMS_QUERY_USERS)
+                if not ok:
+                    print(f"CMS VIOLATION f{factor}: est {result} vs "
+                          f"true {truth}", flush=True)
             elif op == "pct_bins":
                 if pct_base is None:
                     pct_base = result
