@@ -3628,10 +3628,15 @@ ORACLE_ANALYTIC = {
 # round 1, then round 2, etc. Each round's sample therefore rotates
 # ~50 of the oldest records forward under the strict canon.
 #
-# At the very head: the only 3 oracles whose round-5 BIGINT casts have
-# never been driver-sampled post-cast (latest row r3, pre-cast) — the
-# r6 verdict asked for these first.
+# At the very head: queries whose CODE changed since their latest
+# driver row, so the changed plan gets a fresh driver artifact first —
+# round 7 rewrote the walk step joins (operators/walk.py, single-key
+# cached-adjacency joins; node2vec_walks / walk_visit_counts last rows
+# are r6, pre-rewrite) — followed by the 3 oracles whose round-5
+# BIGINT casts were never driver-sampled post-cast (latest row r3,
+# pre-cast; the r6 verdict asked for these first).
 _REFRESH_HEAD = (
+    "node2vec_walks", "walk_visit_counts",
     "source_csv_roundtrip", "store_checkpoint", "store_roundtrip",
 )
 
@@ -3725,7 +3730,10 @@ _LATEST_R05 = frozenset({
     "weighted_pagerank", "zorder_pruning",
 })
 
-# Queries whose LATEST driver row is CORRECTNESS_r06.json (50).
+# Queries whose LATEST driver row is CORRECTNESS_r06.json (48 here;
+# node2vec_walks and walk_visit_counts also have r6 rows but moved to
+# _REFRESH_HEAD — their code changed in round 7, and the cohort sets
+# must stay an exact partition of _DRIVER_CHECKED_EVER).
 _LATEST_R06 = frozenset({
     "basket_affinity", "betweenness_2hop", "bigram_lm_rarity",
     "closeness_centrality", "corpus_stats", "decontaminate",
@@ -3738,13 +3746,12 @@ _LATEST_R06 = frozenset({
     "knn_bruteforce", "knn_hyperplane_lsh", "knn_ivf",
     "knn_ivf_incremental", "knn_ivf_nprobe", "knn_ivf_persisted",
     "knn_lsh_multiprobe", "lang_id", "modularity_brands",
-    "node2vec_walks", "pack_sequences", "quality_filter",
+    "pack_sequences", "quality_filter",
     "repetition_stats", "scc_coloring", "scc_coloring_full",
     "shard_balance_audit", "skyline_parts", "source_tv_distance",
     "split_assign", "stratified_sample", "stream_late_data",
     "text_features", "text_normalize", "text_redact",
     "tfidf_top_terms", "time_surface", "top_docs_per_source",
-    "walk_visit_counts",
 })
 
 # Every query with ANY driver CORRECTNESS row (r1–r6) — the cohorts

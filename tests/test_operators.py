@@ -1348,8 +1348,9 @@ def test_driver_sampling_order_invariants(monkeypatch):
     Three invariants: (1) the per-round provenance cohorts partition
     the registry exactly (no name unaccounted, no overlaps — a query
     in two cohorts would double-sample, one in none would never
-    refresh); (2) with no new registrations the _REFRESH_HEAD trio
-    leads; (3) a query with NO driver CORRECTNESS row ever (a new
+    refresh); (2) with no new registrations _REFRESH_HEAD (code-changed
+    queries first, then never-post-cast oracles) leads; (3) a query
+    with NO driver CORRECTNESS row ever (a new
     registration) sorts FIRST, ahead of every green query — the safety
     net that guarantees new queries gain a driver row their first
     round."""
@@ -1360,7 +1361,7 @@ def test_driver_sampling_order_invariants(monkeypatch):
     assert sum(len(c) for c in cohorts) == len(w._DRIVER_CHECKED_EVER)
     assert frozenset().union(*cohorts) == w._DRIVER_CHECKED_EVER
     assert set(qs) == w._DRIVER_CHECKED_EVER      # nothing unaccounted
-    assert list(qs)[:3] == list(w._REFRESH_HEAD)
+    assert list(qs)[:len(w._REFRESH_HEAD)] == list(w._REFRESH_HEAD)
     # simulate a brand-new registration: drop one name from the
     # checked-ever set and it must jump to the very front
     probe = "tpch_q1"
