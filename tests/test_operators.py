@@ -1356,8 +1356,9 @@ def test_driver_sampling_order_invariants(monkeypatch):
     round."""
     from nebula_storage_spark import workload as w
     qs = w.build_queries()
-    cohorts = [frozenset(w._REFRESH_HEAD), w._LATEST_R01, w._LATEST_R02,
-               w._LATEST_R03, w._LATEST_R04, w._LATEST_R05, w._LATEST_R06]
+    cohorts = [frozenset(w._REFRESH_HEAD), w._LATEST_R02,
+               w._LATEST_R03, w._LATEST_R04, w._LATEST_R05,
+               w._LATEST_R06, w._LATEST_R07]
     assert sum(len(c) for c in cohorts) == len(w._DRIVER_CHECKED_EVER)
     assert frozenset().union(*cohorts) == w._DRIVER_CHECKED_EVER
     assert set(qs) == w._DRIVER_CHECKED_EVER      # nothing unaccounted
