@@ -73,16 +73,43 @@ HEADLINERS = [
 ]
 
 
+def _cached_kb() -> int:
+    """Linux page-cache size from /proc/meminfo (kB), -1 if unreadable.
+    Recorded before/after the warm phase so a cold-cache record is
+    self-labeling (BENCH_r07 landed 1.24x of the clean envelope purely
+    because a prior tenant evicted the page cache to ~1 GB)."""
+    try:
+        with open("/proc/meminfo") as fh:
+            for line in fh:
+                if line.startswith("Cached:"):
+                    return int(line.split()[1])
+    except OSError:
+        pass
+    return -1
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").split("sf")[-1]) if "sf" in sf_dir else -1.0
     spark = get_spark("nebula-bench")
     queries = build_queries()
 
-    # Warmup: materialize the graph store (parquet footers + the hash-
-    # partitioned resident edge frames) so per-query numbers measure query
-    # execution, not one-time load — the reference's benchmarks likewise
-    # time queries against an already-loaded RocksDB.
+    # Warm phase (UNTIMED). best-of-3 inside the timed loop cannot
+    # absorb a host-wide page-cache eviction that happens BEFORE the
+    # run (r7: the driver record landed 1.24x of six clean same-HEAD
+    # runs; the immediate warm re-run was 0.96x). So before any timer:
+    # (a) fault every byte of the testdata parquet into the page cache,
+    # (b) materialize the resident graph store, (c) one full untimed
+    # pass over the headliner list — warms JVM JIT, codegen caches,
+    # Python worker pools and the library pages an eviction also drops.
+    cached_before_kb = _cached_kb()
+    t_warm = time.perf_counter()
+    for fn in sorted(os.listdir(sf_dir)):
+        p = os.path.join(sf_dir, fn)
+        if os.path.isfile(p):
+            with open(p, "rb") as fh:
+                while fh.read(1 << 22):
+                    pass
     from nebula_storage_spark.graph import tpch_graph
     g = tpch_graph(spark, sf_dir)
     for etype in ("placed", "contains"):
@@ -114,6 +141,17 @@ def main() -> None:
         for etype in ("placed", "contains"):
             g.edges[etype].count()
 
+    # (c) the untimed full headliner pass, with the same rewarm cadence
+    # as the timed loop so persisted frames never accumulate across 45
+    # queries (page-cache/JIT warmth survives clearCache; storage-
+    # memory pressure does not).
+    for name in HEADLINERS:
+        queries[name](spark, sf_dir).write.format("noop") \
+            .mode("overwrite").save()
+        rewarm()
+    warm_sec = round(time.perf_counter() - t_warm, 2)
+    cached_after_kb = _cached_kb()
+
     timings: dict[str, float] = {}
     for name in HEADLINERS:
         best = float("inf")
@@ -131,6 +169,9 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "warm": {"sec": warm_sec,
+                 "cached_kb_before": cached_before_kb,
+                 "cached_kb_after": cached_after_kb},
     }))
 
 

@@ -29,6 +29,30 @@ def _step_hash(walk_col: str, t: int, prefix: str) -> str:
             f"AS BIGINT)")
 
 
+# Caching contract: each walk call persists its adjacency frame(s) —
+# random_walks one (`ranked`), node2vec_walks two (`adjc`, `nbr_arr`) —
+# because every step join references them lazily and unpersisting
+# inside the builder would drop the hash(cur) partitioning the step
+# plan depends on. The builder therefore CANNOT release them; a
+# long-lived session that builds many walk plans (benchmark loops, the
+# workload driver) should call release_walk_caches() after each
+# result is materialized, or the cached copies accumulate until
+# spark.catalog.clearCache().
+_WALK_CACHES: list[DataFrame] = []
+
+
+def release_walk_caches() -> int:
+    """Unpersist every adjacency frame persisted by random_walks /
+    node2vec_walks in this process and forget it; returns how many
+    were released. Safe at any time: unpersist only drops cached
+    blocks, a still-pending walk DataFrame would recompute them
+    correctly (just slower)."""
+    n = len(_WALK_CACHES)
+    while _WALK_CACHES:
+        _WALK_CACHES.pop().unpersist()
+    return n
+
+
 def random_walks(edges: DataFrame, seeds: DataFrame, steps: int = 4,
                  prefix: str = "rw#") -> DataFrame:
     """One deterministic walk per seed over the directed edge set.
@@ -36,7 +60,8 @@ def random_walks(edges: DataFrame, seeds: DataFrame, steps: int = 4,
     neighbor number (md5(walk, step) mod outdeg) in dst-sorted order; a
     node with no out-edges ends the walk (the walker stays put and the
     path stops growing). Output: (walk_id, end_node, path) with path =
-    '->'-joined vertex ids."""
+    '->'-joined vertex ids. Persists the ranked adjacency for the step
+    joins — see release_walk_caches() for the release contract."""
     if steps < 1:
         raise ValueError("random_walks needs steps >= 1")
     adj = edges.select(SRC, DST).distinct()
@@ -55,6 +80,7 @@ def random_walks(edges: DataFrame, seeds: DataFrame, steps: int = 4,
                          F.count(F.lit(1)).over(W.partitionBy(SRC))
                          .alias("outdeg"))
               .persist())
+    _WALK_CACHES.append(ranked)
     state = seeds.select(
         F.col("node").alias("walk_id"), F.col("node").alias("cur"),
         F.col("node").cast("string").alias("path"))
@@ -102,7 +128,8 @@ def node2vec_walks(edges: DataFrame, seeds: DataFrame, steps: int = 3,
     adjacency never moves — only frontier-sized frames shuffle per
     step. Per-vertex array size is bounded by max outdeg (the layout's
     usual skew contract). The cumulative-weight window partitions by
-    walk_id, never global."""
+    walk_id, never global. Persists both adjacency frames — see
+    release_walk_caches() for the release contract."""
     if steps < 1:
         raise ValueError("node2vec_walks needs steps >= 1")
     wb, wc, wf = weights
@@ -113,6 +140,7 @@ def node2vec_walks(edges: DataFrame, seeds: DataFrame, steps: int = 3,
     nbr_arr = (adjc.groupBy("cur")
                .agg(F.sort_array(F.collect_set("nxt")).alias("_nbrs"))
                .persist())
+    _WALK_CACHES.extend((adjc, nbr_arr))
     state = seeds.select(
         F.col("node").alias("walk_id"), F.col("node").alias("prev"),
         F.col("node").alias("cur"), F.col("node").cast("string").alias("path"))

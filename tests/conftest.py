@@ -10,6 +10,21 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 
+def pytest_collection_modifyitems(config, items):
+    """@pytest.mark.scaling tests spawn their own JVMs and take
+    minutes; they run only when explicitly selected (`pytest -m
+    scaling` in the round close-out) or RUN_SCALING=1 — the default
+    suite stays fast."""
+    if "scaling" in (config.option.markexpr or "") \
+            or os.environ.get("RUN_SCALING"):
+        return
+    skip = pytest.mark.skip(
+        reason="close-out tripwire: run `pytest -m scaling`")
+    for item in items:
+        if "scaling" in item.keywords:
+            item.add_marker(skip)
+
+
 @pytest.fixture(scope="session")
 def spark():
     from nebula_storage_spark.session import get_spark

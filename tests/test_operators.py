@@ -942,6 +942,42 @@ def test_random_walks_follow_edges_and_dead_ends_stop(spark):
         random_walks(edges, seeds, steps=0)
 
 
+def _join_left_key_lists(plan: str) -> list[list[str]]:
+    """Structurally parse every equi-join node's LEFT key list out of
+    an executed-plan string: find each `...Join [`, walk the bracketed
+    list with a paren/bracket depth counter, split on TOP-LEVEL commas
+    only. This is robust where a flat regex is not: a wrapped key like
+    `cast(cur#5 as bigint)` still counts as ONE key, and a two-key
+    regression whose first key is wrapped still counts as TWO."""
+    out: list[list[str]] = []
+    i = 0
+    while True:
+        j = plan.find("Join [", i)
+        if j < 0:
+            return out
+        k = j + len("Join [")
+        depth = 1
+        keys: list[str] = []
+        buf: list[str] = []
+        while k < len(plan) and depth > 0:
+            ch = plan[k]
+            if ch in "([":
+                depth += 1
+            elif ch in ")]":
+                depth -= 1
+                if depth == 0:
+                    break
+            if ch == "," and depth == 1:
+                keys.append("".join(buf).strip())
+                buf = []
+            else:
+                buf.append(ch)
+            k += 1
+        keys.append("".join(buf).strip())
+        out.append([s for s in keys if s])
+        i = k
+
+
 def test_walk_step_joins_are_single_key(spark):
     """The walk step joins must keep `cur` as the ONLY equi-key: the
     idx/common-neighbor match rides as a join condition (random) or an
@@ -949,10 +985,9 @@ def test_walk_step_joins_are_single_key(spark):
     extracted equi-key, the join requires hash(cur, idx) /
     hash(prev, nxt) and re-exchanges the FULL cached adjacency every
     step — measured at 1.5 M edges / 500 walks / K=8: 143 MB shuffle
-    vs 0.1 MB single-key (tools/walk_scaling.py; BENCH_NOTES). A
-    two-key step join prints ', idx#' / a second key inside the join
-    key list, which this asserts away."""
-    import re
+    vs 0.1 MB single-key (tools/walk_scaling.py; BENCH_NOTES). Every
+    join node's key list is parsed structurally (top-level comma
+    split, not a regex) and must hold exactly one key."""
     from nebula_storage_spark.operators.walk import (node2vec_walks,
                                                      random_walks)
     edges = spark.createDataFrame([(i, (i * 7 + 1) % 50)
@@ -962,9 +997,34 @@ def test_walk_step_joins_are_single_key(spark):
     for fn, K in ((random_walks, 3), (node2vec_walks, 3)):
         plan = (fn(edges, seeds, steps=K)
                 ._jdf.queryExecution().executedPlan().toString())
-        # any join whose LEFT key list holds two or more keys
-        multi_key = re.findall(r"Join \[[^\]]+#\d+L?, [^\]]+#", plan)
-        assert not multi_key, f"{fn.__name__}: {multi_key[:3]}"
+        key_lists = _join_left_key_lists(plan)
+        assert key_lists, f"{fn.__name__}: no equi-joins found in plan"
+        multi = [ks for ks in key_lists if len(ks) != 1]
+        assert not multi, f"{fn.__name__}: multi-key step join {multi[:3]}"
+    # parser self-check: wrapped keys count once, two-key lists count 2
+    probe = ("SortMergeJoin [cast(cur#5 as bigint)], [cur#9L], Inner\n"
+             "BroadcastHashJoin [coalesce(a#1, b#2), idx#3L], "
+             "[c#4, d#6L], LeftOuter")
+    got = _join_left_key_lists(probe)
+    assert [len(ks) for ks in got] == [1, 2], got
+
+
+def test_release_walk_caches(spark):
+    """The walk builders persist adjacency frames the step plans
+    reference lazily (random_walks: 1, node2vec_walks: 2); the module
+    tracks them so long-lived callers can release without a global
+    clearCache. Contract: release returns the count and empties the
+    registry."""
+    from nebula_storage_spark.operators import walk as wk
+    edges = spark.createDataFrame([(1, 2), (2, 3)],
+                                  "_src bigint, _dst bigint")
+    seeds = spark.createDataFrame([(1,)], "node bigint")
+    wk.release_walk_caches()                     # clean slate
+    wk.random_walks(edges, seeds, steps=2).count()
+    wk.node2vec_walks(edges, seeds, steps=2).count()
+    assert wk.release_walk_caches() == 3
+    assert wk.release_walk_caches() == 0
+    assert not wk._WALK_CACHES
 
 
 def test_multimodal_blobs_never_shuffle(spark, sf_dir):

@@ -94,7 +94,15 @@ def timed(fn, runs: int = 2) -> tuple[float, int]:
 
 
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    args = list(sys.argv[1:])
+    factors = FACTORS
+    if "--factors" in args:
+        # subset runs, e.g. `--factors 512` re-records just the 1 M
+        # design-point cell without re-timing the small-corpus cells
+        i = args.index("--factors")
+        factors = [int(x) for x in args[i + 1].split(",")]
+        del args[i:i + 2]
+    sf_dir = args[0] if args else "/root/testdata/sf0.1"
     spark = get_spark("ann-crossover")
     emb = read_parquet(spark, os.path.join(sf_dir, "embeddings.parquet"))
     base_ids = [r[0] for r in
@@ -102,7 +110,7 @@ def main() -> None:
     knn_bruteforce(emb, base_ids[:8], k=K).count()   # JVM/codegen warmup
 
     results = []
-    for factor in FACTORS:
+    for factor in factors:
         corpus = amplify(emb, factor).repartition(32).persist()
         n = corpus.count()
         build_ivf_index(corpus, INDEX_DIR)           # one-time, untimed

@@ -175,12 +175,29 @@ def ksweep(sf: str, factor: int) -> int:
         per_step = ((cells[-1][1] - cells[0][1])
                     / (cells[-1][0] - cells[0][0]))
         # tripwire: one |E| exchange is ~12 MB per 1 M edges; a healthy
-        # per-step delta is frontier-sized (KBs at 500 walks)
+        # per-step delta is frontier-sized (KBs at 500 walks). The
+        # 512 KB floor absorbs AQE/metadata noise at tiny |E| — but
+        # below ~430 k edges the floor, not the |E|-proportional
+        # limit, is the binding gate, and a re-exchange of a SMALL
+        # adjacency could hide under it; print which bound binds so a
+        # pass at small scale is never silently floor-shaped.
         limit = 0.1 * n_e * 12.0 / 1_000_000 * 2**20
-        ok = per_step <= max(limit, 512 * 1024)
+        floor = 512 * 1024
+        threshold = max(limit, floor)
+        ok = per_step <= threshold
+        binding = "floor" if floor >= limit else "edges-proportional"
+        print(json.dumps({
+            "op": op, "per_step_shuffle_mb": round(per_step / 2**20, 3),
+            "threshold_mb": round(threshold / 2**20, 3),
+            "binding": binding, "ok": ok}), flush=True)
         print(f"{op}: per-step shuffle delta "
-              f"{per_step / 2**20:.2f} MB ({'OK' if ok else 'RE-EXCHANGE'})",
-              flush=True)
+              f"{per_step / 2**20:.2f} MB vs threshold "
+              f"{threshold / 2**20:.2f} MB [{binding}] "
+              f"({'OK' if ok else 'RE-EXCHANGE'})", flush=True)
+        if binding == "floor":
+            print(f"{op}: WARNING: 512 KB floor binds at |E|={n_e:,} — "
+                  f"run a larger --ksweep factor for an "
+                  f"|E|-proportional gate", flush=True)
         bad = bad or not ok
     return 1 if bad else 0
 
