@@ -1408,9 +1408,9 @@ def test_driver_sampling_order_invariants(monkeypatch):
     Three invariants: (1) the per-round provenance cohorts partition
     the registry exactly (no name unaccounted, no overlaps — a query
     in two cohorts would double-sample, one in none would never
-    refresh); (2) with no new registrations _REFRESH_HEAD (code-changed
-    queries first, then never-post-cast oracles) leads; (3) a query
-    with NO driver CORRECTNESS row ever (a new
+    refresh); (2) with no new registrations _REFRESH_HEAD (queries
+    whose code changed after their latest driver row) leads; (3) a
+    query with NO driver CORRECTNESS row ever (a new
     registration) sorts FIRST, ahead of every green query — the safety
     net that guarantees new queries gain a driver row their first
     round."""

@@ -54,7 +54,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import SparkSession, functions as F
 
 from nebula_storage_spark.graph import DST, SRC
-from nebula_storage_spark.operators.walk import node2vec_walks, random_walks
+from nebula_storage_spark.operators.walk import (node2vec_walks,
+                                                 random_walks,
+                                                 release_walk_caches)
 
 REP_STRIDE = 10 ** 9
 UI_PORT = 4097
@@ -199,6 +201,7 @@ def ksweep(sf: str, factor: int) -> int:
                   f"run a larger --ksweep factor for an "
                   f"|E|-proportional gate", flush=True)
         bad = bad or not ok
+        release_walk_caches()   # per-op adjacency frames, op done
     return 1 if bad else 0
 
 
@@ -284,8 +287,10 @@ def main() -> int:
                 cells_by.setdefault((op, regime), []).append(cell)
                 print(json.dumps(cell), flush=True)
         e.unpersist()
-        # walk ops persist their ranked adjacency internally
-        spark.catalog.clearCache()
+        # walk ops persist their adjacency frames internally; release
+        # exactly those (operators/walk.py caching contract) rather
+        # than nuking the whole cache
+        release_walk_caches()
 
     print("\n| op | regime | factor | edges | walks | seconds "
           "| shuffle KB |")
