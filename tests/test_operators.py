@@ -1402,6 +1402,19 @@ def test_mis_final_plan_truncated_per_round(spark, sf_dir):
     assert joins[0] == joins[1] > 0   # lineage truncated per round
 
 
+def test_bench_headliners_exist_in_registry():
+    """Every bench.py headliner must be a registry query: a rename or
+    removal would otherwise surface only when the DRIVER runs bench.py
+    and crashes mid-record. No duplicates either — a double entry
+    would double-count the total."""
+    import bench
+    from nebula_storage_spark.workload import build_queries
+    qs = build_queries()
+    missing = [n for n in bench.HEADLINERS if n not in qs]
+    assert not missing, missing
+    assert len(bench.HEADLINERS) == len(set(bench.HEADLINERS))
+
+
 def test_driver_sampling_order_invariants(monkeypatch):
     """The driver samples queries() in insertion order with a fixed
     budget, so build_queries() order IS the provenance-refresh policy.
