@@ -27,42 +27,6 @@ _DIST = ("aggregate(zip_with(v, c, (x, y) -> (x - y) * (x - y)), "
          "CAST(0 AS BIGINT), (acc, d) -> acc + d)")
 
 
-def _lloyd(pts: DataFrame, k: int, iterations: int):
-    """kmeans_fixed's loop (pipeline/cluster.py) on a (vec_id, v) frame,
-    returning (assignment, centroids) so the caller can reuse the
-    trained codebook: asn = (vec_id, cluster, d2, v), cent = (cid, c)."""
-    from ..operators.prefix import broadcast_rank
-    seed_ids = pts.orderBy("vec_id").limit(k).select("vec_id")
-    ranks = broadcast_rank(seed_ids, ["vec_id"], out_col="_rn")
-    cent = (pts.join(F.broadcast(ranks), "vec_id")
-            .select((F.col("_rn") - 1).alias("cid"),
-                    F.col("v").alias("c")))
-    asn = None
-    for t in range(iterations):
-        asn = (pts.crossJoin(F.broadcast(cent))
-               .select("vec_id", "v", "cid", F.expr(_DIST).alias("d2"))
-               .groupBy("vec_id")
-               .agg(F.min(F.struct("d2", "cid", "v")).alias("m"))
-               .select("vec_id", F.col("m.cid").alias("cluster"),
-                       F.col("m.d2").alias("d2"), F.col("m.v").alias("v")))
-        if t < iterations - 1:
-            ex = asn.select("cluster", F.posexplode("v").alias("dim", "x"))
-            sums = (ex.groupBy("cluster", "dim")
-                    .agg(F.sum("x").alias("s"),
-                         F.count(F.lit(1)).alias("n")))
-            cent = (sums
-                    .select(F.col("cluster").alias("cid"), "dim",
-                            F.expr("s DIV n").alias("cx"))
-                    .groupBy("cid")
-                    .agg(F.sort_array(F.collect_list(
-                        F.struct("dim", "cx"))).alias("sc"))
-                    .select("cid",
-                            F.expr("transform(sc, s -> s.cx)").alias("c"))
-                    .persist())
-            cent.count()
-    return asn, cent
-
-
 def pq_adc_topk(emb: DataFrame, n_queries: int = 3, subspaces: int = 4,
                 k: int = 4, iterations: int = 2, topk: int = 5,
                 scale: int = 10 ** 6, id_col: str = "vec_id",
@@ -71,10 +35,23 @@ def pq_adc_topk(emb: DataFrame, n_queries: int = 3, subspaces: int = 4,
     the first `n_queries` vectors' top-`topk` neighbors by ADC distance.
     Output: (q_id, vec_id, est_d2, rank) — rank by (est_d2, vec_id).
 
-    Plan: per subspace one Lloyd fit (broadcast centroids) + the code
-    assignment; the query-side distance tables are (n_queries·k) rows
-    joined BROADCAST on (subspace, code); the per-query top-k is a
+    Plan: ALL S subspaces train in the SAME Lloyd jobs — the corpus
+    explodes once into (sub, vec_id, subvector) rows and every step
+    keys by `sub`, so one refit job per iteration materializes all S
+    codebooks (round-8 rewrite: the earlier per-subspace loop ran
+    S·(iterations-1) eager refit jobs and S assignment scans per
+    iteration; profiled at sf0.1 those barriers were ~60 % of the
+    query — at 100 TB the same change means S codebooks per corpus
+    pass instead of S passes). Per subspace the arithmetic is
+    untouched — seeds are the first k vec_ids (subspace-independent),
+    assignment is the integer min-struct (d2, cid, v) within each
+    `sub`, refit is the truncating-DIV mean within (sub, cid) — so
+    codebooks, codes, and ADC ranks are bit-identical to the unrolled
+    per-subspace oracle. The centroid frame is S·k rows, broadcast;
+    the query-side distance tables are (n_queries·k·S) rows joined
+    BROADCAST on (sub, code); the per-query top-k is a
     WindowGroupLimit, never a global sort."""
+    from ..operators.prefix import broadcast_rank
     ivec = F.expr(
         f"transform({vec_col}, x -> "
         f"CAST(round(CAST(x AS DOUBLE) * {scale}) AS BIGINT))")
@@ -82,25 +59,51 @@ def pq_adc_topk(emb: DataFrame, n_queries: int = 3, subspaces: int = 4,
                      ivec.alias("fv")).persist()
     dim = len(pts.select("fv").first()[0])
     sub_dim = dim // subspaces
-    per_sub = []
-    for s in range(subspaces):
-        sub = pts.select("vec_id", F.expr(
-            f"slice(fv, {s * sub_dim + 1}, {sub_dim})").alias("v"))
-        asn, cent = _lloyd(sub, k, iterations)
-        codes = asn.select("vec_id", F.col("cluster").alias("code"))
-        qtab = (sub.filter(F.col("vec_id") < n_queries)
-                .withColumnRenamed("vec_id", "q_id")
-                .crossJoin(F.broadcast(cent))
-                .select("q_id", F.col("cid").alias("code"),
-                        F.expr(_DIST).alias("dq")))
-        per_sub.append(
-            codes.join(F.broadcast(qtab), "code")
-            .select("q_id", "vec_id", F.col("dq").alias("d")))
-    est = per_sub[0]
-    for p in per_sub[1:]:
-        est = est.unionAll(p)
-    est = (est.groupBy("q_id", "vec_id")
-           .agg(F.sum("d").alias("est_d2")))
+    subs = pts.select(
+        "vec_id",
+        F.posexplode(F.expr(
+            f"transform(sequence(0, {subspaces - 1}), "
+            f"s -> slice(fv, s * {sub_dim} + 1, {sub_dim}))"))
+        .alias("sub", "v"))
+    seed_ids = pts.orderBy("vec_id").limit(k).select("vec_id")
+    ranks = broadcast_rank(seed_ids, ["vec_id"], out_col="_rn")
+    cent = (subs.join(F.broadcast(ranks), "vec_id")
+            .select("sub", (F.col("_rn") - 1).alias("cid"),
+                    F.col("v").alias("c")))
+    asn = None
+    for t in range(iterations):
+        asn = (subs.join(F.broadcast(cent), "sub")
+               .select("sub", "vec_id", "v", "cid",
+                       F.expr(_DIST).alias("d2"))
+               .groupBy("sub", "vec_id")
+               .agg(F.min(F.struct("d2", "cid", "v")).alias("m"))
+               .select("sub", "vec_id", F.col("m.cid").alias("cluster"),
+                       F.col("m.v").alias("v")))
+        if t < iterations - 1:
+            ex = asn.select("sub", "cluster",
+                            F.posexplode("v").alias("dim", "x"))
+            sums = (ex.groupBy("sub", "cluster", "dim")
+                    .agg(F.sum("x").alias("sx"),
+                         F.count(F.lit(1)).alias("n")))
+            cent = (sums
+                    .select("sub", F.col("cluster").alias("cid"), "dim",
+                            F.expr("sx DIV n").alias("cx"))
+                    .groupBy("sub", "cid")
+                    .agg(F.sort_array(F.collect_list(
+                        F.struct("dim", "cx"))).alias("sc"))
+                    .select("sub", "cid",
+                            F.expr("transform(sc, s -> s.cx)").alias("c"))
+                    .persist())
+            cent.count()   # ONE refit job for ALL subspaces
+    codes = asn.select("sub", "vec_id", F.col("cluster").alias("code"))
+    qtab = (subs.filter(F.col("vec_id") < n_queries)
+            .withColumnRenamed("vec_id", "q_id")
+            .join(F.broadcast(cent), "sub")
+            .select("sub", "q_id", F.col("cid").alias("code"),
+                    F.expr(_DIST).alias("dq")))
+    est = (codes.join(F.broadcast(qtab), ["sub", "code"])
+           .groupBy("q_id", "vec_id")
+           .agg(F.sum("dq").alias("est_d2")))
     w = W.partitionBy("q_id").orderBy("est_d2", "vec_id")
     return (est.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= topk)

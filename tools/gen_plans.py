@@ -279,8 +279,12 @@ SHOWCASE = {
          "WindowGroupLimit"),
         "PQ/ADC scan: every distance table and codebook rides a "
         "BroadcastExchange (S·k rows); the corpus-side cost is the "
-        "code equi-join + one (query, vector) sum aggregate. At 100 TB "
-        "the corpus is stored as S codes per vector (64x smaller than "
+        "code equi-join + one (query, vector) sum aggregate. All S "
+        "subspaces train in the SAME Lloyd jobs (the corpus explodes "
+        "once into (sub, vec_id, subvector) rows, every step keys by "
+        "sub — r8: one refit barrier per iteration instead of S, "
+        "2x at sf0.1, S codebooks per corpus pass at 100 TB). The "
+        "corpus is stored as S codes per vector (64x smaller than "
         "raw floats), and the per-query top-k is WindowGroupLimit."),
     "store_merkle_diff": (
         ("HashAggregate", "Exchange", "BroadcastHashJoin",
