@@ -9,9 +9,21 @@ Quantization for Nearest Neighbor Search" (TPAMI 2011).
 At 100 TB this is the memory story IVF can't tell: the corpus resides
 as n·S bytes of codes instead of n·dim floats (here 4 codes vs 64
 floats = 64x), the distance tables are broadcast (S·k longs), and the
-scan is a code equi-join — shuffle-free against a code-partitioned
-layout. Recall is approximate by construction; the exact-rerank
-composition is knn_bruteforce over the PQ top-k.
+ADC scan is wide-code: zero corpus shuffle after code assignment.
+Recall is approximate by construction; the exact-rerank composition
+is knn_bruteforce over the PQ top-k.
+
+Config honesty (measured round 8, tools/ann_crossover.py): the gate
+configuration S=4, k=4 — sized so the unrolled DuckDB oracle stays
+tractable — yields 4^4 = 256 composite cells, and on an amplified
+1 M-vector near-dup corpus every ~4 k-member family collapses onto
+identical codes: est_d2 ties massively and recall@10 reads ≈ 0. That
+is the configuration, not the method: production PQ uses k=256 per
+subspace (8-bit codes, 256^S cells) where the same plan shapes hold
+(codebooks are still S·256 rows broadcast; training cost rises k×).
+The gate config is therefore documented GATE-ONLY — like
+dedup_simhash's bits=16 — and PQ's 100 TB role is the 64× memory
+compression + exact-rerank composition, not standalone retrieval.
 
 Determinism: same integer recipe as pipeline/cluster.py (scaled BIGINT
 vectors, exact integer squared distances, truncating-DIV centroid
@@ -48,9 +60,10 @@ def pq_adc_topk(emb: DataFrame, n_queries: int = 3, subspaces: int = 4,
     `sub`, refit is the truncating-DIV mean within (sub, cid) — so
     codebooks, codes, and ADC ranks are bit-identical to the unrolled
     per-subspace oracle. The centroid frame is S·k rows, broadcast;
-    the query-side distance tables are (n_queries·k·S) rows joined
-    BROADCAST on (sub, code); the per-query top-k is a
-    WindowGroupLimit, never a global sort."""
+    the ADC scan is wide-code: one row per vector with S codes,
+    crossed with the broadcast per-query lookup arrays and summed in
+    one codegen stage (no corpus shuffle after code assignment); the
+    per-query top-k is a WindowGroupLimit, never a global sort."""
     from ..operators.prefix import broadcast_rank
     ivec = F.expr(
         f"transform({vec_col}, x -> "
@@ -95,15 +108,40 @@ def pq_adc_topk(emb: DataFrame, n_queries: int = 3, subspaces: int = 4,
                             F.expr("transform(sc, s -> s.cx)").alias("c"))
                     .persist())
             cent.count()   # ONE refit job for ALL subspaces
-    codes = asn.select("sub", "vec_id", F.col("cluster").alias("code"))
+    # ADC scan, wide-code form (round-8 rewrite): one row per vector
+    # with its S codes, crossed with the BROADCAST per-query distance
+    # tables (n_queries rows, each carrying S arrays of k lookups) —
+    # est_d2 folds to S element_at lookups summed in one codegen
+    # stage, and the per-query top-k is WindowGroupLimit with its
+    # map-side partial limit. The earlier (sub, code) equi-join
+    # shape materialized n·q·S rows and SHUFFLED them through an
+    # (q, vec) aggregate — measured at 1 M vectors x 128 queries it
+    # was slower than exact brute force (81.9 s vs 64.4 s,
+    # tools/ann_crossover.py); this form moves ZERO corpus rows after
+    # the code assignment. Same integer sum of the same dq values ->
+    # bit-identical ranks.
+    codes_wide = (asn.groupBy("vec_id")
+                  .agg(*[F.max(F.when(F.col("sub") == s, F.col("cluster")))
+                         .alias(f"_c{s}") for s in range(subspaces)]))
     qtab = (subs.filter(F.col("vec_id") < n_queries)
             .withColumnRenamed("vec_id", "q_id")
             .join(F.broadcast(cent), "sub")
             .select("sub", "q_id", F.col("cid").alias("code"),
                     F.expr(_DIST).alias("dq")))
-    est = (codes.join(F.broadcast(qtab), ["sub", "code"])
-           .groupBy("q_id", "vec_id")
-           .agg(F.sum("dq").alias("est_d2")))
+    qwide = (qtab.groupBy("q_id", "sub")
+             .agg(F.sort_array(F.collect_list(F.struct("code", "dq")))
+                  .alias("sc"))
+             .select("q_id", "sub",
+                     F.expr("transform(sc, s -> s.dq)").alias("darr"))
+             .groupBy("q_id")
+             .agg(*[F.max(F.when(F.col("sub") == s, F.col("darr")))
+                    .alias(f"_d{s}") for s in range(subspaces)]))
+    est = (codes_wide.crossJoin(F.broadcast(qwide))
+           .select("q_id", "vec_id",
+                   sum(F.element_at(
+                       F.col(f"_d{s}"),
+                       (F.col(f"_c{s}") + 1).cast("int"))
+                       for s in range(subspaces)).alias("est_d2")))
     w = W.partitionBy("q_id").orderBy("est_d2", "vec_id")
     return (est.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= topk)

@@ -52,6 +52,7 @@ from nebula_storage_spark.session import get_spark
 from nebula_storage_spark.graph import read_parquet
 from nebula_storage_spark.pipeline.similarity import (
     knn_bruteforce, build_ivf_index, search_ivf_index, hyperplane_lsh_topk)
+from nebula_storage_spark.pipeline.pq import pq_adc_topk
 
 FACTORS = [1, 8, 64, 512]     # 2k, 16k, 128k, 1.024M at sf0.1
 QUERY_COUNTS = [8, 128]
@@ -125,6 +126,14 @@ def main() -> None:
                 "ivf": lambda: search_ivf_index(spark, INDEX_DIR, qdf, k=K),
                 "ivf3": lambda: search_ivf_index(spark, INDEX_DIR, qdf, k=K,
                                                  nprobe=3),
+                # end-to-end INCLUDING codebook training (2 Lloyd jobs
+                # since the r8 all-subspaces-one-job rewrite) — PQ has
+                # no persisted-index path to amortize here, so its
+                # number carries the train cost the others don't.
+                # vec_id < nq picks exactly qids (base ids 0..nq-1).
+                "pq": lambda: pq_adc_topk(corpus, n_queries=nq,
+                                          subspaces=4, k=4,
+                                          iterations=2, topk=K),
             }
             cell = {"n_vectors": n, "n_queries": nq, "k": K}
             exact = {(r[0], r[1]) for r in runs["brute"]().collect()}
@@ -141,13 +150,14 @@ def main() -> None:
     shutil.rmtree(INDEX_DIR, ignore_errors=True)
 
     print("\nn_vectors  n_queries  brute_s  lsh_s  lsh_rec  "
-          "ivf_s  ivf_rec  ivf3_s  ivf3_rec")
+          "ivf_s  ivf_rec  ivf3_s  ivf3_rec  pq_s  pq_rec")
     for c in results:
         print(f"{c['n_vectors']:>9}  {c['n_queries']:>9}  "
               f"{c['brute_sec']:>7.2f}  {c['lsh_sec']:>5.2f}  "
               f"{c['lsh_recall']:>7.3f}  {c['ivf_sec']:>5.2f}  "
               f"{c['ivf_recall']:>7.3f}  {c['ivf3_sec']:>6.2f}  "
-              f"{c['ivf3_recall']:>8.3f}")
+              f"{c['ivf3_recall']:>8.3f}  {c['pq_sec']:>5.2f}  "
+              f"{c['pq_recall']:>6.3f}")
 
 
 if __name__ == "__main__":
