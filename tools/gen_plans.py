@@ -277,15 +277,17 @@ SHOWCASE = {
     "knn_pq_adc": (
         ("BroadcastExchange", "HashAggregate", "Exchange",
          "WindowGroupLimit"),
-        "PQ/ADC scan: every distance table and codebook rides a "
-        "BroadcastExchange (S·k rows); the corpus-side cost is the "
-        "code equi-join + one (query, vector) sum aggregate. All S "
-        "subspaces train in the SAME Lloyd jobs (the corpus explodes "
-        "once into (sub, vec_id, subvector) rows, every step keys by "
-        "sub — r8: one refit barrier per iteration instead of S, "
-        "2x at sf0.1, S codebooks per corpus pass at 100 TB). The "
-        "corpus is stored as S codes per vector (64x smaller than "
-        "raw floats), and the per-query top-k is WindowGroupLimit."),
+        "PQ/ADC: all S subspaces train in the SAME Lloyd jobs (corpus "
+        "explodes once into (sub, vec_id, subvector) rows, every step "
+        "keys by sub — r8: one refit barrier per iteration instead of "
+        "S). The ADC scan is wide-code (r8: the (sub, code) equi-join "
+        "shape measured SLOWER than brute at 1M vectors, 81.9 s vs "
+        "64.4; wide-code reads 14.8 s): S codes per vector row x "
+        "broadcast per-query lookup arrays, est_d2 as codegen "
+        "element_at sums, ZERO corpus shuffle after encoding; the "
+        "per-query top-k is WindowGroupLimit (map-side partial "
+        "limit). The corpus is stored as S codes per vector (64x "
+        "smaller than raw floats)."),
     "store_merkle_diff": (
         ("HashAggregate", "Exchange", "BroadcastHashJoin",
          "SortMergeJoin"),
