@@ -19,6 +19,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from nebula_storage_spark.cache import release_all as cache_release_all
 from nebula_storage_spark.session import get_spark
 from nebula_storage_spark.workload import build_queries
 
@@ -134,6 +135,13 @@ def main() -> None:
         # the rest re-cache during each query's first repetition,
         # which best-of-3 absorbs — per-query warmness comes from the
         # repetitions, not cross-query cache survival).
+        # Drain the package persist registry FIRST (round 9): builders
+        # pin adjacency/centroid/round frames they cannot release
+        # themselves; release_all() is the deterministic half of that
+        # contract and also keeps the registry list from growing
+        # across 45+ headliners. clearCache() then sweeps anything
+        # persisted outside the registry (resident store, ad-hoc).
+        cache_release_all()
         spark.catalog.clearCache()
         for df in (*g.vertices.values(), *g.edges.values(),
                    *g.reverse_edges.values()):

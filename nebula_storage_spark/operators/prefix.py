@@ -26,6 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
+from ..cache import track as _track
 
 
 def global_running_sum(df: DataFrame, order_cols: list[str],
@@ -46,7 +47,7 @@ def global_running_sum(df: DataFrame, order_cols: list[str],
     # it, and the partition-id column must be computed exactly once.
     ranged = (df.repartitionByRange(p, *[F.col(c) for c in order_cols])
               .withColumn("_pid", F.spark_partition_id())
-              .persist())
+              .persist().transform(_track))
     w_in = (W.partitionBy("_pid").orderBy(*order_cols)
             .rowsBetween(W.unboundedPreceding, W.currentRow))
     local = ranged.withColumn(

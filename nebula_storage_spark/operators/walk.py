@@ -33,24 +33,22 @@ def _step_hash(walk_col: str, t: int, prefix: str) -> str:
 # random_walks one (`ranked`), node2vec_walks two (`adjc`, `nbr_arr`) —
 # because every step join references them lazily and unpersisting
 # inside the builder would drop the hash(cur) partitioning the step
-# plan depends on. The builder therefore CANNOT release them; a
-# long-lived session that builds many walk plans (benchmark loops, the
-# workload driver) should call release_walk_caches() after each
+# plan depends on. The builder therefore CANNOT release them; they go
+# into the package-wide persist registry (..cache — round-9
+# generalization of this module's round-8 contract, now thread-safe)
+# and a long-lived session should call cache.release_all() after each
 # result is materialized, or the cached copies accumulate until
 # spark.catalog.clearCache().
-_WALK_CACHES: list[DataFrame] = []
+from .. import cache as _cache
 
 
 def release_walk_caches() -> int:
-    """Unpersist every adjacency frame persisted by random_walks /
-    node2vec_walks in this process and forget it; returns how many
-    were released. Safe at any time: unpersist only drops cached
-    blocks, a still-pending walk DataFrame would recompute them
-    correctly (just slower)."""
-    n = len(_WALK_CACHES)
-    while _WALK_CACHES:
-        _WALK_CACHES.pop().unpersist()
-    return n
+    """Round-8 release entry point, kept for callers/tests — now a
+    view onto the package registry: releases EVERY pinned frame (walk
+    adjacencies included) via cache.release_all(). Safe at any time:
+    unpersist only drops cached blocks, a still-pending walk DataFrame
+    would recompute them correctly (just slower)."""
+    return _cache.release_all()
 
 
 def random_walks(edges: DataFrame, seeds: DataFrame, steps: int = 4,
@@ -80,7 +78,7 @@ def random_walks(edges: DataFrame, seeds: DataFrame, steps: int = 4,
                          F.count(F.lit(1)).over(W.partitionBy(SRC))
                          .alias("outdeg"))
               .persist())
-    _WALK_CACHES.append(ranked)
+    _cache.track(ranked)
     state = seeds.select(
         F.col("node").alias("walk_id"), F.col("node").alias("cur"),
         F.col("node").cast("string").alias("path"))
@@ -140,7 +138,8 @@ def node2vec_walks(edges: DataFrame, seeds: DataFrame, steps: int = 3,
     nbr_arr = (adjc.groupBy("cur")
                .agg(F.sort_array(F.collect_set("nxt")).alias("_nbrs"))
                .persist())
-    _WALK_CACHES.extend((adjc, nbr_arr))
+    _cache.track(adjc)
+    _cache.track(nbr_arr)
     state = seeds.select(
         F.col("node").alias("walk_id"), F.col("node").alias("prev"),
         F.col("node").alias("cur"), F.col("node").cast("string").alias("path"))

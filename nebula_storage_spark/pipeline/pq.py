@@ -35,6 +35,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window as W, functions as F
 
+from .. import cache as _cache
+
 _DIST = ("aggregate(zip_with(v, c, (x, y) -> (x - y) * (x - y)), "
          "CAST(0 AS BIGINT), (acc, d) -> acc + d)")
 
@@ -68,8 +70,8 @@ def pq_adc_topk(emb: DataFrame, n_queries: int = 3, subspaces: int = 4,
     ivec = F.expr(
         f"transform({vec_col}, x -> "
         f"CAST(round(CAST(x AS DOUBLE) * {scale}) AS BIGINT))")
-    pts = emb.select(F.col(id_col).alias("vec_id"),
-                     ivec.alias("fv")).persist()
+    pts = _cache.pin(emb.select(F.col(id_col).alias("vec_id"),
+                                ivec.alias("fv")))
     dim = len(pts.select("fv").first()[0])
     sub_dim = dim // subspaces
     subs = pts.select(
@@ -84,6 +86,7 @@ def pq_adc_topk(emb: DataFrame, n_queries: int = 3, subspaces: int = 4,
             .select("sub", (F.col("_rn") - 1).alias("cid"),
                     F.col("v").alias("c")))
     asn = None
+    prev_cent = None
     for t in range(iterations):
         asn = (subs.join(F.broadcast(cent), "sub")
                .select("sub", "vec_id", "v", "cid",
@@ -108,6 +111,15 @@ def pq_adc_topk(emb: DataFrame, n_queries: int = 3, subspaces: int = 4,
                             F.expr("transform(sc, s -> s.cx)").alias("c"))
                     .persist())
             cent.count()   # ONE refit job for ALL subspaces
+            # the refit is materialized, so the superseded codebook's
+            # blocks are dead weight (downstream plans reference only
+            # THIS cent; an eviction recomputes the chain correctly) —
+            # release it now and register the live one (r8 ADVICE:
+            # repeated pq_adc_topk calls in ann_crossover's timing
+            # loops accumulated one cached frame per iteration).
+            if prev_cent is not None:
+                prev_cent.unpersist()
+            prev_cent = _cache.track(cent)
     # ADC scan, wide-code form (round-8 rewrite): one row per vector
     # with its S codes, crossed with the BROADCAST per-query distance
     # tables (n_queries rows, each carrying S arrays of k lookups) —
@@ -128,11 +140,23 @@ def pq_adc_topk(emb: DataFrame, n_queries: int = 3, subspaces: int = 4,
             .join(F.broadcast(cent), "sub")
             .select("sub", "q_id", F.col("cid").alias("code"),
                     F.expr(_DIST).alias("dq")))
+    # DENSIFIED lookup arrays (r8 ADVICE fix): a refit can empty a
+    # cluster (duplicate subvectors among the k seed vectors, or any
+    # run with iterations > 2), leaving the surviving cids
+    # NON-contiguous — a positionally-collected darr then silently
+    # shifts every dq after the gap and the max cid indexes past the
+    # array (INVALID_ARRAY_INDEX under ANSI mode). Keying by code
+    # VALUE and expanding to exactly k slots (dead cids hold a 0
+    # placeholder no code ever references, since codes are drawn from
+    # the surviving codebook) keeps position == cid unconditionally,
+    # so the ADC scan's element_at stays the O(1) positional lookup.
     qwide = (qtab.groupBy("q_id", "sub")
-             .agg(F.sort_array(F.collect_list(F.struct("code", "dq")))
-                  .alias("sc"))
+             .agg(F.map_from_entries(
+                 F.collect_list(F.struct("code", "dq"))).alias("dm"))
              .select("q_id", "sub",
-                     F.expr("transform(sc, s -> s.dq)").alias("darr"))
+                     F.expr(f"transform(sequence(0, {k - 1}), i -> "
+                            f"coalesce(element_at(dm, i), "
+                            f"CAST(0 AS BIGINT)))").alias("darr"))
              .groupBy("q_id")
              .agg(*[F.max(F.when(F.col("sub") == s, F.col("darr")))
                     .alias(f"_d{s}") for s in range(subspaces)]))
@@ -149,13 +173,69 @@ def pq_adc_topk(emb: DataFrame, n_queries: int = 3, subspaces: int = 4,
                     F.col("rank").cast("bigint").alias("rank")))
 
 
-def pq_adc_oracle_sql(n_queries: int = 3, subspaces: int = 4, k: int = 4,
-                      iterations: int = 2, topk: int = 5,
-                      scale: int = 10 ** 6, dim: int = 64,
-                      table: str = "embeddings") -> str:
-    """DuckDB oracle: per-subspace Lloyd chains (kmeans_oracle_sql's
-    construction over list slices), code assignment, broadcast distance
-    tables, ADC sum, per-query rank."""
+def pq_rerank_topk(emb: DataFrame, n_queries: int = 3, subspaces: int = 4,
+                   k: int = 4, iterations: int = 2, candidates: int = 20,
+                   topk: int = 5, scale: int = 10 ** 6,
+                   id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """PQ's PRODUCTION composition (r8 verdict, Next #2): the wide-code
+    ADC scan selects each query's top-`candidates` corpus vectors by
+    estimated distance, then EXACT integer cosine re-ranks that small
+    candidate set to the final top-`topk`. Output
+    (q_id, vec_id, cos, rank) — the knn_bruteforce contract (self
+    excluded, cos rounded to 6, rank by (cos desc, vec_id)) so
+    recall@k of the composition is directly comparable to the exact
+    answer.
+
+    This is the retrieval story PQ exists for at 100 TB: the corpus
+    lives as n·S bytes of codes (64x smaller than the float vectors),
+    the ADC scan touches ONLY codes (zero corpus-vector IO, zero
+    corpus shuffle after encoding), and the full-precision vectors are
+    read back for just n_queries·candidates rows — here via a
+    broadcast-hash join of the (tiny) candidate list INTO the vector
+    scan, so the corpus side never shuffles either; a deployment with
+    the vectors bucket-written by vec_id turns that into a point-fetch.
+    Recall of the composition at the 1 M design point is measured in
+    tools/ann_crossover.py (the `pqr` arm) — raw gate-config ADC reads
+    recall ~0 there (256 cells, documented in the module header), the
+    rerank recovers the exact top-k once `candidates` covers the
+    query's code cell.
+
+    The exact stage reuses the similarity family's quantization
+    (floor(x·1e6), pipeline/similarity.py) — intentionally NOT the
+    codebook's round(x·1e6): the rerank must rank like knn_bruteforce,
+    bit-for-bit, so the two paths share one recipe and one oracle
+    fragment."""
+    from .similarity import _COS, _dot, quantize_embeddings
+    cands = pq_adc_topk(emb, n_queries=n_queries, subspaces=subspaces,
+                        k=k, iterations=iterations, topk=candidates,
+                        scale=scale, id_col=id_col, vec_col=vec_col
+                        ).select("q_id", "vec_id")
+    q = quantize_embeddings(emb, vec_col)
+    corpus = q.select(F.col(id_col).alias("vec_id"),
+                      F.col("qvec").alias("cv"),
+                      F.col("qnorm2").alias("_n2b"))
+    queries = (q.filter(F.col(id_col) < n_queries)
+               .select(F.col(id_col).alias("q_id"),
+                       F.col("qvec").alias("qv"),
+                       F.col("qnorm2").alias("_n2a")))
+    pairs = (corpus.join(F.broadcast(cands), "vec_id")
+             .join(F.broadcast(queries), "q_id")
+             .filter(F.col("q_id") != F.col("vec_id"))
+             .withColumn("_dot", _dot("qv", "cv"))
+             .withColumn("cos", F.expr(_COS)))
+    w = W.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return (pairs.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= topk)
+            .select("q_id", "vec_id", F.round("cos", 6).alias("cos"),
+                    F.col("rank").cast("bigint").alias("rank")))
+
+
+def _pq_est_parts(n_queries: int, subspaces: int, k: int, iterations: int,
+                  scale: int, dim: int, table: str) -> list[str]:
+    """Shared oracle CTE chain up through `est` (q_id, vec_id, est_d2):
+    per-subspace Lloyd chains (kmeans_oracle_sql's construction over
+    list slices), code assignment, distance tables, ADC sum."""
     sub_dim = dim // subspaces
     d2 = ("list_sum(list_transform(list_zip(e.v, c.c), "
           "s -> (s[1] - s[2]) * (s[1] - s[2])))")
@@ -204,7 +284,54 @@ def pq_adc_oracle_sql(n_queries: int = 3, subspaces: int = 4, k: int = 4,
     parts.append(
         "est AS (SELECT q_id, vec_id, sum(d) AS est_d2 FROM alld "
         "GROUP BY q_id, vec_id)")
+    return parts
+
+
+def pq_adc_oracle_sql(n_queries: int = 3, subspaces: int = 4, k: int = 4,
+                      iterations: int = 2, topk: int = 5,
+                      scale: int = 10 ** 6, dim: int = 64,
+                      table: str = "embeddings") -> str:
+    """DuckDB oracle for pq_adc_topk: the shared est chain + per-query
+    rank by (est_d2, vec_id)."""
+    parts = _pq_est_parts(n_queries, subspaces, k, iterations, scale,
+                          dim, table)
     return ("WITH " + ",\n".join(parts)
             + f"\nSELECT q_id, vec_id, est_d2, rank FROM ("
             f"SELECT *, row_number() OVER (PARTITION BY q_id "
             f"ORDER BY est_d2, vec_id) AS rank FROM est) WHERE rank <= {topk}")
+
+
+def pq_rerank_oracle_sql(n_queries: int = 3, subspaces: int = 4, k: int = 4,
+                         iterations: int = 2, candidates: int = 20,
+                         topk: int = 5, scale: int = 10 ** 6, dim: int = 64,
+                         table: str = "embeddings") -> str:
+    """DuckDB oracle for pq_rerank_topk: the shared est chain, the
+    top-`candidates` cut by (est_d2, vec_id), then the similarity
+    family's exact integer cosine (floor(x·1e6) quantization — the
+    knn_bruteforce fragment) over the candidate pairs, ranked by
+    (cos desc, vec_id), self excluded."""
+    parts = _pq_est_parts(n_queries, subspaces, k, iterations, scale,
+                          dim, table)
+    parts.append(
+        f"cand AS (SELECT q_id, vec_id FROM ("
+        f"SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id "
+        f"ORDER BY est_d2, vec_id) AS rr FROM est) WHERE rr <= {candidates})")
+    parts.append(
+        f"qv AS (SELECT vec_id, list_transform(embedding, "
+        f"x -> CAST(floor(CAST(x AS DOUBLE) * {scale}) AS BIGINT)) AS v "
+        f"FROM {table})")
+    parts.append(
+        "qn AS (SELECT vec_id, v, CAST(list_sum(list_transform(v, "
+        "x -> x * x)) AS BIGINT) AS n2 FROM qv)")
+    pair_cos = (
+        "CAST(CAST(list_sum(list_transform(generate_series(1, len(a.v)), "
+        "i -> a.v[i] * b.v[i])) AS BIGINT) AS DOUBLE) / "
+        "sqrt(CAST(a.n2 AS DOUBLE) * CAST(b.n2 AS DOUBLE))")
+    parts.append(
+        f"p AS (SELECT cd.q_id, cd.vec_id, {pair_cos} AS c "
+        f"FROM cand cd JOIN qn a ON a.vec_id = cd.q_id "
+        f"JOIN qn b ON b.vec_id = cd.vec_id WHERE cd.q_id != cd.vec_id)")
+    return ("WITH " + ",\n".join(parts)
+            + f"\nSELECT q_id, vec_id, round(c, 6) AS cos, rank FROM ("
+            f"SELECT *, row_number() OVER (PARTITION BY q_id "
+            f"ORDER BY c DESC, vec_id) AS rank FROM p) WHERE rank <= {topk}")

@@ -18,6 +18,7 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+from .cache import track as _track
 
 from .graph import (DST, RANK, SRC, TYPE, VID, GraphStore, load_events,
                     load_tables, tpch_graph)
@@ -3340,7 +3341,7 @@ def q_clustering_coefficient(spark, sf_dir):
     composes the degree-ordered triangle counts with the simple-graph
     degrees (nodes in ≥1 triangle)."""
     from .operators.analytics import triangle_counts
-    pairs = _co_order_pairs(spark, sf_dir).persist()
+    pairs = _co_order_pairs(spark, sf_dir).persist().transform(_track)
     tri = triangle_counts(pairs)
     a, b = F.col(SRC), F.col(DST)
     und = (pairs.filter(a != b)
@@ -3619,67 +3620,43 @@ ORACLE_ANALYTIC = {
 }
 
 
-# Driver-provenance refresh ordering (rounds 7-8). Every one of the
-# 255 registry queries has a green driver CORRECTNESS row; the driver
-# samples queries() in insertion order with a fixed budget, so
+# Driver-provenance refresh ordering (rounds 7-9). Every one of the
+# 255 pre-r9 registry queries has a green driver CORRECTNESS row; the
+# driver samples queries() in insertion order with a fixed budget, so
 # build_queries() surfaces the STALEST provenance first: the cohort
 # whose latest driver row is oldest samples first. Each round's sample
 # therefore rotates ~50 of the oldest records forward under the
 # round-5 type-strict canon (bit-exact values + fetched-type
-# identity). The round-7 sample refreshed all 5 prior head queries,
-# the whole r1 cohort, and 20 of the r2 cohort (CORRECTNESS_r07.json).
+# identity). r7 drained the r1 cohort; r8 drained r2 and took 14 of
+# r3 (CORRECTNESS_r08.json: 50/50 green); the r9 sample covers the
+# remaining 29 r3 rows plus the front of r4 (r8 verdict, Next #1).
 #
 # At the very head: queries whose CODE changed since their latest
 # driver row, so the changed plan gets a fresh driver artifact first.
-# Round 7 rewrote these 12 paths bit-identically (k_core alive-set,
-# MIS per-round checkpoints, the loop broadcast-gate split feeding
-# pagerank/ppagerank/LPA/CC, Jones-Plassmann + SCC under the same
-# gate, random_walks single-key step joins, and the dedup
-# verify-off-the-index rewrite) but none landed in the r7 driver
-# sample — their latest rows are r2/r3/r6, pre-rewrite. The r7 judge
-# drove all 12 locally (19/19 OK incl. these); the r8 driver row is
-# the hard artifact (r7 verdict, Next round #1). knn_pq_adc joins the
-# head in round 8 itself: its Lloyd training was restructured to one
-# refit job per iteration across all subspaces (pipeline/pq.py,
-# bit-identical, 2x at sf0.1) after its latest r5 driver row.
+# Round 9's only plan-affecting change is knn_pq_adc: the ADC lookup
+# arrays are now DENSIFIED to k slots keyed by code value (the r8
+# ADVICE non-contiguous-cid fix, pipeline/pq.py) — identical output
+# on the gate data (cids stay contiguous there), different plan.
+# The round's other code touches (persist-registry registration via
+# .transform(track)) are plan-neutral by construction. knn_pq_rerank
+# is NEW in r9 and sorts first automatically (no driver row yet).
 _REFRESH_HEAD = (
-    "k_core", "maximal_independent_set", "pagerank",
-    "personalized_pagerank", "connected_components",
-    "label_propagation", "random_walks", "greedy_coloring",
-    "scc_coloring_full", "dedup_ngram_jaccard", "dedup_containment",
-    "dedup_minhash_incremental", "knn_pq_adc",
+    "knn_pq_adc",
 )
 
-# Queries whose LATEST driver row is CORRECTNESS_r02.json (23).
-_LATEST_R02 = frozenset({
-    "bloom_vocab_probe", "clustering_coefficient", "cms_token_counts",
-    "connected_components_doubling", "degree_assortativity",
-    "degree_stats", "delete_tag_rows", "events_value_percentiles",
-    "fetch_string_vids", "fulltext_search", "go_grouped",
-    "hll_distinct_users", "incremental_view_maintenance",
-    "lookup_multi_index", "schema_evolution", "sessionize",
-    "sssp_parent_tree", "stream_session_window", "stream_window",
-    "ttl_purge", "upsert_returning", "walk_skipgrams",
-    "weighted_sample_docs",
-})
-
-# Queries whose LATEST driver row is CORRECTNESS_r03.json (43).
+# Queries whose LATEST driver row is CORRECTNESS_r03.json (29 after
+# the r8 sample took 14 of the original 43).
 _LATEST_R03 = frozenset({
-    "anti_join_no_urgent", "bfs_distances", "bucketed_join",
-    "common_neighbors", "corpus_curation",
+    "anti_join_no_urgent", "bucketed_join", "common_neighbors",
     "cube_revenue", "datetime_surface", "dedup_ngram_pruned",
-    "degree_quantiles", "events_props_json", "fetch_multi_tag",
-    "go_1_to_n", "go_expr", "go_in_projected", "go_multi_tag",
-    "go_stats_salted", "go_stats_with_limit", "go_two_hop",
-    "index_rebuild_edge",
-    "lang_confusion", "lookup_edge_index", "lookup_null",
-    "neighbor_jaccard", "preferential_attachment",
-    "range_click_attribution", "resource_allocation", "rollup_revenue",
-    "running_total", "scan_edge_page", "source_json_roundtrip",
-    "source_orc_roundtrip", "source_partitioned_pruning",
+    "degree_quantiles", "fetch_multi_tag", "go_expr",
+    "go_stats_with_limit", "index_rebuild_edge", "lang_confusion",
+    "lookup_edge_index", "lookup_null", "neighbor_jaccard",
+    "preferential_attachment", "range_click_attribution",
+    "resource_allocation", "running_total", "source_orc_roundtrip",
     "sssp_distances", "stream_cdc_upsert", "stream_dedup",
-    "stream_stateful_count", "string_surface", "subgraph", "tpch_q18",
-    "tpch_q4_semi", "tpch_q6", "triangle_counts", "vocab_topk",
+    "string_surface", "tpch_q18", "tpch_q4_semi", "tpch_q6",
+    "triangle_counts", "vocab_topk",
 })
 
 # Queries whose LATEST driver row is CORRECTNESS_r04.json (35).
@@ -3722,11 +3699,7 @@ _LATEST_R05 = frozenset({
     "weighted_pagerank", "zorder_pruning",
 })
 
-# Queries whose LATEST driver row is CORRECTNESS_r06.json (43 here;
-# greedy_coloring, scc_coloring_full, dedup_ngram_jaccard,
-# dedup_containment and dedup_minhash_incremental also have r6 rows
-# but moved to _REFRESH_HEAD — their code changed in round 7, and the
-# cohort sets must stay an exact partition of _DRIVER_CHECKED_EVER).
+# Queries whose LATEST driver row is CORRECTNESS_r06.json (43).
 _LATEST_R06 = frozenset({
     "basket_affinity", "betweenness_2hop", "bigram_lm_rarity",
     "closeness_centrality", "corpus_stats", "decontaminate",
@@ -3768,12 +3741,37 @@ _LATEST_R07 = frozenset({
     "upsert_insert", "upsert_update_cond", "walk_visit_counts",
 })
 
-# Every query with ANY driver CORRECTNESS row (r1–r7) — the cohorts
+# Queries whose LATEST driver row is CORRECTNESS_r08.json (49 here;
+# knn_pq_adc also has an r8 row but sits in _REFRESH_HEAD — its ADC
+# lookup arrays were densified in round 9, and the cohort sets must
+# stay an exact partition of _DRIVER_CHECKED_EVER).
+_LATEST_R08 = frozenset({
+    "bfs_distances", "bloom_vocab_probe", "clustering_coefficient",
+    "cms_token_counts", "connected_components",
+    "connected_components_doubling", "corpus_curation",
+    "dedup_containment", "dedup_minhash_incremental",
+    "dedup_ngram_jaccard", "degree_assortativity", "degree_stats",
+    "delete_tag_rows", "events_props_json", "events_value_percentiles",
+    "fetch_string_vids", "fulltext_search", "go_1_to_n", "go_grouped",
+    "go_in_projected", "go_multi_tag", "go_stats_salted", "go_two_hop",
+    "greedy_coloring", "hll_distinct_users",
+    "incremental_view_maintenance", "k_core", "label_propagation",
+    "lookup_multi_index", "maximal_independent_set", "pagerank",
+    "personalized_pagerank", "random_walks", "rollup_revenue",
+    "scan_edge_page", "scc_coloring_full", "schema_evolution",
+    "sessionize", "source_json_roundtrip", "source_partitioned_pruning",
+    "sssp_parent_tree", "stream_session_window",
+    "stream_stateful_count", "stream_window", "subgraph", "ttl_purge",
+    "upsert_returning", "walk_skipgrams", "weighted_sample_docs",
+})
+
+# Every query with ANY driver CORRECTNESS row (r1–r8) — the cohorts
 # above partition this set by latest-row round. A registry name NOT in
 # this union has never been driver-checked and must sample FIRST.
 _DRIVER_CHECKED_EVER = (frozenset(_REFRESH_HEAD)
-                        | _LATEST_R02 | _LATEST_R03 | _LATEST_R04
-                        | _LATEST_R05 | _LATEST_R06 | _LATEST_R07)
+                        | _LATEST_R03 | _LATEST_R04
+                        | _LATEST_R05 | _LATEST_R06 | _LATEST_R07
+                        | _LATEST_R08)
 
 
 def build_queries() -> dict[str, Query]:
@@ -3787,13 +3785,13 @@ def build_queries() -> dict[str, Query]:
     # insertion order = driver sampling priority: (1) queries with NO
     # driver CORRECTNESS row yet (new registrations — must gain a row
     # their first round), (2) _REFRESH_HEAD (see comment above),
-    # (3) stalest-provenance cohorts oldest-first; r7-latest rows are
+    # (3) stalest-provenance cohorts oldest-first; r8-latest rows are
     # the freshest and sort last in registration order.
     ordered = {k: v for k, v in out.items()
                if k not in _DRIVER_CHECKED_EVER}
     ordered.update({k: out[k] for k in _REFRESH_HEAD if k in out})
-    for cohort in (_LATEST_R02, _LATEST_R03, _LATEST_R04,
-                   _LATEST_R05, _LATEST_R06):
+    for cohort in (_LATEST_R03, _LATEST_R04,
+                   _LATEST_R05, _LATEST_R06, _LATEST_R07):
         ordered.update({k: v for k, v in out.items()
                         if k in cohort and k not in ordered})
     ordered.update({k: v for k, v in out.items() if k not in ordered})

@@ -17,6 +17,7 @@ grouped-aggregate shapes).
 from __future__ import annotations
 
 from pyspark.sql import Window as W, functions as F
+from .cache import track as _track
 
 from .graph import DST, SRC, VID, load_events, tpch_graph
 from .workload import _co_order_pairs, _seeds
@@ -631,7 +632,7 @@ def q_louvain_one_sweep(spark, sf_dir):
     per-node argmax window (partitioned by node, never global)."""
     pairs = _co_order_pairs(spark, sf_dir).distinct()
     both = pairs.union(pairs.select(F.col(DST).alias(SRC),
-                                    F.col(SRC).alias(DST))).persist()
+                                    F.col(SRC).alias(DST))).persist().transform(_track)
     deg = both.groupBy(SRC).agg(F.count(F.lit(1)).alias("deg"))
     m2 = both.agg(F.count(F.lit(1)).alias("m2"))  # 2m directed rows
     scored = (both
@@ -738,6 +739,27 @@ def _oracle_pq() -> str:
     from .pipeline.pq import pq_adc_oracle_sql
     return pq_adc_oracle_sql(n_queries=3, subspaces=4, k=4,
                              iterations=2, topk=5)
+
+
+def q_knn_pq_rerank(spark, sf_dir):
+    """PQ's production composition (r8 verdict, Next #2): the gate-
+    config ADC scan picks each query's top-20 candidates by estimated
+    distance, exact integer cosine re-ranks them to the final top-5 —
+    knn_bruteforce's output contract over a candidate set the codes
+    selected, so the 64x-compressed corpus answers retrieval without
+    ever scanning full vectors (pipeline/pq.py pq_rerank_topk; the
+    1 M-design-point recall of this composition is measured in
+    tools/ann_crossover.py's pqr arm)."""
+    from .pipeline.pq import pq_rerank_topk
+    from .workload_pipeline import _emb
+    return pq_rerank_topk(_emb(spark, sf_dir), n_queries=3, subspaces=4,
+                          k=4, iterations=2, candidates=20, topk=5)
+
+
+def _oracle_pq_rerank() -> str:
+    from .pipeline.pq import pq_rerank_oracle_sql
+    return pq_rerank_oracle_sql(n_queries=3, subspaces=4, k=4,
+                                iterations=2, candidates=20, topk=5)
 
 
 # ---------------------------------------------------------------------------
@@ -850,7 +872,7 @@ def q_vocab_coverage_curve(spark, sf_dir):
     from .workload_pipeline import _docs
     tok = (_docs(spark, sf_dir)
            .select(F.explode(F.split("text", " ")).alias("t")))
-    counts = tok.groupBy("t").agg(F.count(F.lit(1)).alias("c")).persist()
+    counts = tok.groupBy("t").agg(F.count(F.lit(1)).alias("c")).persist().transform(_track)
     total = counts.agg(F.sum("c").alias("n"))
     outs = []
     for k in (10, 100, 1000):
@@ -991,7 +1013,7 @@ def q_greedy_set_cover(spark, sf_dir):
     g = tpch_graph(spark, sf_dir)
     ps = (g.edges["supplied_by"]
           .select(F.col(DST).alias("s"), F.col(SRC).alias("p")).distinct()
-          .persist())
+          .persist().transform(_track))
     uncovered = ps
     picks = []
     for r in range(3):
@@ -1294,7 +1316,7 @@ def q_find_path_strings(spark, sf_dir):
     4 hops — K parent-hop joins of a 5-row frame against the tree, the
     same plan at any graph size."""
     from .workload import q_sssp_parent_tree
-    tree = q_sssp_parent_tree(spark, sf_dir).persist()
+    tree = q_sssp_parent_tree(spark, sf_dir).persist().transform(_track)
     targets = (tree.filter(F.col("node") >= 20_000_000)
                .orderBy("dist", "node").limit(5)
                .select(F.col("node").alias("target"), "dist"))
@@ -1390,7 +1412,7 @@ def q_kcenter_init(spark, sf_dir):
     ivec = F.expr("transform(embedding, x -> "
                   "CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))")
     pts = (_emb(spark, sf_dir)
-           .select("vec_id", ivec.alias("v")).persist())
+           .select("vec_id", ivec.alias("v")).persist().transform(_track))
     d2 = ("aggregate(zip_with(v, c, (x, y) -> (x - y) * (x - y)), "
           "CAST(0 AS BIGINT), (acc, d) -> acc + d)")
     centers = (pts.filter(F.col("vec_id") == 0)
@@ -1936,7 +1958,7 @@ def q_global_transitivity(spark, sf_dir):
     degree-ordered enumeration (skew bound O(sqrt(|E|))); wedges are
     sum C(deg, 2) from one degree aggregate."""
     from .operators.analytics import triangle_counts
-    pairs = _co_order_pairs(spark, sf_dir).distinct().persist()
+    pairs = _co_order_pairs(spark, sf_dir).distinct().persist().transform(_track)
     tri = (triangle_counts(pairs)
            .agg(F.expr("sum(n_triangles) DIV 3").alias("triangles")))
     und = pairs.union(pairs.select(F.col(DST).alias(SRC),
@@ -1973,6 +1995,7 @@ EXT4_QUERIES = {
     "events_markov_transitions": q_events_markov_transitions,
     "global_transitivity": q_global_transitivity,
     "knn_pq_adc": q_knn_pq_adc,
+    "knn_pq_rerank": q_knn_pq_rerank,
     "store_merkle_diff": q_store_merkle_diff,
     "events_new_users_daily": q_events_new_users_daily,
     "rfm_segments": q_rfm_segments,
@@ -2025,6 +2048,7 @@ def build_ext4_oracles() -> dict[str, str]:
         "events_markov_transitions": ORACLE_MARKOV,
         "global_transitivity": _oracle_transitivity(),
         "knn_pq_adc": _oracle_pq(),
+        "knn_pq_rerank": _oracle_pq_rerank(),
         "store_merkle_diff": ORACLE_MERKLE,
         "events_new_users_daily": ORACLE_NEW_USERS,
         "rfm_segments": ORACLE_RFM,

@@ -1011,20 +1011,48 @@ def test_walk_step_joins_are_single_key(spark):
 
 def test_release_walk_caches(spark):
     """The walk builders persist adjacency frames the step plans
-    reference lazily (random_walks: 1, node2vec_walks: 2); the module
-    tracks them so long-lived callers can release without a global
-    clearCache. Contract: release returns the count and empties the
-    registry."""
+    reference lazily (random_walks: 1, node2vec_walks: 2); the package
+    registry (cache.py, round 9) tracks them so long-lived callers can
+    release without a global clearCache. Contract: release returns the
+    count and empties the registry; release stays correctness-neutral
+    (a walk built before the release still computes, recomputing the
+    dropped blocks)."""
+    from nebula_storage_spark import cache
     from nebula_storage_spark.operators import walk as wk
     edges = spark.createDataFrame([(1, 2), (2, 3)],
                                   "_src bigint, _dst bigint")
     seeds = spark.createDataFrame([(1,)], "node bigint")
-    wk.release_walk_caches()                     # clean slate
+    cache.release_all()                          # clean slate
     wk.random_walks(edges, seeds, steps=2).count()
     wk.node2vec_walks(edges, seeds, steps=2).count()
     assert wk.release_walk_caches() == 3
     assert wk.release_walk_caches() == 0
-    assert not wk._WALK_CACHES
+    assert cache.pinned_count() == 0
+
+
+def test_cache_registry_spans_builder_families(spark, sf_dir):
+    """release_all() covers the frames the r8 verdict flagged as
+    unreleased: pq_adc_topk's pts + refit codebook and an analytics
+    loop's round frames all land in ONE registry, and a released
+    result frame still recollects to the same rows (release is a
+    memory knob, never a semantics knob)."""
+    from nebula_storage_spark import cache
+    from nebula_storage_spark.graph import read_parquet
+    from nebula_storage_spark.operators.analytics import pagerank_fixed
+    from nebula_storage_spark.pipeline.pq import pq_adc_topk
+    cache.release_all()
+    emb = read_parquet(spark, f"{sf_dir}/embeddings.parquet")
+    adc = pq_adc_topk(emb, n_queries=2, topk=3)
+    before = sorted(map(tuple, adc.collect()))
+    assert cache.pinned_count() >= 2             # pts + final cent
+    edges = spark.createDataFrame([(1, 2), (2, 3), (3, 1)],
+                                  "_src bigint, _dst bigint")
+    pagerank_fixed(edges, iterations=2).count()
+    n = cache.pinned_count()
+    assert n >= 4                                # + degree/edge/rank frames
+    assert cache.release_all() == n
+    assert cache.pinned_count() == 0
+    assert sorted(map(tuple, adc.collect())) == before
 
 
 def test_multimodal_blobs_never_shuffle(spark, sf_dir):

@@ -605,6 +605,63 @@ def test_pq_adc_self_distance_is_minimal(spark, sf_dir):
         assert self_d == min(r.est_d2 for r in rs)
 
 
+def test_pq_adc_survives_emptied_cluster(spark):
+    """Non-contiguous-cid regression (r8 ADVICE): duplicate subvectors
+    among the k seed vectors empty the duplicate's cluster at the first
+    refit — in subspace 0 below, seeds 0 and 1 share [0,0] so every
+    point ties to cid 0 and cluster 1 vanishes, leaving surviving cids
+    {0, 2}. The pre-fix positional darr then had 2 entries while code 2
+    indexed slot 3 (INVALID_ARRAY_INDEX under ANSI mode) and any
+    in-bounds gap read the WRONG dq. The densified lookup must (a) run,
+    and (b) keep the ADC lower-bound invariant: the query's own
+    reconstruction is its ADC-nearest, and every corpus vector sharing
+    the query's codes ties with it at the same est_d2."""
+    from nebula_storage_spark.pipeline.pq import pq_adc_topk
+    rows = [
+        # vec_id, [sub0 | sub1] (dim 4, subspaces 2)
+        (0, [0.0, 0.0, 0.0, 0.0]),
+        (1, [0.0, 0.0, 50.0, 50.0]),      # sub0 duplicates seed 0's
+        (2, [100.0, 100.0, 100.0, 100.0]),
+        (3, [0.000001, 0.0, 0.0, 0.000001]),
+        (4, [100.000001, 100.0, 50.0, 50.000001]),
+        (5, [100.0, 100.000001, 100.000001, 100.0]),
+    ]
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id bigint, embedding array<float>")
+    full = pq_adc_topk(emb, n_queries=2, subspaces=2, k=3, iterations=2,
+                       topk=1 << 30)
+    got = full.collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.q_id, []).append(r)
+    assert set(by_q) == {0, 1}
+    for q, rs in by_q.items():
+        assert len(rs) == len(rows)
+        self_d = next(r.est_d2 for r in rs if r.vec_id == q)
+        assert self_d == min(r.est_d2 for r in rs), (q, rs)
+    # vec 3 quantizes onto vec 0's codes in both subspaces -> exact tie
+    d0 = {r.vec_id: r.est_d2 for r in by_q[0]}
+    assert d0[3] == d0[0]
+
+
+def test_pq_rerank_matches_bruteforce_within_candidates(spark, sf_dir):
+    """The rerank composition's contract: with `candidates` covering
+    the whole corpus, pq_rerank_topk IS knn_bruteforce (same quantize,
+    same cos, same (cos desc, vec_id) order, self excluded) — the
+    approximation lives only in the candidate cut, never in the
+    arithmetic."""
+    from nebula_storage_spark.graph import read_parquet
+    from nebula_storage_spark.pipeline.pq import pq_rerank_topk
+    from nebula_storage_spark.pipeline.similarity import knn_bruteforce
+    emb = read_parquet(spark, f"{sf_dir}/embeddings.parquet")
+    n = emb.count()
+    got = pq_rerank_topk(emb, n_queries=3, candidates=n, topk=5).collect()
+    exact = knn_bruteforce(emb, [0, 1, 2], k=5).collect()
+    assert ({(r.q_id, r.vec_id, r.cos) for r in got}
+            == {(r.q_id, r.n_id, r.cos) for r in exact})
+
+
 @given(st.lists(st.tuples(st.integers(0, 8), st.integers(0, 8)),
                 min_size=1, max_size=30))
 @settings(max_examples=8, deadline=None,
