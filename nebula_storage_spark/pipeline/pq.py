@@ -41,13 +41,18 @@ _DIST = ("aggregate(zip_with(v, c, (x, y) -> (x - y) * (x - y)), "
          "CAST(0 AS BIGINT), (acc, d) -> acc + d)")
 
 
-def pq_adc_topk(emb: DataFrame, n_queries: int = 3, subspaces: int = 4,
-                k: int = 4, iterations: int = 2, topk: int = 5,
-                scale: int = 10 ** 6, id_col: str = "vec_id",
-                vec_col: str = "embedding") -> DataFrame:
-    """Train S per-subspace codebooks, PQ-encode the corpus, and answer
-    the first `n_queries` vectors' top-`topk` neighbors by ADC distance.
-    Output: (q_id, vec_id, est_d2, rank) — rank by (est_d2, vec_id).
+def pq_train_encode(emb: DataFrame, n_queries: int = 3, subspaces: int = 4,
+                    k: int = 4, iterations: int = 2,
+                    scale: int = 10 ** 6, id_col: str = "vec_id",
+                    vec_col: str = "embedding"
+                    ) -> tuple[DataFrame, DataFrame]:
+    """Train S per-subspace codebooks and PQ-encode: returns
+    (codes_wide, qwide) — the corpus as one row per vector with S
+    codes, and the first `n_queries` vectors' per-query broadcast
+    lookup arrays (S densified arrays of k dq values each). The split
+    from pq_adc_scan exists so the post-encoding scan is separately
+    measurable (tools/pq_scaling.py pins its zero-corpus-shuffle
+    claim on exactly this boundary).
 
     Plan: ALL S subspaces train in the SAME Lloyd jobs — the corpus
     explodes once into (sub, vec_id, subvector) rows and every step
@@ -160,6 +165,18 @@ def pq_adc_topk(emb: DataFrame, n_queries: int = 3, subspaces: int = 4,
              .groupBy("q_id")
              .agg(*[F.max(F.when(F.col("sub") == s, F.col("darr")))
                     .alias(f"_d{s}") for s in range(subspaces)]))
+    return codes_wide, qwide
+
+
+def pq_adc_scan(codes_wide: DataFrame, qwide: DataFrame, subspaces: int = 4,
+                topk: int = 5) -> DataFrame:
+    """The ADC scan over an encoded corpus: codes crossed with the
+    BROADCAST per-query lookup arrays, est_d2 folded to S element_at
+    lookups summed in one codegen stage, per-query top-k as a
+    WindowGroupLimit with its map-side partial limit. Moves ZERO
+    corpus rows: the only shuffle is the partial top-k stream
+    (tasks x queries x topk rows), measured by tools/pq_scaling.py.
+    Output: (q_id, vec_id, est_d2, rank) — rank by (est_d2, vec_id)."""
     est = (codes_wide.crossJoin(F.broadcast(qwide))
            .select("q_id", "vec_id",
                    sum(F.element_at(
@@ -171,6 +188,21 @@ def pq_adc_topk(emb: DataFrame, n_queries: int = 3, subspaces: int = 4,
             .filter(F.col("rank") <= topk)
             .select("q_id", "vec_id", "est_d2",
                     F.col("rank").cast("bigint").alias("rank")))
+
+
+def pq_adc_topk(emb: DataFrame, n_queries: int = 3, subspaces: int = 4,
+                k: int = 4, iterations: int = 2, topk: int = 5,
+                scale: int = 10 ** 6, id_col: str = "vec_id",
+                vec_col: str = "embedding") -> DataFrame:
+    """Train S per-subspace codebooks, PQ-encode the corpus, and answer
+    the first `n_queries` vectors' top-`topk` neighbors by ADC distance
+    (pq_train_encode + pq_adc_scan; see their docstrings for the plan
+    and the 100 TB posture)."""
+    codes_wide, qwide = pq_train_encode(
+        emb, n_queries=n_queries, subspaces=subspaces, k=k,
+        iterations=iterations, scale=scale, id_col=id_col,
+        vec_col=vec_col)
+    return pq_adc_scan(codes_wide, qwide, subspaces=subspaces, topk=topk)
 
 
 def pq_rerank_topk(emb: DataFrame, n_queries: int = 3, subspaces: int = 4,

@@ -445,25 +445,34 @@ def _oracle_coloring() -> str:
 # exact betweenness over the 2-layer traversal graph
 # ---------------------------------------------------------------------------
 
-def q_betweenness_2hop(spark, sf_dir):
-    """Exact betweenness centrality of the intermediate layer in the
-    customer->order->part traversal graph: every customer-part geodesic
-    has length exactly 2, so Brandes' dependency accumulation reduces
-    to one sigma-fraction join — bc(o) = sum over (c,p) pairs of
-    paths-through-o DIV total 2-paths, integer x1000 per pair. Two
-    hash joins + two aggregates; the sigma join shuffles on the (c,p)
-    pair key, never materializing per-source DAGs."""
-    g = tpch_graph(spark, sf_dir)
-    placed = g.edges["placed"].select(F.col(SRC).alias("c"),
-                                      F.col(DST).alias("o"))
-    contains = g.edges["contains"].select(F.col(SRC).alias("o"),
-                                          F.col(DST).alias("p")).distinct()
+def betweenness_2hop_frames(placed, contains):
+    """The sigma-fraction betweenness plan over pre-built layer frames
+    (placed: (c, o), contains: (o, p)) — shared by q_betweenness_2hop
+    and tools/loop_scaling.py so the 10x/100x sweep measures EXACTLY
+    the gated composition. Two hash joins + two aggregates; the sigma
+    join shuffles on the (c, p) pair key, never materializing
+    per-source DAGs."""
     paths = placed.join(contains, "o")
     sigma = paths.groupBy("c", "p").agg(F.count(F.lit(1)).alias("sig"))
     return (paths.join(sigma, ["c", "p"])
             .groupBy(F.col("o").alias("order_vid"))
             .agg(F.count(F.lit(1)).alias("n_paths"),
                  F.sum(F.expr("1000 DIV sig")).alias("bc_x1000")))
+
+
+def q_betweenness_2hop(spark, sf_dir):
+    """Exact betweenness centrality of the intermediate layer in the
+    customer->order->part traversal graph: every customer-part geodesic
+    has length exactly 2, so Brandes' dependency accumulation reduces
+    to one sigma-fraction join — bc(o) = sum over (c,p) pairs of
+    paths-through-o DIV total 2-paths, integer x1000 per pair
+    (betweenness_2hop_frames)."""
+    g = tpch_graph(spark, sf_dir)
+    placed = g.edges["placed"].select(F.col(SRC).alias("c"),
+                                      F.col(DST).alias("o"))
+    contains = g.edges["contains"].select(F.col(SRC).alias("o"),
+                                          F.col(DST).alias("p")).distinct()
+    return betweenness_2hop_frames(placed, contains)
 
 
 ORACLE_BETWEENNESS = (

@@ -1457,19 +1457,25 @@ def test_driver_sampling_order_invariants(monkeypatch):
     round."""
     from nebula_storage_spark import workload as w
     qs = w.build_queries()
-    cohorts = [frozenset(w._REFRESH_HEAD), w._LATEST_R02,
+    cohorts = [frozenset(w._REFRESH_HEAD),
                w._LATEST_R03, w._LATEST_R04, w._LATEST_R05,
-               w._LATEST_R06, w._LATEST_R07]
+               w._LATEST_R06, w._LATEST_R07, w._LATEST_R08]
     assert sum(len(c) for c in cohorts) == len(w._DRIVER_CHECKED_EVER)
     assert frozenset().union(*cohorts) == w._DRIVER_CHECKED_EVER
-    assert set(qs) == w._DRIVER_CHECKED_EVER      # nothing unaccounted
-    assert list(qs)[:len(w._REFRESH_HEAD)] == list(w._REFRESH_HEAD)
+    # registry = every checked name + genuinely-new registrations
+    new = set(qs) - w._DRIVER_CHECKED_EVER
+    assert w._DRIVER_CHECKED_EVER <= set(qs)      # nothing unaccounted
+    n_new = len(new)
+    assert set(list(qs)[:n_new]) == new           # new names lead
+    assert (list(qs)[n_new:n_new + len(w._REFRESH_HEAD)]
+            == list(w._REFRESH_HEAD))
     # simulate a brand-new registration: drop one name from the
-    # checked-ever set and it must jump to the very front
+    # checked-ever set and it must jump ahead of the refresh head
     probe = "tpch_q1"
     monkeypatch.setattr(w, "_DRIVER_CHECKED_EVER",
                         w._DRIVER_CHECKED_EVER - {probe})
-    assert next(iter(w.build_queries())) == probe
+    front = list(w.build_queries())[:n_new + 1]
+    assert probe in front
 
 
 def test_type_sweep_skip_list_in_sync(spark, sf_dir):

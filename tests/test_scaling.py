@@ -68,6 +68,24 @@ def test_walk_ksweep_no_per_step_reexchange():
 
 
 @pytest.mark.scaling
+def test_pq_adc_scan_shuffle_stays_corpus_independent():
+    """The PQ tripwire (r8 verdict, Next #5): the wide-code ADC scan's
+    only shuffle is the WindowGroupLimit's partial top-k stream, so
+    its measured shuffle-write bytes must stay ~constant while the
+    encoded corpus grows 8x (16k -> 128k vectors here; the falsified
+    r8 (sub, code) equi-join shape would re-shuffle n*q*S rows and
+    blow the tool's 3x-growth and 25%-of-codes-bytes gates). The
+    row-contract gate (n_queries * topk rows) rides along via the
+    tool's exit code."""
+    cells = _run_tool(
+        [os.path.join("tools", "pq_scaling.py"),
+         "/root/testdata/sf0.1", "--factors", "8,64", "--reps", "1"])
+    gate = [c for c in cells if c.get("gate") == "pq_scan_shuffle"]
+    assert gate and gate[0]["ok"], gate
+    assert gate[0]["corpus_growth"] >= 8.0, gate
+
+
+@pytest.mark.scaling
 def test_sketch_shuffle_bytes_stay_constant():
     """The sketch-constancy tripwire at 1x/10x (sf0.1 — at sf0.01 the
     HLL arm's ~190 KB base is AQE/metadata noise and the ratio is

@@ -48,11 +48,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F
 
+from nebula_storage_spark.cache import release_all
 from nebula_storage_spark.session import get_spark
 from nebula_storage_spark.graph import read_parquet
 from nebula_storage_spark.pipeline.similarity import (
     knn_bruteforce, build_ivf_index, search_ivf_index, hyperplane_lsh_topk)
-from nebula_storage_spark.pipeline.pq import pq_adc_topk
+from nebula_storage_spark.pipeline.pq import pq_adc_topk, pq_rerank_topk
 
 FACTORS = [1, 8, 64, 512]     # 2k, 16k, 128k, 1.024M at sf0.1
 QUERY_COUNTS = [8, 128]
@@ -134,6 +135,31 @@ def main() -> None:
                 "pq": lambda: pq_adc_topk(corpus, n_queries=nq,
                                           subspaces=4, k=4,
                                           iterations=2, topk=K),
+                # PQ's production composition (r9): ADC top-R -> exact
+                # integer-cosine rerank -> top-k. Two configs, both
+                # end-to-end including training:
+                #   pqr — the GATE codebooks (S=4, k=4 => 256 cells)
+                #   with modest R=100: records what rerank can and
+                #   cannot recover when the code space is collapsed —
+                #   on a near-dup corpus every ~n/256-member cell ties
+                #   at one est_d2 and the R-cut is an id-order slice,
+                #   so recall decays as cells outgrow R (honest
+                #   negative, the reason the gate config is
+                #   documented GATE-ONLY);
+                #   pqp — production-shaped codebooks (k=32 per
+                #   subspace => 32^4 ≈ 1M cells) with R=50: cells stay
+                #   family-sized, the R-cut covers the true
+                #   neighborhood, recall ≈ 1 at every factor — the
+                #   design-point row for PQ's documented 100 TB role
+                #   (compressed candidate generation + exact rerank).
+                "pqr": lambda: pq_rerank_topk(corpus, n_queries=nq,
+                                              subspaces=4, k=4,
+                                              iterations=2,
+                                              candidates=100, topk=K),
+                "pqp": lambda: pq_rerank_topk(corpus, n_queries=nq,
+                                              subspaces=4, k=32,
+                                              iterations=2,
+                                              candidates=50, topk=K),
             }
             cell = {"n_vectors": n, "n_queries": nq, "k": K}
             exact = {(r[0], r[1]) for r in runs["brute"]().collect()}
@@ -144,20 +170,27 @@ def main() -> None:
                     hits = {(r[0], r[1]) for r in fn().collect()}
                     cell[f"{name}_recall"] = round(
                         len(hits & exact) / max(len(exact), 1), 3)
+                # the pq paths pin quantized points + codebooks per
+                # call (pipeline/pq.py); drain the registry so timing
+                # cells stay independent (r8 ADVICE)
+                release_all()
             print(json.dumps(cell), flush=True)
             results.append(cell)
         corpus.unpersist()
     shutil.rmtree(INDEX_DIR, ignore_errors=True)
 
     print("\nn_vectors  n_queries  brute_s  lsh_s  lsh_rec  "
-          "ivf_s  ivf_rec  ivf3_s  ivf3_rec  pq_s  pq_rec")
+          "ivf_s  ivf_rec  ivf3_s  ivf3_rec  pq_s  pq_rec  "
+          "pqr_s  pqr_rec  pqp_s  pqp_rec")
     for c in results:
         print(f"{c['n_vectors']:>9}  {c['n_queries']:>9}  "
               f"{c['brute_sec']:>7.2f}  {c['lsh_sec']:>5.2f}  "
               f"{c['lsh_recall']:>7.3f}  {c['ivf_sec']:>5.2f}  "
               f"{c['ivf_recall']:>7.3f}  {c['ivf3_sec']:>6.2f}  "
               f"{c['ivf3_recall']:>8.3f}  {c['pq_sec']:>5.2f}  "
-              f"{c['pq_recall']:>6.3f}")
+              f"{c['pq_recall']:>6.3f}  {c['pqr_sec']:>5.2f}  "
+              f"{c['pqr_recall']:>7.3f}  {c['pqp_sec']:>5.2f}  "
+              f"{c['pqp_recall']:>7.3f}")
 
 
 if __name__ == "__main__":

@@ -288,6 +288,18 @@ SHOWCASE = {
         "per-query top-k is WindowGroupLimit (map-side partial "
         "limit). The corpus is stored as S codes per vector (64x "
         "smaller than raw floats)."),
+    "knn_pq_rerank": (
+        ("BroadcastExchange", "BroadcastHashJoin", "WindowGroupLimit",
+         "Exchange"),
+        "PQ's production composition (r9): the wide-code ADC scan "
+        "selects top-R candidates per query from the 64x-compressed "
+        "code table (zero corpus shuffle — see knn_pq_adc), then the "
+        "n_queries x R candidate list rides a BroadcastExchange INTO "
+        "the full-precision vector scan (BroadcastHashJoin — the "
+        "corpus side never shuffles) and exact integer cosine "
+        "re-ranks to top-k via a per-query WindowGroupLimit. At "
+        "100 TB the full vectors are read back for only q x R rows; "
+        "bucket-written vectors turn that into a point fetch."),
     "store_merkle_diff": (
         ("HashAggregate", "Exchange", "BroadcastHashJoin",
          "SortMergeJoin"),

@@ -105,6 +105,31 @@ def scc_graph(spark, sf_dir):
     return _scc_gate_graph(spark, sf_dir)
 
 
+def betweenness_graph(spark, sf_dir):
+    """q_betweenness_2hop's two-layer traversal graph folded into ONE
+    edge frame (layer 0 = customer->order, layer 1 = order->part,
+    distinct) so the replica amplifier applies: offsetting BOTH
+    endpoints by r*STRIDE keeps each replica a disjoint two-layer
+    graph, so paths/sigma/bc grow exactly linearly — the clean regime
+    for reading the pair-key shuffle's slope."""
+    from nebula_storage_spark.graph import tpch_graph
+    g = tpch_graph(spark, sf_dir)
+    placed = (g.edges["placed"].select(SRC, DST)
+              .withColumn("layer", F.lit(0)))
+    contains = (g.edges["contains"].select(SRC, DST).distinct()
+                .withColumn("layer", F.lit(1)))
+    return placed.unionByName(contains)
+
+
+def run_betweenness(e):
+    from nebula_storage_spark.workload_ext4 import betweenness_2hop_frames
+    placed = (e.filter(F.col("layer") == 0)
+              .select(F.col(SRC).alias("c"), F.col(DST).alias("o")))
+    contains = (e.filter(F.col("layer") == 1)
+                .select(F.col(SRC).alias("o"), F.col(DST).alias("p")))
+    return betweenness_2hop_frames(placed, contains)
+
+
 def sssp_graph(spark, sf_dir):
     """q_sssp_distances' weighted 3-layer undirected graph (shared
     workload helper: placed w=1, contains w=l_quantity). Single-source:
@@ -143,6 +168,13 @@ OPS = {
     "greedy_coloring": (
         pagerank_graph,
         lambda e: (greedy_coloring(e, rounds=3), 3)),
+    # round-9 widening (r8 verdict, Next #3): the one heavy headliner
+    # family with a pair-keyed shuffle and no measured 10x/100x curve.
+    # Not iterative — "rounds" = 1, so sec_per_round is total seconds
+    # and the slope reads the sigma join's growth directly.
+    "betweenness_2hop": (
+        betweenness_graph,
+        lambda e: (run_betweenness(e), 1)),
 }
 
 
