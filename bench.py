@@ -66,6 +66,7 @@ HEADLINERS = [
     "betweenness_2hop",   # sigma-fraction betweenness (pair-key shuffle)
     "bpe_train_merges",   # iterative BPE trainer (corpus read once)
     "knn_pq_adc",         # product-quantization ADC scan
+    "knn_pq_rerank",      # PQ ADC top-R -> exact-rerank composition (r9)
     "scc_coloring",       # trim/color/peel SCC (pointer doubling rounds)
     # round-7 baseline-gate widening (r6 verdict #3): two more queries
     # with direct BASELINE.md comparators
