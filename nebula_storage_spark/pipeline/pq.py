@@ -79,12 +79,24 @@ def pq_train_encode(emb: DataFrame, n_queries: int = 3, subspaces: int = 4,
                                 ivec.alias("fv")))
     dim = len(pts.select("fv").first()[0])
     sub_dim = dim // subspaces
-    subs = pts.select(
-        "vec_id",
-        F.posexplode(F.expr(
-            f"transform(sequence(0, {subspaces - 1}), "
-            f"s -> slice(fv, s * {sub_dim} + 1, {sub_dim}))"))
-        .alias("sub", "v"))
+    # ONE exchange for the whole training loop (round 9): every Lloyd
+    # assignment is a groupBy(sub, vec_id) min-struct, so hash-
+    # partitioning the exploded subvector frame on exactly that key
+    # once — and persisting it — satisfies every iteration's
+    # distribution requirement. The previous shape re-exchanged the
+    # n·S-row explode output on (sub, vec_id) in EVERY assignment
+    # pass (seen as one Exchange per iteration in the executed plan);
+    # now iterations beyond the first reuse the cached partitioning
+    # and shuffle nothing. Cache cost is the exploded corpus
+    # (n·S rows, MEMORY_AND_DISK, registered for release).
+    subs = _cache.pin(
+        pts.select(
+            "vec_id",
+            F.posexplode(F.expr(
+                f"transform(sequence(0, {subspaces - 1}), "
+                f"s -> slice(fv, s * {sub_dim} + 1, {sub_dim}))"))
+            .alias("sub", "v"))
+        .repartition(F.col("sub"), F.col("vec_id")))
     seed_ids = pts.orderBy("vec_id").limit(k).select("vec_id")
     ranks = broadcast_rank(seed_ids, ["vec_id"], out_col="_rn")
     cent = (subs.join(F.broadcast(ranks), "vec_id")

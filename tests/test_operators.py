@@ -1030,6 +1030,28 @@ def test_release_walk_caches(spark):
     assert cache.pinned_count() == 0
 
 
+def test_pq_rerank_plan_broadcasts_candidates(spark, sf_dir):
+    """knn_pq_rerank's 100 TB contract, plan-pinned: the tiny q x R
+    candidate list BROADCASTS into the full-precision vector scan
+    (BroadcastHashJoin on vec_id carrying the self-exclusion residual
+    — the corpus side never shuffles for the rerank), both top-k cuts
+    run as WindowGroupLimit with a map-side Partial, and NO
+    sort-merge/shuffled-hash join appears anywhere (every equi-join in
+    the composition is against a broadcast side)."""
+    from nebula_storage_spark.graph import read_parquet
+    from nebula_storage_spark.pipeline.pq import pq_rerank_topk
+    emb = read_parquet(spark, f"{sf_dir}/embeddings.parquet")
+    plan = (pq_rerank_topk(emb, n_queries=3, candidates=20, topk=5)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+    bhj = [ln.strip(" :+-*") for ln in plan.splitlines()
+           if ln.strip(" :+-*").startswith("BroadcastHashJoin")]
+    assert any("vec_id" in ln and "NOT (q_id" in ln for ln in bhj), bhj
+    assert plan.count("WindowGroupLimit") >= 4      # 2 x Partial+Final
+    assert "Partial" in plan and "Final" in plan
+
+
 def test_cache_registry_spans_builder_families(spark, sf_dir):
     """release_all() covers the frames the r8 verdict flagged as
     unreleased: pq_adc_topk's pts + refit codebook and an analytics
