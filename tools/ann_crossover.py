@@ -104,6 +104,14 @@ def main() -> None:
         i = args.index("--factors")
         factors = [int(x) for x in args[i + 1].split(",")]
         del args[i:i + 2]
+    arms = None
+    if "--arms" in args:
+        # time only the named methods (recall still judged against the
+        # untimed exact answer), e.g. `--arms pqp` re-records one arm's
+        # design-point row without re-timing brute/LSH/IVF
+        i = args.index("--arms")
+        arms = set(args[i + 1].split(","))
+        del args[i:i + 2]
     sf_dir = args[0] if args else "/root/testdata/sf0.1"
     spark = get_spark("ann-crossover")
     emb = read_parquet(spark, os.path.join(sf_dir, "embeddings.parquet"))
@@ -147,11 +155,19 @@ def main() -> None:
                 #   negative, the reason the gate config is
                 #   documented GATE-ONLY);
                 #   pqp — production-shaped codebooks (k=32 per
-                #   subspace => 32^4 ≈ 1M cells) with R=50: cells stay
-                #   family-sized, the R-cut covers the true
-                #   neighborhood, recall ≈ 1 at every factor — the
-                #   design-point row for PQ's documented 100 TB role
-                #   (compressed candidate generation + exact rerank).
+                #   subspace => 32^4 ≈ 1M cells) with R sized to the
+                #   cell occupancy: the r9 sweep FALSIFIED a fixed
+                #   R=50 (recall 1.0 at factor 64 where cells are
+                #   family-sized and 50 >= the ~10-member true
+                #   neighborhood spill, but 0.1 at factor 512 — the
+                #   512-member family collapses onto one code cell,
+                #   est_d2 ties across the whole cell, and a fixed-R
+                #   cut of a tie is an id-order slice). The production
+                #   rule this encodes: R must cover the expected cell
+                #   occupancy n/k^S (here the family size = factor),
+                #   exactly the IVF nprobe/cell-size dial. Rerank cost
+                #   stays q·R exact pairs — trivial at any R that fits
+                #   the driver's broadcast (2·factor longs per query).
                 "pqr": lambda: pq_rerank_topk(corpus, n_queries=nq,
                                               subspaces=4, k=4,
                                               iterations=2,
@@ -159,10 +175,13 @@ def main() -> None:
                 "pqp": lambda: pq_rerank_topk(corpus, n_queries=nq,
                                               subspaces=4, k=32,
                                               iterations=2,
-                                              candidates=50, topk=K),
+                                              candidates=max(50, 2 * factor),
+                                              topk=K),
             }
             cell = {"n_vectors": n, "n_queries": nq, "k": K}
             exact = {(r[0], r[1]) for r in runs["brute"]().collect()}
+            if arms is not None:
+                runs = {n_: f for n_, f in runs.items() if n_ in arms}
             for name, fn in runs.items():
                 sec, rows = timed(fn)
                 cell[f"{name}_sec"] = round(sec, 3)
@@ -179,6 +198,8 @@ def main() -> None:
         corpus.unpersist()
     shutil.rmtree(INDEX_DIR, ignore_errors=True)
 
+    if arms is not None:
+        return        # subset run: the JSON lines above are the record
     print("\nn_vectors  n_queries  brute_s  lsh_s  lsh_rec  "
           "ivf_s  ivf_rec  ivf3_s  ivf3_rec  pq_s  pq_rec  "
           "pqr_s  pqr_rec  pqp_s  pqp_rec")
