@@ -250,11 +250,31 @@ def pq_rerank_topk(emb: DataFrame, n_queries: int = 3, subspaces: int = 4,
     codebook's round(x·1e6): the rerank must rank like knn_bruteforce,
     bit-for-bit, so the two paths share one recipe and one oracle
     fragment."""
+    codes_wide, qwide = pq_train_encode(
+        emb, n_queries=n_queries, subspaces=subspaces, k=k,
+        iterations=iterations, scale=scale, id_col=id_col,
+        vec_col=vec_col)
+    return pq_rerank_from_codes(
+        codes_wide, qwide, emb, n_queries=n_queries, subspaces=subspaces,
+        candidates=candidates, topk=topk, id_col=id_col, vec_col=vec_col)
+
+
+def pq_rerank_from_codes(codes_wide: DataFrame, qwide: DataFrame,
+                         emb: DataFrame, n_queries: int = 3,
+                         subspaces: int = 4, candidates: int = 20,
+                         topk: int = 5, id_col: str = "vec_id",
+                         vec_col: str = "embedding") -> DataFrame:
+    """The QUERY-TIME half of the rerank composition, split out so a
+    deployment's steady state is separately measurable: codes are
+    encoded ONCE (pq_train_encode, amortized exactly like
+    build_ivf_index's untimed build), and each query batch pays only
+    the ADC scan over cached codes + the q·R exact rerank. The 1 M
+    design-point row in tools/ann_crossover.py times exactly this
+    boundary (the `pqa` arm) next to the end-to-end `pqp` arm, whose
+    difference IS the training cost."""
     from .similarity import _COS, _dot, quantize_embeddings
-    cands = pq_adc_topk(emb, n_queries=n_queries, subspaces=subspaces,
-                        k=k, iterations=iterations, topk=candidates,
-                        scale=scale, id_col=id_col, vec_col=vec_col
-                        ).select("q_id", "vec_id")
+    cands = pq_adc_scan(codes_wide, qwide, subspaces=subspaces,
+                        topk=candidates).select("q_id", "vec_id")
     q = quantize_embeddings(emb, vec_col)
     corpus = q.select(F.col(id_col).alias("vec_id"),
                       F.col("qvec").alias("cv"),

@@ -53,7 +53,8 @@ from nebula_storage_spark.session import get_spark
 from nebula_storage_spark.graph import read_parquet
 from nebula_storage_spark.pipeline.similarity import (
     knn_bruteforce, build_ivf_index, search_ivf_index, hyperplane_lsh_topk)
-from nebula_storage_spark.pipeline.pq import pq_adc_topk, pq_rerank_topk
+from nebula_storage_spark.pipeline.pq import (
+    pq_adc_topk, pq_rerank_from_codes, pq_rerank_topk, pq_train_encode)
 
 FACTORS = [1, 8, 64, 512]     # 2k, 16k, 128k, 1.024M at sf0.1
 QUERY_COUNTS = [8, 128]
@@ -123,7 +124,8 @@ def main() -> None:
     for factor in factors:
         corpus = amplify(emb, factor).repartition(32).persist()
         n = corpus.count()
-        build_ivf_index(corpus, INDEX_DIR)           # one-time, untimed
+        if arms is None or arms & {"ivf", "ivf3"}:
+            build_ivf_index(corpus, INDEX_DIR)       # one-time, untimed
         for nq in QUERY_COUNTS:
             qids = base_ids[:nq]
             qdf = corpus.filter(F.col("vec_id").isin(qids)).select(
@@ -178,6 +180,24 @@ def main() -> None:
                                               candidates=max(50, 2 * factor),
                                               topk=K),
             }
+            if arms is None or "pqa" in arms:
+                # pqa — pqp's STEADY STATE: codes encoded once per
+                # corpus (UNTIMED, the amortization build_ivf_index
+                # already gets), each query batch pays only the ADC
+                # scan over cached codes + the q·R exact rerank.
+                # pqp − pqa is the training cost; pqa vs brute is the
+                # deployment-shaped comparison for PQ's documented
+                # 100 TB role.
+                codes32, qwide32 = pq_train_encode(
+                    corpus, n_queries=nq, subspaces=4, k=32,
+                    iterations=2)
+                codes32 = codes32.persist()
+                codes32.count()
+                qwide32 = qwide32.persist()
+                qwide32.count()
+                runs["pqa"] = lambda: pq_rerank_from_codes(
+                    codes32, qwide32, corpus, n_queries=nq, subspaces=4,
+                    candidates=max(50, 2 * factor), topk=K)
             cell = {"n_vectors": n, "n_queries": nq, "k": K}
             exact = {(r[0], r[1]) for r in runs["brute"]().collect()}
             if arms is not None:
@@ -195,6 +215,9 @@ def main() -> None:
                 release_all()
             print(json.dumps(cell), flush=True)
             results.append(cell)
+            if arms is None or "pqa" in arms:
+                codes32.unpersist()
+                qwide32.unpersist()
         corpus.unpersist()
     shutil.rmtree(INDEX_DIR, ignore_errors=True)
 
