@@ -37,7 +37,7 @@ eviction; bench.py does exactly that between headliners.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
-from ..cache import track as _track
+from ..cache import pin as _pin
 
 from ..graph import DST, SRC
 
@@ -93,9 +93,9 @@ def pagerank_fixed(edges: DataFrame, iterations: int = 5,
     jump = ((100 - damping_pct) * scale) // 100
     nodes = (edges.select(F.col(SRC).alias("node"))
              .union(edges.select(F.col(DST).alias("node")))
-             .distinct().persist().transform(_track))
+             .distinct().transform(_pin))
     deg = edges.groupBy(SRC).agg(F.count(F.lit(1)).alias("_deg"))
-    e = edges.select(SRC, DST).join(deg, SRC).persist().transform(_track)
+    e = edges.select(SRC, DST).join(deg, SRC).transform(_pin)
     # |V| is needed anyway to size the per-round join strategy; nodes is
     # persisted so this count is paid once. Single-key gate: e and
     # nodes are hash-partitioned on the round-join key, so the dropped
@@ -125,7 +125,7 @@ def pagerank_fixed(edges: DataFrame, iterations: int = 5,
             # (checkpointing here measured 2x slower warm). The
             # exponential-growth cases (sssp/cc/k-core reference their
             # frame 2-4x per round) do need checkpoint truncation.
-            ranks = ranks.persist().transform(_track)
+            ranks = ranks.transform(_pin)
             ranks.count()
     return ranks
 
@@ -143,9 +143,9 @@ def personalized_pagerank(edges: DataFrame, seeds: list[int],
     jump = ((100 - damping_pct) * scale) // 100
     nodes = (edges.select(F.col(SRC).alias("node"))
              .union(edges.select(F.col(DST).alias("node")))
-             .distinct().persist().transform(_track))
+             .distinct().transform(_pin))
     deg = edges.groupBy(SRC).agg(F.count(F.lit(1)).alias("_deg"))
-    e = edges.select(SRC, DST).join(deg, SRC).persist().transform(_track)
+    e = edges.select(SRC, DST).join(deg, SRC).transform(_pin)
     # single-key gate, same partitioning argument as pagerank_fixed
     if broadcast_max_nodes is None:
         broadcast_max_nodes = BROADCAST_MAX_NODES_SINGLE_KEY
@@ -168,7 +168,7 @@ def personalized_pagerank(edges: DataFrame, seeds: list[int],
                          .alias("rank")))
         if i < iterations - 1:
             # see pagerank_fixed: linear lineage → persist wins
-            ranks = ranks.persist().transform(_track)
+            ranks = ranks.transform(_pin)
             ranks.count()
     return ranks.filter(F.col("rank") > 0)
 
@@ -217,8 +217,8 @@ def connected_components_fixed(edges: DataFrame, iterations: int = 3,
     """
     und = (edges.select(SRC, DST)
            .union(edges.select(F.col(DST).alias(SRC), F.col(SRC).alias(DST)))
-           .persist().transform(_track))
-    nodes = und.select(F.col(SRC).alias("node")).distinct().persist().transform(_track)
+           .transform(_pin))
+    nodes = und.select(F.col(SRC).alias("node")).distinct().transform(_pin)
     hint = _round_hint(nodes.count(), broadcast_max_nodes)
     labels = nodes.select("node", F.col("node").alias("label"))
     for i in range(iterations):
@@ -276,8 +276,8 @@ def connected_components_doubling(edges: DataFrame, iterations: int = 3,
     """
     und = (edges.select(SRC, DST)
            .union(edges.select(F.col(DST).alias(SRC), F.col(SRC).alias(DST)))
-           .persist().transform(_track))
-    nodes = und.select(F.col(SRC).alias("node")).distinct().persist().transform(_track)
+           .transform(_pin))
+    nodes = und.select(F.col(SRC).alias("node")).distinct().transform(_pin)
     hint = _round_hint(nodes.count(), broadcast_max_nodes)
     labels = nodes.select("node", F.col("node").alias("label"))
     for i in range(iterations):
@@ -349,7 +349,7 @@ def maximal_independent_set(edges: DataFrame, rounds: int = 4,
            .distinct()
            .select(F.col("a").alias(SRC), F.col("b").alias(DST)))
     both = und.union(und.select(F.col(DST).alias(SRC),
-                                F.col(SRC).alias(DST))).persist().transform(_track)
+                                F.col(SRC).alias(DST))).transform(_pin)
     pri = (f"CAST(conv(substring(md5(concat('{prefix}', "
            f"CAST(node AS STRING))), 1, 15), 16, 10) AS BIGINT)")
     u = (both.select(F.col(SRC).alias("node")).distinct()
@@ -453,12 +453,12 @@ def sssp_fixed(edges: DataFrame, source: int, iterations: int = 4,
     than walk-bound) semantics without negative cycles, and rejecting
     early beats silently wrong distances.
     """
-    e = edges.select(SRC, DST, F.col("w").cast("long").alias("w")).persist().transform(_track)
+    e = edges.select(SRC, DST, F.col("w").cast("long").alias("w")).transform(_pin)
     if e.filter(F.col("w") < 0).limit(1).count() > 0:
         raise ValueError("sssp_fixed requires non-negative weights")
     nodes = (e.select(F.col(SRC).alias("node"))
              .union(e.select(F.col(DST).alias("node")))
-             .distinct().persist().transform(_track))
+             .distinct().transform(_pin))
     hint = _round_hint(nodes.count(), broadcast_max_nodes)
     dist = (nodes.filter(F.col("node") == source)
             .select("node", F.lit(0).cast("long").alias("dist")))
@@ -521,12 +521,12 @@ def sssp_parents_fixed(edges: DataFrame, source: int, iterations: int = 4,
     Same shuffle profile as sssp_fixed: one relax join + one
     min-of-struct groupBy per round, localCheckpoint per round.
     """
-    e = edges.select(SRC, DST, F.col("w").cast("long").alias("w")).persist().transform(_track)
+    e = edges.select(SRC, DST, F.col("w").cast("long").alias("w")).transform(_pin)
     if e.filter(F.col("w") < 0).limit(1).count() > 0:
         raise ValueError("sssp_parents_fixed requires non-negative weights")
     nodes = (e.select(F.col(SRC).alias("node"))
              .union(e.select(F.col(DST).alias("node")))
-             .distinct().persist().transform(_track))
+             .distinct().transform(_pin))
     hint = _round_hint(nodes.count(), broadcast_max_nodes)
     state = (nodes.filter(F.col("node") == source)
              .select("node", F.lit(0).cast("long").alias("dist"),
@@ -613,7 +613,7 @@ def _enumerate_triangles(edges: DataFrame,
         F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("src"),
         F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
         F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("dd"),
-    ).persist().transform(_track)
+    ).transform(_pin)
     limit = TRIANGLE_BROADCAST_MAX_EDGES if broadcast_max_edges is None \
         else broadcast_max_edges
     n_edges, max_id = o.agg(
@@ -737,8 +737,8 @@ def label_propagation_fixed(edges: DataFrame, iterations: int = 3,
     """
     und = (edges.select(SRC, DST)
            .union(edges.select(F.col(DST).alias(SRC), F.col(SRC).alias(DST)))
-           .persist().transform(_track))
-    nodes = und.select(F.col(SRC).alias("node")).distinct().persist().transform(_track)
+           .transform(_pin))
+    nodes = und.select(F.col(SRC).alias("node")).distinct().transform(_pin)
     hint = _round_hint(nodes.count(), broadcast_max_nodes)
     labels = nodes.select("node", F.col("node").alias("label"))
     for i in range(iterations):
@@ -753,7 +753,7 @@ def label_propagation_fixed(edges: DataFrame, iterations: int = 3,
                   .select("node", F.col("m.l").alias("label")))
         if i < iterations - 1:
             # see pagerank_fixed: linear lineage → persist wins
-            labels = labels.persist().transform(_track)
+            labels = labels.transform(_pin)
             labels.count()
     return labels
 
@@ -916,7 +916,7 @@ def scc_components(edges: DataFrame, rounds: int = 8) -> DataFrame:
     scc_id(v) = min({u : v→u and u→v} ∪ {v}) — deterministic (min
     member id labels the component), exact for SCC diameters ≤ 2^rounds.
     Output: (node, scc_id) for every node incident to an edge."""
-    tc = transitive_closure(edges, rounds=rounds).persist().transform(_track)
+    tc = transitive_closure(edges, rounds=rounds).transform(_pin)
     nodes = (edges.select(F.col(SRC).alias("node"))
              .unionByName(edges.select(F.col(DST).alias("node")))
              .distinct())
@@ -986,7 +986,7 @@ def _min_label_fixpoint(e: DataFrame, nodes: DataFrame,
             if (r + 1) % 4 == 0:
                 new = new.localCheckpoint()     # truncate plan growth
             else:
-                new = new.persist().transform(_track)
+                new = new.persist()
                 cached.append(new)
             # count rides the same aggregation (no extra job): a NULL sum
             # over a NONEMPTY frame (non-numeric ids cast to NULL, or
@@ -1216,7 +1216,7 @@ def scc_coloring(edges: DataFrame, max_outer: int = 64,
                              SRC, "left_semi")
                     .join(core.select(F.col("node").alias(DST)),
                           DST, "left_semi"))
-                       .persist().transform(_track))
+                       .persist())
                 cached.append(cur)
             if n_remaining == 0:
                 break
@@ -1235,7 +1235,7 @@ def scc_coloring(edges: DataFrame, max_outer: int = 64,
                 .filter(F.col("c1") == F.col("c2"))
                 .select(F.col(DST).alias(SRC),
                         F.col(SRC).alias(DST)))
-                .persist().transform(_track))
+                .persist())
             cached.append(same_rev)
             desc = _min_label_fixpoint(same_rev, remaining, max_rounds,
                                        loop_parts)
@@ -1254,7 +1254,7 @@ def scc_coloring(edges: DataFrame, max_outer: int = 64,
                          SRC, "left_anti")
                 .join(member.select(F.col("node").alias(DST)),
                       DST, "left_anti"))
-                   .persist().transform(_track))
+                   .persist())
             cached.append(cur)
             n_live = cur.count()
         else:
@@ -1344,9 +1344,9 @@ def weighted_pagerank_fixed(edges: DataFrame, iterations: int = 5,
           .select(SRC, DST, F.col(weight_col).cast("long").alias("_w")))
     nodes = (e0.select(F.col(SRC).alias("node"))
              .union(e0.select(F.col(DST).alias("node")))
-             .distinct().persist().transform(_track))
+             .distinct().transform(_pin))
     sw = e0.groupBy(SRC).agg(F.sum("_w").alias("_sw"))
-    e = e0.join(sw, SRC).persist().transform(_track)
+    e = e0.join(sw, SRC).transform(_pin)
     hint = _round_hint(nodes.count(), broadcast_max_nodes)
     ranks = nodes.select("node", F.lit(scale).cast("long").alias("rank"))
     for i in range(iterations):
@@ -1361,7 +1361,7 @@ def weighted_pagerank_fixed(edges: DataFrame, iterations: int = 5,
                              "BIGINT))) DIV 100")).cast("long")
                          .alias("rank")))
         if i < iterations - 1:
-            ranks = ranks.persist().transform(_track)
+            ranks = ranks.transform(_pin)
             ranks.count()
     return ranks
 
@@ -1408,8 +1408,8 @@ def hits_fixed(edges: DataFrame, iterations: int = 3,
     """
     nodes = (edges.select(F.col(SRC).alias("node"))
              .union(edges.select(F.col(DST).alias("node")))
-             .distinct().persist().transform(_track))
-    e = edges.select(SRC, DST).persist().transform(_track)
+             .distinct().transform(_pin))
+    e = edges.select(SRC, DST).transform(_pin)
     hint = _round_hint(nodes.count(), broadcast_max_nodes)
 
     def rescale(df: DataFrame, col: str) -> DataFrame:
@@ -1437,8 +1437,8 @@ def hits_fixed(edges: DataFrame, iterations: int = 3,
             .select("node", F.coalesce("hub", F.lit(0)).cast("long")
                     .alias("hub")), "hub")
         if i < iterations - 1:
-            auth = auth.persist().transform(_track)
-            hub = hub.persist().transform(_track)
+            auth = auth.transform(_pin)
+            hub = hub.transform(_pin)
             auth.count(), hub.count()
     return auth.join(hub, "node")
 
@@ -1496,7 +1496,7 @@ def greedy_coloring(edges: DataFrame, rounds: int = 3,
            .distinct()
            .select(F.col("a").alias(SRC), F.col("b").alias(DST)))
     both = und.union(und.select(F.col(DST).alias(SRC),
-                                F.col(SRC).alias(DST))).persist().transform(_track)
+                                F.col(SRC).alias(DST))).transform(_pin)
     pri = (f"CAST(conv(substring(md5(concat('{prefix}', "
            f"CAST(node AS STRING))), 1, 15), 16, 10) AS BIGINT)")
     u = (both.select(F.col(SRC).alias("node")).distinct()

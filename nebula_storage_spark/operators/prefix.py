@@ -26,7 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
-from ..cache import track as _track
+from ..cache import pin as _pin
 
 
 def global_running_sum(df: DataFrame, order_cols: list[str],
@@ -47,7 +47,7 @@ def global_running_sum(df: DataFrame, order_cols: list[str],
     # it, and the partition-id column must be computed exactly once.
     ranged = (df.repartitionByRange(p, *[F.col(c) for c in order_cols])
               .withColumn("_pid", F.spark_partition_id())
-              .persist().transform(_track))
+              .transform(_pin))
     w_in = (W.partitionBy("_pid").orderBy(*order_cols)
             .rowsBetween(W.unboundedPreceding, W.currentRow))
     local = ranged.withColumn(

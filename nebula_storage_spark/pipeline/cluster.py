@@ -22,7 +22,7 @@ whole-stage codegen; no Python UDFs.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
-from ..cache import track as _track
+from ..cache import pin as _pin
 
 _DIST = ("aggregate(zip_with(v, c, (x, y) -> (x - y) * (x - y)), "
          "CAST(0 AS BIGINT), (acc, d) -> acc + d)")
@@ -45,7 +45,7 @@ def kmeans_fixed(emb: DataFrame, k: int = 8, iterations: int = 2,
         f"transform({vec_col}, x -> "
         f"CAST(round(CAST(x AS DOUBLE) * {scale}) AS BIGINT))")
     pts = emb.select(F.col(id_col).alias("vec_id"),
-                     ivec.alias("v")).persist().transform(_track)
+                     ivec.alias("v")).transform(_pin)
     # Seed centroids = first k points in vec_id order.  cid assignment
     # uses the broadcast triangular rank over the k-row frame (k is a
     # bounded parameter) — no WindowExec, warning-free at any scale.
@@ -82,7 +82,7 @@ def kmeans_fixed(emb: DataFrame, k: int = 8, iterations: int = 2,
                         F.struct("dim", "cx"))).alias("sc"))
                     .select("cid",
                             F.expr("transform(sc, s -> s.cx)").alias("c"))
-                    .persist().transform(_track))
+                    .transform(_pin))
             cent.count()
     return asn.select("vec_id", "cluster", "d2")
 

@@ -24,7 +24,7 @@ Scale notes (100 TB posture):
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window as W, functions as F
-from ..cache import track as _track
+from ..cache import pin as _pin
 
 from .text import tokenize
 
@@ -84,7 +84,7 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3,
     """
     # shingling feeds the index + the size frame: persist once —
     # recomputing the tokenizer per branch doubles the scan
-    sh = doc_shingles(docs, n=n, id_col=id_col, text_col=text_col).persist().transform(_track)
+    sh = doc_shingles(docs, n=n, id_col=id_col, text_col=text_col).transform(_pin)
     inv = sh.select(F.col(id_col).alias("_id"), F.explode("shingles").alias("g"))
     if max_shingle_freq is not None:
         # capped path: candidates from the pruned index, verified with
@@ -195,7 +195,7 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3, num_hashes: int = 12,
     """Full MinHash-LSH near-dup pipeline: shingle → signature → band →
     candidate join → exact-Jaccard verify. Output
     (id_a, id_b, jaccard_x10000)."""
-    sh = doc_shingles(docs, n=n, id_col=id_col, text_col=text_col).persist().transform(_track)
+    sh = doc_shingles(docs, n=n, id_col=id_col, text_col=text_col).transform(_pin)
     sig = minhash_signature(sh, num_hashes=num_hashes, id_col=id_col)
     cand = lsh_candidate_pairs(sig, bands=bands, rows=rows, id_col=id_col)
     return _verify_jaccard(cand, sh, id_col, threshold_x10000)
@@ -229,7 +229,7 @@ def minhash_lsh_pairs_incremental(docs: DataFrame, delta_cond,
     base = docs.filter(~delta_cond)
 
     sh_all = doc_shingles(docs, n=n, id_col=id_col,
-                          text_col=text_col).persist().transform(_track)
+                          text_col=text_col).transform(_pin)
     sig_all = minhash_signature(sh_all, num_hashes=num_hashes,
                                 id_col=id_col)
     banded_all = _banded(sig_all, bands, rows, id_col)
@@ -310,7 +310,7 @@ def simhash_pairs(docs: DataFrame, bits: int = 16, max_hamming: int = 3,
     never O(n²).
     """
     n_blocks = max_hamming + 1
-    fp = simhash(docs, bits=bits, id_col=id_col, text_col=text_col).persist().transform(_track)
+    fp = simhash(docs, bits=bits, id_col=id_col, text_col=text_col).transform(_pin)
     base, rem = divmod(bits, n_blocks)
     blocks, off = [], 0
     for i in range(n_blocks):
@@ -359,7 +359,7 @@ def containment_pairs(docs: DataFrame, n: int = 3,
     The capped path keeps the array verify: the cap bounds candidates
     by construction, and |∩| counted off the capped index would
     undercount shared shingles."""
-    sh = doc_shingles(docs, n=n, id_col=id_col, text_col=text_col).persist().transform(_track)
+    sh = doc_shingles(docs, n=n, id_col=id_col, text_col=text_col).transform(_pin)
     inv = sh.select(F.col(id_col).alias("_id"),
                     F.explode("shingles").alias("g"))
     if max_shingle_freq is not None:

@@ -15,7 +15,7 @@ stage (check WholeStageCodegen spans in .explain).
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window as W, functions as F
-from ..cache import track as _track
+from ..cache import pin as _pin
 
 # small marker vocabularies for the n-gram/stopword language heuristic —
 # deliberately tiny: the operator contract is "deterministic argmax of
@@ -191,7 +191,7 @@ def build_vocab(docs: DataFrame, size: int = 1000, text_col: str = "text",
     # triangular rank: no WindowExec at all, O(size²) pairs of a
     # size-row frame regardless of corpus size.
     from ..operators.prefix import broadcast_rank
-    top = counts.orderBy(F.col("cnt").desc(), "token").limit(size).persist().transform(_track)
+    top = counts.orderBy(F.col("cnt").desc(), "token").limit(size).transform(_pin)
     ranks = broadcast_rank(top, ["cnt", "token"], [False, True], "token_id")
     return (top.join(F.broadcast(ranks), ["cnt", "token"])
             .select("token", "token_id", "cnt"))

@@ -18,7 +18,7 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
-from .cache import track as _track
+from .cache import pin as _pin
 
 from .graph import (DST, RANK, SRC, TYPE, VID, GraphStore, load_events,
                     load_tables, tpch_graph)
@@ -3341,7 +3341,7 @@ def q_clustering_coefficient(spark, sf_dir):
     composes the degree-ordered triangle counts with the simple-graph
     degrees (nodes in ≥1 triangle)."""
     from .operators.analytics import triangle_counts
-    pairs = _co_order_pairs(spark, sf_dir).persist().transform(_track)
+    pairs = _co_order_pairs(spark, sf_dir).transform(_pin)
     tri = triangle_counts(pairs)
     a, b = F.col(SRC), F.col(DST)
     und = (pairs.filter(a != b)

@@ -17,7 +17,7 @@ grouped-aggregate shapes).
 from __future__ import annotations
 
 from pyspark.sql import Window as W, functions as F
-from .cache import track as _track
+from .cache import pin as _pin
 
 from .graph import DST, SRC, VID, load_events, tpch_graph
 from .workload import _co_order_pairs, _seeds
@@ -641,7 +641,7 @@ def q_louvain_one_sweep(spark, sf_dir):
     per-node argmax window (partitioned by node, never global)."""
     pairs = _co_order_pairs(spark, sf_dir).distinct()
     both = pairs.union(pairs.select(F.col(DST).alias(SRC),
-                                    F.col(SRC).alias(DST))).persist().transform(_track)
+                                    F.col(SRC).alias(DST))).transform(_pin)
     deg = both.groupBy(SRC).agg(F.count(F.lit(1)).alias("deg"))
     m2 = both.agg(F.count(F.lit(1)).alias("m2"))  # 2m directed rows
     scored = (both
@@ -881,7 +881,7 @@ def q_vocab_coverage_curve(spark, sf_dir):
     from .workload_pipeline import _docs
     tok = (_docs(spark, sf_dir)
            .select(F.explode(F.split("text", " ")).alias("t")))
-    counts = tok.groupBy("t").agg(F.count(F.lit(1)).alias("c")).persist().transform(_track)
+    counts = tok.groupBy("t").agg(F.count(F.lit(1)).alias("c")).transform(_pin)
     total = counts.agg(F.sum("c").alias("n"))
     outs = []
     for k in (10, 100, 1000):
@@ -1022,7 +1022,7 @@ def q_greedy_set_cover(spark, sf_dir):
     g = tpch_graph(spark, sf_dir)
     ps = (g.edges["supplied_by"]
           .select(F.col(DST).alias("s"), F.col(SRC).alias("p")).distinct()
-          .persist().transform(_track))
+          .transform(_pin))
     uncovered = ps
     picks = []
     for r in range(3):
@@ -1325,7 +1325,7 @@ def q_find_path_strings(spark, sf_dir):
     4 hops — K parent-hop joins of a 5-row frame against the tree, the
     same plan at any graph size."""
     from .workload import q_sssp_parent_tree
-    tree = q_sssp_parent_tree(spark, sf_dir).persist().transform(_track)
+    tree = q_sssp_parent_tree(spark, sf_dir).transform(_pin)
     targets = (tree.filter(F.col("node") >= 20_000_000)
                .orderBy("dist", "node").limit(5)
                .select(F.col("node").alias("target"), "dist"))
@@ -1421,7 +1421,7 @@ def q_kcenter_init(spark, sf_dir):
     ivec = F.expr("transform(embedding, x -> "
                   "CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))")
     pts = (_emb(spark, sf_dir)
-           .select("vec_id", ivec.alias("v")).persist().transform(_track))
+           .select("vec_id", ivec.alias("v")).transform(_pin))
     d2 = ("aggregate(zip_with(v, c, (x, y) -> (x - y) * (x - y)), "
           "CAST(0 AS BIGINT), (acc, d) -> acc + d)")
     centers = (pts.filter(F.col("vec_id") == 0)
@@ -1967,7 +1967,7 @@ def q_global_transitivity(spark, sf_dir):
     degree-ordered enumeration (skew bound O(sqrt(|E|))); wedges are
     sum C(deg, 2) from one degree aggregate."""
     from .operators.analytics import triangle_counts
-    pairs = _co_order_pairs(spark, sf_dir).distinct().persist().transform(_track)
+    pairs = _co_order_pairs(spark, sf_dir).distinct().transform(_pin)
     tri = (triangle_counts(pairs)
            .agg(F.expr("sum(n_triangles) DIV 3").alias("triangles")))
     und = pairs.union(pairs.select(F.col(DST).alias(SRC),

@@ -195,6 +195,12 @@ def main() -> None:
                 codes32.count()
                 qwide32 = qwide32.persist()
                 qwide32.count()
+                # drain the training pins (pts / the n·S-row exploded
+                # subs / cent) NOW — codes32/qwide32 are materialized
+                # and directly persisted, so the timed arms (brute
+                # first) run without ~GB of dead training frames
+                # occupying storage memory
+                release_all()
                 runs["pqa"] = lambda: pq_rerank_from_codes(
                     codes32, qwide32, corpus, n_queries=nq, subspaces=4,
                     candidates=max(50, 2 * factor), topk=K)
@@ -225,7 +231,7 @@ def main() -> None:
         return        # subset run: the JSON lines above are the record
     print("\nn_vectors  n_queries  brute_s  lsh_s  lsh_rec  "
           "ivf_s  ivf_rec  ivf3_s  ivf3_rec  pq_s  pq_rec  "
-          "pqr_s  pqr_rec  pqp_s  pqp_rec")
+          "pqr_s  pqr_rec  pqp_s  pqp_rec  pqa_s  pqa_rec")
     for c in results:
         print(f"{c['n_vectors']:>9}  {c['n_queries']:>9}  "
               f"{c['brute_sec']:>7.2f}  {c['lsh_sec']:>5.2f}  "
@@ -234,7 +240,8 @@ def main() -> None:
               f"{c['ivf3_recall']:>8.3f}  {c['pq_sec']:>5.2f}  "
               f"{c['pq_recall']:>6.3f}  {c['pqr_sec']:>5.2f}  "
               f"{c['pqr_recall']:>7.3f}  {c['pqp_sec']:>5.2f}  "
-              f"{c['pqp_recall']:>7.3f}")
+              f"{c['pqp_recall']:>7.3f}  {c['pqa_sec']:>5.2f}  "
+              f"{c['pqa_recall']:>7.3f}")
 
 
 if __name__ == "__main__":

@@ -287,9 +287,11 @@ def main() -> int:
                 cells_by.setdefault((op, regime), []).append(cell)
                 print(json.dumps(cell), flush=True)
         e.unpersist()
-        # walk ops persist their adjacency frames internally; release
-        # exactly those (operators/walk.py caching contract) rather
-        # than nuking the whole cache
+        # walk ops persist their adjacency frames internally; since
+        # round 9 release_walk_caches() drains the PACKAGE persist
+        # registry (walk adjacencies included — nothing else is
+        # pinned in this tool's loop), leaving spark.catalog caches
+        # (the amplified edge frame handled above) untouched
         release_walk_caches()
 
     print("\n| op | regime | factor | edges | walks | seconds "
