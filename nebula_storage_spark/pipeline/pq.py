@@ -181,20 +181,76 @@ def pq_train_encode(emb: DataFrame, n_queries: int = 3, subspaces: int = 4,
 
 
 def pq_adc_scan(codes_wide: DataFrame, qwide: DataFrame, subspaces: int = 4,
-                topk: int = 5) -> DataFrame:
+                topk: int = 5, prefilter: bool = False,
+                prefilter_buckets: int = 2048) -> DataFrame:
     """The ADC scan over an encoded corpus: codes crossed with the
     BROADCAST per-query lookup arrays, est_d2 folded to S element_at
     lookups summed in one codegen stage, per-query top-k as a
     WindowGroupLimit with its map-side partial limit. Moves ZERO
     corpus rows: the only shuffle is the partial top-k stream
     (tasks x queries x topk rows), measured by tools/pq_scaling.py.
-    Output: (q_id, vec_id, est_d2, rank) — rank by (est_d2, vec_id)."""
+    Output: (q_id, vec_id, est_d2, rank) — rank by (est_d2, vec_id).
+
+    prefilter=True engages the big-R path (profiled round 9 at the
+    1 M x 128-query design point with R=1024): the plain plan's cost
+    is NOT the est computation (0.56 s) but the 131 M-row sort
+    WindowGroupLimit needs below its partial pass (28.2 s). A
+    deterministic integer HISTOGRAM bounds that sort input with an
+    exact-superset threshold — per query: (1) min/max of est_d2,
+    (2) bucket counts at width ceil(range/buckets), (3) the first
+    bucket whose cumulative count reaches `topk` gives
+    thr = lo + (bucket+1)·width − 1, whose rank is ≥ topk by
+    construction; (4) filter est_d2 <= thr, then the SAME exact
+    window ranks the survivors — so the output is bit-identical to
+    the plain path (pytest-pinned parity) while the sort sees only
+    ~topk + one bucket's ties per query. Pure integer arithmetic:
+    deterministic, no approx-percentile merge-order dependence. The
+    histogram passes re-scan the est expression (cheap codegen over
+    cached codes); everything stays ONE lazy plan — the tiny per-query
+    threshold frame broadcasts back into the filter. Costs three
+    extra cheap aggregation passes, so the default gate-scale path
+    keeps the single-sort plan."""
+    if prefilter:
+        # the prefilter evaluates the est expression in FOUR passes
+        # (range, histogram, filter, final window); over a lazy
+        # codes frame each pass would re-run the whole encode
+        # (assignment + wide-code pivot — measured 92.9 s vs ~33 s
+        # end-to-end at the 1 M design point), so pin the codes: they
+        # are the 64x-compressed representation (n·(S+1) ints), tiny
+        # by design, registered for release like every builder cache.
+        codes_wide = _cache.pin(codes_wide)
     est = (codes_wide.crossJoin(F.broadcast(qwide))
            .select("q_id", "vec_id",
                    sum(F.element_at(
                        F.col(f"_d{s}"),
                        (F.col(f"_c{s}") + 1).cast("int"))
                        for s in range(subspaces)).alias("est_d2")))
+    if prefilter:
+        b = int(prefilter_buckets)
+        rng = (est.groupBy("q_id")
+               .agg(F.min("est_d2").alias("_lo"),
+                    F.max("est_d2").alias("_hi"))
+               .select("q_id", "_lo",
+                       F.expr(f"CAST((_hi - _lo) DIV {b} + 1 AS BIGINT)")
+                       .alias("_w")))
+        hist = (est.join(F.broadcast(rng), "q_id")
+                .groupBy("q_id", F.expr("(est_d2 - _lo) DIV _w")
+                         .alias("_b"))
+                .agg(F.count(F.lit(1)).alias("_n")))
+        cw = W.partitionBy("q_id").orderBy("_b")
+        thr = (hist.withColumn("_cum", F.sum("_n").over(cw))
+               .groupBy("q_id")
+               # first bucket reaching topk; if topk > n no bucket
+               # qualifies — keep everything via the last bucket
+               .agg(F.coalesce(
+                   F.min(F.when(F.col("_cum") >= topk, F.col("_b"))),
+                   F.max("_b")).alias("_tb"))
+               .join(rng, "q_id")
+               .select("q_id", (F.col("_lo") + (F.col("_tb") + 1)
+                                * F.col("_w") - 1).alias("_thr")))
+        est = (est.join(F.broadcast(thr), "q_id")
+               .filter(F.col("est_d2") <= F.col("_thr"))
+               .select("q_id", "vec_id", "est_d2"))
     w = W.partitionBy("q_id").orderBy("est_d2", "vec_id")
     return (est.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= topk)
@@ -221,7 +277,8 @@ def pq_rerank_topk(emb: DataFrame, n_queries: int = 3, subspaces: int = 4,
                    k: int = 4, iterations: int = 2, candidates: int = 20,
                    topk: int = 5, scale: int = 10 ** 6,
                    id_col: str = "vec_id",
-                   vec_col: str = "embedding") -> DataFrame:
+                   vec_col: str = "embedding",
+                   prefilter: bool = False) -> DataFrame:
     """PQ's PRODUCTION composition (r8 verdict, Next #2): the wide-code
     ADC scan selects each query's top-`candidates` corpus vectors by
     estimated distance, then EXACT integer cosine re-ranks that small
@@ -256,14 +313,16 @@ def pq_rerank_topk(emb: DataFrame, n_queries: int = 3, subspaces: int = 4,
         vec_col=vec_col)
     return pq_rerank_from_codes(
         codes_wide, qwide, emb, n_queries=n_queries, subspaces=subspaces,
-        candidates=candidates, topk=topk, id_col=id_col, vec_col=vec_col)
+        candidates=candidates, topk=topk, id_col=id_col, vec_col=vec_col,
+        prefilter=prefilter)
 
 
 def pq_rerank_from_codes(codes_wide: DataFrame, qwide: DataFrame,
                          emb: DataFrame, n_queries: int = 3,
                          subspaces: int = 4, candidates: int = 20,
                          topk: int = 5, id_col: str = "vec_id",
-                         vec_col: str = "embedding") -> DataFrame:
+                         vec_col: str = "embedding",
+                         prefilter: bool = False) -> DataFrame:
     """The QUERY-TIME half of the rerank composition, split out so a
     deployment's steady state is separately measurable: codes are
     encoded ONCE (pq_train_encode, amortized exactly like
@@ -274,7 +333,8 @@ def pq_rerank_from_codes(codes_wide: DataFrame, qwide: DataFrame,
     difference IS the training cost."""
     from .similarity import _COS, _dot, quantize_embeddings
     cands = pq_adc_scan(codes_wide, qwide, subspaces=subspaces,
-                        topk=candidates).select("q_id", "vec_id")
+                        topk=candidates,
+                        prefilter=prefilter).select("q_id", "vec_id")
     q = quantize_embeddings(emb, vec_col)
     corpus = q.select(F.col(id_col).alias("vec_id"),
                       F.col("qvec").alias("cv"),

@@ -824,3 +824,30 @@ def test_pid_staging_root_reap_semantics(tmp_path):
     os.utime(late, (old, old))
     staging.pid_staging_root(base, "sf0.01")
     assert os.path.exists(late)
+
+
+def test_pq_adc_prefilter_is_bit_identical(spark, sf_dir):
+    """The big-R histogram prefilter (round 9) is an EXACT-superset
+    cut: per query the first est_d2 bucket whose cumulative count
+    reaches topk yields a threshold whose rank is >= topk by
+    construction, so filtering est_d2 <= thr before the exact window
+    cannot drop a true top-k row — the output must be bit-identical
+    to the plain single-sort plan. Pinned across bucket resolutions
+    (coarse buckets widen the superset, never the result), a config
+    where topk exceeds the corpus (threshold falls back to the last
+    bucket and keeps everything), and the production-shaped k=32
+    codebooks."""
+    from nebula_storage_spark.graph import read_parquet
+    from nebula_storage_spark.pipeline.pq import (
+        pq_adc_scan, pq_train_encode)
+    emb = read_parquet(spark, f"{sf_dir}/embeddings.parquet")
+    for k, nq, topk, buckets in ((4, 3, 5, 2048), (4, 8, 20, 16),
+                                 (32, 5, 100, 64), (4, 2, 1 << 30, 8)):
+        codes, qwide = pq_train_encode(emb, n_queries=nq, k=k)
+        plain = sorted(map(tuple, pq_adc_scan(
+            codes, qwide, topk=topk).collect()))
+        fast = sorted(map(tuple, pq_adc_scan(
+            codes, qwide, topk=topk, prefilter=True,
+            prefilter_buckets=buckets).collect()))
+        assert plain == fast, (k, nq, topk, buckets)
+        assert len(plain) == min(topk, emb.count()) * nq
