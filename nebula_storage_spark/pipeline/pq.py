@@ -44,7 +44,8 @@ _DIST = ("aggregate(zip_with(v, c, (x, y) -> (x - y) * (x - y)), "
 def pq_train_encode(emb: DataFrame, n_queries: int = 3, subspaces: int = 4,
                     k: int = 4, iterations: int = 2,
                     scale: int = 10 ** 6, id_col: str = "vec_id",
-                    vec_col: str = "embedding"
+                    vec_col: str = "embedding",
+                    train_fraction: float = 1.0
                     ) -> tuple[DataFrame, DataFrame]:
     """Train S per-subspace codebooks and PQ-encode: returns
     (codes_wide, qwide) — the corpus as one row per vector with S
@@ -70,7 +71,22 @@ def pq_train_encode(emb: DataFrame, n_queries: int = 3, subspaces: int = 4,
     the ADC scan is wide-code: one row per vector with S codes,
     crossed with the broadcast per-query lookup arrays and summed in
     one codegen stage (no corpus shuffle after code assignment); the
-    per-query top-k is a WindowGroupLimit, never a global sort."""
+    per-query top-k is a WindowGroupLimit, never a global sort.
+
+    train_fraction < 1.0 is the 100 TB training posture (round 9):
+    codebooks are statistics of the distribution, not of every row, so
+    production PQ trains on a sample and encodes everything — Jegou et
+    al. train 256-cell codebooks on ~100 k vectors regardless of corpus
+    size. The Lloyd refits here run over a deterministic md5-PRF subset
+    of the exploded subvector frame (keyed by vec_id, so a vector is in
+    or out across ALL subspaces), seeds are the first k SAMPLED
+    vec_ids, and the final code-assignment pass — the encode — still
+    covers the full corpus against the broadcast codebooks. At
+    fraction 1.0 (the gate config) the filter is not planted at all:
+    the lineage is bit-identical to the unrolled oracle. Sampled
+    training is approximate BY DESIGN (different codebooks => different
+    codes); its recall under the rerank composition is measured at the
+    1 M design point in tools/ann_crossover.py (the `pqs` arm)."""
     from ..operators.prefix import broadcast_rank
     ivec = F.expr(
         f"transform({vec_col}, x -> "
@@ -97,46 +113,65 @@ def pq_train_encode(emb: DataFrame, n_queries: int = 3, subspaces: int = 4,
                 f"s -> slice(fv, s * {sub_dim} + 1, {sub_dim}))"))
             .alias("sub", "v"))
         .repartition(F.col("sub"), F.col("vec_id")))
-    seed_ids = pts.orderBy("vec_id").limit(k).select("vec_id")
+    if train_fraction < 1.0:
+        # deterministic per-VECTOR membership (md5 PRF, the
+        # similarity-family idiom): keying by vec_id alone keeps a
+        # vector in or out across all S subspaces, and the filter
+        # preserves subs' (sub, vec_id) hash partitioning — the
+        # training loop still reuses the one exchange.
+        thr = max(1, int(round(train_fraction * 65536)))
+        prf = (F.conv(F.substring(F.md5(F.concat(
+            F.lit("pqt#"), F.col("vec_id").cast("string"))), 1, 4),
+            16, 10).cast("bigint") < thr)
+        train_pts, train_subs = pts.filter(prf), subs.filter(prf)
+    else:
+        train_pts, train_subs = pts, subs
+    seed_ids = train_pts.orderBy("vec_id").limit(k).select("vec_id")
     ranks = broadcast_rank(seed_ids, ["vec_id"], out_col="_rn")
-    cent = (subs.join(F.broadcast(ranks), "vec_id")
+    cent = (train_subs.join(F.broadcast(ranks), "vec_id")
             .select("sub", (F.col("_rn") - 1).alias("cid"),
                     F.col("v").alias("c")))
-    asn = None
+
+    def _assign(frame: DataFrame, cb: DataFrame) -> DataFrame:
+        return (frame.join(F.broadcast(cb), "sub")
+                .select("sub", "vec_id", "v", "cid",
+                        F.expr(_DIST).alias("d2"))
+                .groupBy("sub", "vec_id")
+                .agg(F.min(F.struct("d2", "cid", "v")).alias("m"))
+                .select("sub", "vec_id", F.col("m.cid").alias("cluster"),
+                        F.col("m.v").alias("v")))
+
     prev_cent = None
-    for t in range(iterations):
-        asn = (subs.join(F.broadcast(cent), "sub")
-               .select("sub", "vec_id", "v", "cid",
-                       F.expr(_DIST).alias("d2"))
-               .groupBy("sub", "vec_id")
-               .agg(F.min(F.struct("d2", "cid", "v")).alias("m"))
-               .select("sub", "vec_id", F.col("m.cid").alias("cluster"),
-                       F.col("m.v").alias("v")))
-        if t < iterations - 1:
-            ex = asn.select("sub", "cluster",
-                            F.posexplode("v").alias("dim", "x"))
-            sums = (ex.groupBy("sub", "cluster", "dim")
-                    .agg(F.sum("x").alias("sx"),
-                         F.count(F.lit(1)).alias("n")))
-            cent = (sums
-                    .select("sub", F.col("cluster").alias("cid"), "dim",
-                            F.expr("sx DIV n").alias("cx"))
-                    .groupBy("sub", "cid")
-                    .agg(F.sort_array(F.collect_list(
-                        F.struct("dim", "cx"))).alias("sc"))
-                    .select("sub", "cid",
-                            F.expr("transform(sc, s -> s.cx)").alias("c"))
-                    .persist())
-            cent.count()   # ONE refit job for ALL subspaces
-            # the refit is materialized, so the superseded codebook's
-            # blocks are dead weight (downstream plans reference only
-            # THIS cent; an eviction recomputes the chain correctly) —
-            # release it now and register the live one (r8 ADVICE:
-            # repeated pq_adc_topk calls in ann_crossover's timing
-            # loops accumulated one cached frame per iteration).
-            if prev_cent is not None:
-                prev_cent.unpersist()
-            prev_cent = _cache.track(cent)
+    for _ in range(iterations - 1):
+        ex = _assign(train_subs, cent).select(
+            "sub", "cluster", F.posexplode("v").alias("dim", "x"))
+        sums = (ex.groupBy("sub", "cluster", "dim")
+                .agg(F.sum("x").alias("sx"),
+                     F.count(F.lit(1)).alias("n")))
+        cent = (sums
+                .select("sub", F.col("cluster").alias("cid"), "dim",
+                        F.expr("sx DIV n").alias("cx"))
+                .groupBy("sub", "cid")
+                .agg(F.sort_array(F.collect_list(
+                    F.struct("dim", "cx"))).alias("sc"))
+                .select("sub", "cid",
+                        F.expr("transform(sc, s -> s.cx)").alias("c"))
+                .persist())
+        cent.count()   # ONE refit job for ALL subspaces
+        # the refit is materialized, so the superseded codebook's
+        # blocks are dead weight (downstream plans reference only
+        # THIS cent; an eviction recomputes the chain correctly) —
+        # release it now and register the live one (r8 ADVICE:
+        # repeated pq_adc_topk calls in ann_crossover's timing
+        # loops accumulated one cached frame per iteration).
+        if prev_cent is not None:
+            prev_cent.unpersist()
+        prev_cent = _cache.track(cent)
+    # the ENCODE: one assignment pass over the FULL corpus against the
+    # final broadcast codebooks — under sampled training this is the
+    # only full-corpus Lloyd-arithmetic pass; at fraction 1.0 it is
+    # the same final-iteration assignment the loop always ran.
+    asn = _assign(subs, cent)
     # ADC scan, wide-code form (round-8 rewrite): one row per vector
     # with its S codes, crossed with the BROADCAST per-query distance
     # tables (n_queries rows, each carrying S arrays of k lookups) —
@@ -261,7 +296,8 @@ def pq_adc_scan(codes_wide: DataFrame, qwide: DataFrame, subspaces: int = 4,
 def pq_adc_topk(emb: DataFrame, n_queries: int = 3, subspaces: int = 4,
                 k: int = 4, iterations: int = 2, topk: int = 5,
                 scale: int = 10 ** 6, id_col: str = "vec_id",
-                vec_col: str = "embedding") -> DataFrame:
+                vec_col: str = "embedding",
+                train_fraction: float = 1.0) -> DataFrame:
     """Train S per-subspace codebooks, PQ-encode the corpus, and answer
     the first `n_queries` vectors' top-`topk` neighbors by ADC distance
     (pq_train_encode + pq_adc_scan; see their docstrings for the plan
@@ -269,7 +305,7 @@ def pq_adc_topk(emb: DataFrame, n_queries: int = 3, subspaces: int = 4,
     codes_wide, qwide = pq_train_encode(
         emb, n_queries=n_queries, subspaces=subspaces, k=k,
         iterations=iterations, scale=scale, id_col=id_col,
-        vec_col=vec_col)
+        vec_col=vec_col, train_fraction=train_fraction)
     return pq_adc_scan(codes_wide, qwide, subspaces=subspaces, topk=topk)
 
 
@@ -278,7 +314,8 @@ def pq_rerank_topk(emb: DataFrame, n_queries: int = 3, subspaces: int = 4,
                    topk: int = 5, scale: int = 10 ** 6,
                    id_col: str = "vec_id",
                    vec_col: str = "embedding",
-                   prefilter: bool = False) -> DataFrame:
+                   prefilter: bool = False,
+                   train_fraction: float = 1.0) -> DataFrame:
     """PQ's PRODUCTION composition (r8 verdict, Next #2): the wide-code
     ADC scan selects each query's top-`candidates` corpus vectors by
     estimated distance, then EXACT integer cosine re-ranks that small
@@ -310,7 +347,7 @@ def pq_rerank_topk(emb: DataFrame, n_queries: int = 3, subspaces: int = 4,
     codes_wide, qwide = pq_train_encode(
         emb, n_queries=n_queries, subspaces=subspaces, k=k,
         iterations=iterations, scale=scale, id_col=id_col,
-        vec_col=vec_col)
+        vec_col=vec_col, train_fraction=train_fraction)
     return pq_rerank_from_codes(
         codes_wide, qwide, emb, n_queries=n_queries, subspaces=subspaces,
         candidates=candidates, topk=topk, id_col=id_col, vec_col=vec_col,

@@ -851,3 +851,31 @@ def test_pq_adc_prefilter_is_bit_identical(spark, sf_dir):
             prefilter_buckets=buckets).collect()))
         assert plain == fast, (k, nq, topk, buckets)
         assert len(plain) == min(topk, emb.count()) * nq
+
+
+def test_pq_sampled_training_keeps_adc_invariants(spark, sf_dir):
+    """train_fraction < 1.0 (round 9, the 100 TB training posture)
+    changes the MODEL — codebooks fit a deterministic md5-PRF sample —
+    not the contract: the encode still covers the FULL corpus, the
+    per-query lookup arrays still densify to k slots, and the ADC
+    lower-bound invariant (the query's own reconstruction is its
+    ADC-nearest) holds for ANY codebook as long as query codes and
+    corpus codes derive from the same one, so it holds for the sampled
+    one. Determinism pinned by a second run."""
+    from nebula_storage_spark.graph import read_parquet
+    from nebula_storage_spark.pipeline.pq import pq_adc_topk
+    emb = read_parquet(spark, f"{sf_dir}/embeddings.parquet")
+    n = emb.count()
+    rows = pq_adc_topk(emb, n_queries=2, topk=1 << 30,
+                       train_fraction=0.5).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.q_id, []).append(r)
+    assert set(by_q) == {0, 1}
+    for q, rs in by_q.items():
+        assert len(rs) == n
+        self_d = next(r.est_d2 for r in rs if r.vec_id == q)
+        assert self_d == min(r.est_d2 for r in rs)
+    again = {tuple(r) for r in pq_adc_topk(
+        emb, n_queries=2, topk=1 << 30, train_fraction=0.5).collect()}
+    assert again == {tuple(r) for r in rows}

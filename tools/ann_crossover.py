@@ -191,6 +191,22 @@ def main() -> None:
                                               iterations=2,
                                               candidates=max(50, 2 * factor),
                                               topk=K, prefilter=True),
+                # pqs — pqp with SAMPLED training (round 9): the Lloyd
+                # refit runs over a deterministic md5-PRF sample sized
+                # to ~64 k vectors regardless of corpus size (the
+                # Jegou-et-al posture: codebooks are distribution
+                # statistics, so at 100 TB you never train on the full
+                # corpus); the encode pass still covers everything.
+                # pqp − pqs is the training work sampling removes;
+                # recall tells whether the sampled codebooks still
+                # partition the space well enough for the rerank.
+                "pqs": lambda: pq_rerank_topk(corpus, n_queries=nq,
+                                              subspaces=4, k=32,
+                                              iterations=2,
+                                              candidates=max(50, 2 * factor),
+                                              topk=K, prefilter=True,
+                                              train_fraction=min(
+                                                  1.0, 65536.0 / n)),
             }
             if arms is None or "pqa" in arms:
                 # pqa — pqp's STEADY STATE: codes encoded once per
@@ -233,8 +249,8 @@ def main() -> None:
                 # repetition too (see timed's docstring): their cost
                 # is documented end-to-end, so no repetition may ride
                 # a previous repetition's pinned codebooks
-                reset = release_all if name in ("pq", "pqr", "pqp") \
-                    else None
+                reset = release_all if name in ("pq", "pqr", "pqp",
+                                                "pqs") else None
                 sec, rows = timed(fn, reset=reset)
                 cell[f"{name}_sec"] = round(sec, 3)
                 if name != "brute":
@@ -257,7 +273,8 @@ def main() -> None:
         return        # subset run: the JSON lines above are the record
     print("\nn_vectors  n_queries  brute_s  lsh_s  lsh_rec  "
           "ivf_s  ivf_rec  ivf3_s  ivf3_rec  pq_s  pq_rec  "
-          "pqr_s  pqr_rec  pqp_s  pqp_rec  pqa_s  pqa_rec")
+          "pqr_s  pqr_rec  pqp_s  pqp_rec  pqs_s  pqs_rec  "
+          "pqa_s  pqa_rec")
     for c in results:
         print(f"{c['n_vectors']:>9}  {c['n_queries']:>9}  "
               f"{c['brute_sec']:>7.2f}  {c['lsh_sec']:>5.2f}  "
@@ -266,7 +283,8 @@ def main() -> None:
               f"{c['ivf3_recall']:>8.3f}  {c['pq_sec']:>5.2f}  "
               f"{c['pq_recall']:>6.3f}  {c['pqr_sec']:>5.2f}  "
               f"{c['pqr_recall']:>7.3f}  {c['pqp_sec']:>5.2f}  "
-              f"{c['pqp_recall']:>7.3f}  {c['pqa_sec']:>5.2f}  "
+              f"{c['pqp_recall']:>7.3f}  {c['pqs_sec']:>5.2f}  "
+              f"{c['pqs_recall']:>7.3f}  {c['pqa_sec']:>5.2f}  "
               f"{c['pqa_recall']:>7.3f}")
 
 
