@@ -37,9 +37,6 @@ from pyspark.sql import DataFrame, Window as W, functions as F
 
 from .. import cache as _cache
 
-_DIST = ("aggregate(zip_with(v, c, (x, y) -> (x - y) * (x - y)), "
-         "CAST(0 AS BIGINT), (acc, d) -> acc + d)")
-
 
 def pq_train_encode(emb: DataFrame, n_queries: int = 3, subspaces: int = 4,
                     k: int = 4, iterations: int = 2,
@@ -55,38 +52,36 @@ def pq_train_encode(emb: DataFrame, n_queries: int = 3, subspaces: int = 4,
     measurable (tools/pq_scaling.py pins its zero-corpus-shuffle
     claim on exactly this boundary).
 
-    Plan: ALL S subspaces train in the SAME Lloyd jobs — the corpus
-    explodes once into (sub, vec_id, subvector) rows and every step
-    keys by `sub`, so one refit job per iteration materializes all S
-    codebooks (round-8 rewrite: the earlier per-subspace loop ran
-    S·(iterations-1) eager refit jobs and S assignment scans per
-    iteration; profiled at sf0.1 those barriers were ~60 % of the
-    query — at 100 TB the same change means S codebooks per corpus
-    pass instead of S passes). Per subspace the arithmetic is
-    untouched — seeds are the first k vec_ids (subspace-independent),
-    assignment is the integer min-struct (d2, cid, v) within each
-    `sub`, refit is the truncating-DIV mean within (sub, cid) — so
-    codebooks, codes, and ADC ranks are bit-identical to the unrolled
-    per-subspace oracle. The centroid frame is S·k rows, broadcast;
-    the ADC scan is wide-code: one row per vector with S codes,
-    crossed with the broadcast per-query lookup arrays and summed in
-    one codegen stage (no corpus shuffle after code assignment); the
-    per-query top-k is a WindowGroupLimit, never a global sort.
+    Plan: ALL S subspaces train in the SAME Lloyd jobs (round-8
+    rewrite: the earlier per-subspace loop ran S·(iterations-1) eager
+    refit jobs per iteration — S codebooks per corpus pass instead of
+    S passes), and NO step moves corpus-sized data (round-9 v3, see
+    the loop comment): assignment and encode are expression maps over
+    un-exploded vector rows against a one-row broadcast of all S
+    codebooks, and the refit's groupBy reduces map-side to at most
+    S·k·dim partials per task. Per subspace the arithmetic is
+    untouched — seeds are the first k (sampled) vec_ids
+    (subspace-independent), assignment is the integer min-struct
+    (d2, cid), refit is the truncating-DIV mean within (sub, cid) —
+    so codebooks, codes, and ADC ranks are bit-identical to the
+    unrolled per-subspace oracle. The ADC scan is wide-code: one row
+    per vector with S codes, crossed with the broadcast per-query
+    lookup arrays and summed in one codegen stage; the per-query
+    top-k is a WindowGroupLimit, never a global sort.
 
     train_fraction < 1.0 is the 100 TB training posture (round 9):
     codebooks are statistics of the distribution, not of every row, so
     production PQ trains on a sample and encodes everything — Jegou et
     al. train 256-cell codebooks on ~100 k vectors regardless of corpus
-    size. The Lloyd refits here run over a deterministic md5-PRF subset
-    of the exploded subvector frame (keyed by vec_id, so a vector is in
-    or out across ALL subspaces), seeds are the first k SAMPLED
-    vec_ids, and the final code-assignment pass — the encode — still
-    covers the full corpus against the broadcast codebooks. At
-    fraction 1.0 (the gate config) the filter is not planted at all:
-    the lineage is bit-identical to the unrolled oracle. Sampled
-    training is approximate BY DESIGN (different codebooks => different
-    codes); its recall under the rerank composition is measured at the
-    1 M design point in tools/ann_crossover.py (the `pqs` arm)."""
+    size. The Lloyd refits here run over a deterministic md5-PRF sample
+    (keyed by vec_id, so a vector is in or out across ALL subspaces),
+    seeds are the first k SAMPLED vec_ids, and the encode still covers
+    the full corpus against the broadcast codebooks. At fraction 1.0
+    (the gate config) the filter is not planted at all: the lineage is
+    bit-identical to the unrolled oracle. Sampled training is
+    approximate BY DESIGN (different codebooks => different codes);
+    its recall under the rerank composition is measured at the 1 M
+    design point in tools/ann_crossover.py (the `pqs` arm)."""
     from ..operators.prefix import broadcast_rank
     ivec = F.expr(
         f"transform({vec_col}, x -> "
@@ -95,56 +90,80 @@ def pq_train_encode(emb: DataFrame, n_queries: int = 3, subspaces: int = 4,
                                 ivec.alias("fv")))
     dim = len(pts.select("fv").first()[0])
     sub_dim = dim // subspaces
-    # ONE exchange for the whole training loop (round 9): every Lloyd
-    # assignment is a groupBy(sub, vec_id) min-struct, so hash-
-    # partitioning the exploded subvector frame on exactly that key
-    # once — and persisting it — satisfies every iteration's
-    # distribution requirement. The previous shape re-exchanged the
-    # n·S-row explode output on (sub, vec_id) in EVERY assignment
-    # pass (seen as one Exchange per iteration in the executed plan);
-    # now iterations beyond the first reuse the cached partitioning
-    # and shuffle nothing. Cache cost is the exploded corpus
-    # (n·S rows, MEMORY_AND_DISK, registered for release).
-    subs = _cache.pin(
-        pts.select(
-            "vec_id",
-            F.posexplode(F.expr(
-                f"transform(sequence(0, {subspaces - 1}), "
-                f"s -> slice(fv, s * {sub_dim} + 1, {sub_dim}))"))
-            .alias("sub", "v"))
-        .repartition(F.col("sub"), F.col("vec_id")))
+    # ZERO corpus-sized exchanges anywhere in PQ (round 9, v3 of this
+    # loop): the codebook is S·k tiny rows BY CONSTRUCTION, so nearest-
+    # centroid never needs the explode + groupBy(sub, vec_id) min-
+    # struct the earlier shapes used — it folds into a pure expression
+    # map over UN-exploded vector rows crossed with a ONE-ROW broadcast
+    # carrying all S codebooks as nested arrays (`cbs`). The round's
+    # measurement program forced this: v1 pinned the n·S-row exploded
+    # frame pre-partitioned on the assignment key (one exchange, paid
+    # at materialization, plus a corpus-sized cache); v2 dropped the
+    # pin and the encode's groupBy planted its own n·S exchange —
+    # measured at the 1 M design point the two roughly tie (32.0 vs
+    # 52.1 s at q=8, 50.9 vs 39.2 at q=128: the exchange and the cache
+    # cost the same corpus-sized movement). v3 removes the explode,
+    # the exchange, AND the corpus cache: per Lloyd iteration one
+    # codegen pass over the (sampled) training vectors emits
+    # (sub, cluster, dim, x) refit rows whose groupBy reduces map-side
+    # to <= S·k·dim partials per task; the encode is a map. Same
+    # integer arithmetic, same (d2, cid) tie rule -> bit-identical
+    # codebooks, codes, and ranks.
     if train_fraction < 1.0:
         # deterministic per-VECTOR membership (md5 PRF, the
-        # similarity-family idiom): keying by vec_id alone keeps a
-        # vector in or out across all S subspaces, and the filter
-        # preserves subs' (sub, vec_id) hash partitioning — the
-        # training loop still reuses the one exchange.
+        # similarity-family idiom); the sample is read once per
+        # iteration, so IT gets the pin — fraction·n rows, never n.
         thr = max(1, int(round(train_fraction * 65536)))
         prf = (F.conv(F.substring(F.md5(F.concat(
             F.lit("pqt#"), F.col("vec_id").cast("string"))), 1, 4),
             16, 10).cast("bigint") < thr)
-        train_pts, train_subs = pts.filter(prf), subs.filter(prf)
+        train_pts = _cache.pin(pts.filter(prf))
     else:
-        train_pts, train_subs = pts, subs
+        train_pts = pts
     seed_ids = train_pts.orderBy("vec_id").limit(k).select("vec_id")
     ranks = broadcast_rank(seed_ids, ["vec_id"], out_col="_rn")
-    cent = (train_subs.join(F.broadcast(ranks), "vec_id")
-            .select("sub", (F.col("_rn") - 1).alias("cid"),
-                    F.col("v").alias("c")))
+    cent = (train_pts.join(F.broadcast(ranks), "vec_id")
+            .select(F.posexplode(F.expr(
+                f"transform(sequence(0, {subspaces - 1}), "
+                f"s -> slice(fv, s * {sub_dim} + 1, {sub_dim}))"))
+                .alias("sub", "c"),
+                (F.col("_rn") - 1).cast("bigint").alias("cid"))
+            .select("sub", "cid", "c"))
 
-    def _assign(frame: DataFrame, cb: DataFrame) -> DataFrame:
-        return (frame.join(F.broadcast(cb), "sub")
-                .select("sub", "vec_id", "v", "cid",
-                        F.expr(_DIST).alias("d2"))
-                .groupBy("sub", "vec_id")
-                .agg(F.min(F.struct("d2", "cid", "v")).alias("m"))
-                .select("sub", "vec_id", F.col("m.cid").alias("cluster"),
-                        F.col("m.v").alias("v")))
+    def _cbs(cb: DataFrame) -> DataFrame:
+        """Fold the (sub, cid, c) codebook frame into ONE row: `cbs`
+        is an S-element array (indexed by sub) of sorted
+        array<struct<cid, c>> — the broadcast the assignment / encode
+        / query-table maps look centroids up in."""
+        return (cb.groupBy("sub")
+                .agg(F.sort_array(F.collect_list(
+                    F.struct("cid", "c"))).alias("cb"))
+                .groupBy()
+                .agg(*[F.max(F.when(F.col("sub") == s, F.col("cb")))
+                       .alias(f"_cb{s}") for s in range(subspaces)])
+                .select(F.array(*[f"_cb{s}" for s in range(subspaces)])
+                        .alias("cbs")))
+
+    # nearest centroid of subspace `s` (an expression-level variable —
+    # the refit binds it inside an outer lambda, the encode burns in a
+    # Python literal): min struct (d2, cid) over that sub's codebook,
+    # exactly the old groupBy-min tie rule (cid unique per sub).
+    def _code(s: str) -> str:
+        return (f"array_min(transform(element_at(cbs, {s} + 1), "
+                f"e -> struct(aggregate(zip_with("
+                f"slice(fv, {s} * {sub_dim} + 1, {sub_dim}), e.c, "
+                f"(x, y) -> (x - y) * (x - y)), CAST(0 AS BIGINT), "
+                f"(acc, d) -> acc + d) AS d2, e.cid AS cid))).cid")
 
     prev_cent = None
     for _ in range(iterations - 1):
-        ex = _assign(train_subs, cent).select(
-            "sub", "cluster", F.posexplode("v").alias("dim", "x"))
+        asn = (f"transform(sequence(0, {subspaces - 1}), "
+               f"s -> struct(s AS sub, {_code('s')} AS cluster, "
+               f"slice(fv, s * {sub_dim} + 1, {sub_dim}) AS v))")
+        ex = (train_pts.crossJoin(F.broadcast(_cbs(cent)))
+              .select(F.explode(F.expr(asn)).alias("a"))
+              .select("a.sub", F.col("a.cluster").alias("cluster"),
+                      F.posexplode("a.v").alias("dim", "x")))
         sums = (ex.groupBy("sub", "cluster", "dim")
                 .agg(F.sum("x").alias("sx"),
                      F.count(F.lit(1)).alias("n")))
@@ -167,51 +186,44 @@ def pq_train_encode(emb: DataFrame, n_queries: int = 3, subspaces: int = 4,
         if prev_cent is not None:
             prev_cent.unpersist()
         prev_cent = _cache.track(cent)
-    # the ENCODE: one assignment pass over the FULL corpus against the
-    # final broadcast codebooks — under sampled training this is the
-    # only full-corpus Lloyd-arithmetic pass; at fraction 1.0 it is
-    # the same final-iteration assignment the loop always ran.
-    asn = _assign(subs, cent)
-    # ADC scan, wide-code form (round-8 rewrite): one row per vector
-    # with its S codes, crossed with the BROADCAST per-query distance
-    # tables (n_queries rows, each carrying S arrays of k lookups) —
-    # est_d2 folds to S element_at lookups summed in one codegen
-    # stage, and the per-query top-k is WindowGroupLimit with its
-    # map-side partial limit. The earlier (sub, code) equi-join
-    # shape materialized n·q·S rows and SHUFFLED them through an
-    # (q, vec) aggregate — measured at 1 M vectors x 128 queries it
-    # was slower than exact brute force (81.9 s vs 64.4 s,
-    # tools/ann_crossover.py); this form moves ZERO corpus rows after
-    # the code assignment. Same integer sum of the same dq values ->
-    # bit-identical ranks.
-    codes_wide = (asn.groupBy("vec_id")
-                  .agg(*[F.max(F.when(F.col("sub") == s, F.col("cluster")))
-                         .alias(f"_c{s}") for s in range(subspaces)]))
-    qtab = (subs.filter(F.col("vec_id") < n_queries)
-            .withColumnRenamed("vec_id", "q_id")
-            .join(F.broadcast(cent), "sub")
-            .select("sub", "q_id", F.col("cid").alias("code"),
-                    F.expr(_DIST).alias("dq")))
-    # DENSIFIED lookup arrays (r8 ADVICE fix): a refit can empty a
-    # cluster (duplicate subvectors among the k seed vectors, or any
-    # run with iterations > 2), leaving the surviving cids
-    # NON-contiguous — a positionally-collected darr then silently
-    # shifts every dq after the gap and the max cid indexes past the
-    # array (INVALID_ARRAY_INDEX under ANSI mode). Keying by code
-    # VALUE and expanding to exactly k slots (dead cids hold a 0
-    # placeholder no code ever references, since codes are drawn from
-    # the surviving codebook) keeps position == cid unconditionally,
-    # so the ADC scan's element_at stays the O(1) positional lookup.
-    qwide = (qtab.groupBy("q_id", "sub")
-             .agg(F.map_from_entries(
-                 F.collect_list(F.struct("code", "dq"))).alias("dm"))
-             .select("q_id", "sub",
-                     F.expr(f"transform(sequence(0, {k - 1}), i -> "
-                            f"coalesce(element_at(dm, i), "
-                            f"CAST(0 AS BIGINT)))").alias("darr"))
-             .groupBy("q_id")
-             .agg(*[F.max(F.when(F.col("sub") == s, F.col("darr")))
-                    .alias(f"_d{s}") for s in range(subspaces)]))
+    cbs = _cbs(cent)
+    # the ENCODE is a MAP: un-exploded vectors × the one-row broadcast
+    # codebooks -> one row per vector with S code columns, zero
+    # shuffle (under sampled training this is the only full-corpus
+    # pass). The wide-code form feeds the ADC scan (round-8 rewrite):
+    # est_d2 folds to S element_at lookups against the broadcast
+    # per-query tables and the per-query top-k is a WindowGroupLimit —
+    # the (sub, code) equi-join shape this replaced measured SLOWER
+    # than exact brute force at 1 M x 128 queries (81.9 vs 64.4 s,
+    # tools/ann_crossover.py).
+    codes_wide = (pts.crossJoin(F.broadcast(cbs))
+                  .select("vec_id",
+                          *[F.expr(_code(str(s))).alias(f"_c{s}")
+                            for s in range(subspaces)]))
+
+    # DENSIFIED per-query lookup arrays (r8 ADVICE fix): a refit can
+    # empty a cluster (duplicate subvectors among the k seed vectors,
+    # or any run with iterations > 2), leaving surviving cids
+    # NON-contiguous — a positionally-collected array would silently
+    # shift every dq after the gap and index past the end under ANSI
+    # mode. Slot i therefore holds cid i's dq looked up BY VALUE
+    # (try_element_at over the filtered codebook; dead cids coalesce
+    # to a 0 placeholder no surviving code ever references), so
+    # position == cid unconditionally and the ADC scan's element_at
+    # stays the O(1) positional lookup.
+    def _qd(s: int) -> str:
+        return (f"transform(sequence(0, {k - 1}), i -> coalesce("
+                f"aggregate(zip_with("
+                f"slice(fv, {s} * {sub_dim} + 1, {sub_dim}), "
+                f"try_element_at(filter(element_at(cbs, {s} + 1), "
+                f"e -> e.cid = i), 1).c, "
+                f"(x, y) -> (x - y) * (x - y)), CAST(0 AS BIGINT), "
+                f"(acc, d) -> acc + d), CAST(0 AS BIGINT)))")
+    qwide = (pts.filter(F.col("vec_id") < n_queries)
+             .crossJoin(F.broadcast(cbs))
+             .select(F.col("vec_id").alias("q_id"),
+                     *[F.expr(_qd(s)).alias(f"_d{s}")
+                       for s in range(subspaces)]))
     return codes_wide, qwide
 
 
