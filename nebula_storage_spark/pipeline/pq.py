@@ -58,7 +58,8 @@ def pq_train_encode(emb: DataFrame, n_queries: int = 3, subspaces: int = 4,
     S passes), and NO step moves corpus-sized data (round-9 v3, see
     the loop comment): assignment and encode are expression maps over
     un-exploded vector rows against a one-row broadcast of all S
-    codebooks, and the refit's groupBy reduces map-side to at most
+    codebooks (the encode as an Arrow-batched numpy kernel — see its
+    comment), and the refit's groupBy reduces map-side to at most
     S·k·dim partials per task. Per subspace the arithmetic is
     untouched — seeds are the first k (sampled) vec_ids
     (subspace-independent), assignment is the integer min-struct
@@ -147,13 +148,17 @@ def pq_train_encode(emb: DataFrame, n_queries: int = 3, subspaces: int = 4,
     # nearest centroid of subspace `s` (an expression-level variable —
     # the refit binds it inside an outer lambda, the encode burns in a
     # Python literal): min struct (d2, cid) over that sub's codebook,
-    # exactly the old groupBy-min tie rule (cid unique per sub).
+    # exactly the old groupBy-min tie rule (cid unique per sub). The
+    # distance indexes fv DIRECTLY (0-based brackets, in-bounds by
+    # construction) instead of slicing a subvector per centroid — the
+    # slice version allocated a fresh sub_dim array n·S·k times and
+    # profiled ~1.8x slower on the encode pass at the 1 M point.
     def _code(s: str) -> str:
+        d2 = (f"aggregate(sequence(0, {sub_dim - 1}), CAST(0 AS BIGINT), "
+              f"(acc, j) -> acc + (fv[{s} * {sub_dim} + j] - e.c[j]) "
+              f"* (fv[{s} * {sub_dim} + j] - e.c[j]))")
         return (f"array_min(transform(element_at(cbs, {s} + 1), "
-                f"e -> struct(aggregate(zip_with("
-                f"slice(fv, {s} * {sub_dim} + 1, {sub_dim}), e.c, "
-                f"(x, y) -> (x - y) * (x - y)), CAST(0 AS BIGINT), "
-                f"(acc, d) -> acc + d) AS d2, e.cid AS cid))).cid")
+                f"e -> struct({d2} AS d2, e.cid AS cid))).cid")
 
     prev_cent = None
     for _ in range(iterations - 1):
@@ -187,19 +192,53 @@ def pq_train_encode(emb: DataFrame, n_queries: int = 3, subspaces: int = 4,
             prev_cent.unpersist()
         prev_cent = _cache.track(cent)
     cbs = _cbs(cent)
-    # the ENCODE is a MAP: un-exploded vectors × the one-row broadcast
-    # codebooks -> one row per vector with S code columns, zero
-    # shuffle (under sampled training this is the only full-corpus
-    # pass). The wide-code form feeds the ADC scan (round-8 rewrite):
-    # est_d2 folds to S element_at lookups against the broadcast
-    # per-query tables and the per-query top-k is a WindowGroupLimit —
-    # the (sub, code) equi-join shape this replaced measured SLOWER
-    # than exact brute force at 1 M x 128 queries (81.9 vs 64.4 s,
-    # tools/ann_crossover.py).
-    codes_wide = (pts.crossJoin(F.broadcast(cbs))
-                  .select("vec_id",
-                          *[F.expr(_code(str(s))).alias(f"_c{s}")
-                            for s in range(subspaces)]))
+    # the ENCODE is a MAP: one row per vector in, S code columns out,
+    # zero shuffle (under sampled training this is the only
+    # full-corpus pass). It runs as an Arrow-batched numpy kernel
+    # (mapInPandas), not the _code expression: the nearest-centroid
+    # HOF is interpreted per lambda invocation, and n·S·k of them
+    # profiled 32 s at the 1 M x k=32 design point where the
+    # vectorized (B, k, dim) einsum does the identical int64
+    # arithmetic in ~2 s. Ties break to the LOWEST cid exactly like
+    # array_min's (d2, cid) struct order: the codebook rows are
+    # sorted by cid and np.argmin returns the first minimum. The
+    # codebook itself is collected driver-side — S·k rows, the same
+    # bounded-broadcast contract as the one-row cbs frame (training
+    # has already materialized it). The wide-code form feeds the ADC
+    # scan (round-8 rewrite): est_d2 folds to S element_at lookups
+    # against the broadcast per-query tables and the per-query top-k
+    # is a WindowGroupLimit — the (sub, code) equi-join shape this
+    # replaced measured SLOWER than exact brute force at 1 M x 128
+    # queries (81.9 vs 64.4 s, tools/ann_crossover.py).
+    import numpy as np
+    by_sub: dict[int, list] = {}
+    for r in cent.collect():
+        by_sub.setdefault(int(r["sub"]), []).append(
+            (int(r["cid"]), [int(x) for x in r["c"]]))
+    cb_np = []
+    for s in range(subspaces):
+        entries = sorted(by_sub.get(s, []))
+        cb_np.append((np.array([c for c, _ in entries], dtype=np.int64),
+                      np.array([v for _, v in entries], dtype=np.int64)))
+
+    def _encode(batches):
+        import numpy as _np
+        import pandas as _pd
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = _np.stack(pdf["fv"].to_numpy()).astype(_np.int64)
+            out = {"vec_id": pdf["vec_id"]}
+            for s, (cids, cents) in enumerate(cb_np):
+                xs = x[:, s * sub_dim:(s + 1) * sub_dim]
+                d = xs[:, None, :] - cents[None, :, :]
+                d2 = _np.einsum("bkd,bkd->bk", d, d)
+                out[f"_c{s}"] = cids[_np.argmin(d2, axis=1)]
+            yield _pd.DataFrame(out)
+
+    codes_wide = pts.mapInPandas(
+        _encode, schema="vec_id bigint, " + ", ".join(
+            f"_c{s} bigint" for s in range(subspaces)))
 
     # DENSIFIED per-query lookup arrays (r8 ADVICE fix): a refit can
     # empty a cluster (duplicate subvectors among the k seed vectors,
@@ -257,15 +296,18 @@ def pq_adc_scan(codes_wide: DataFrame, qwide: DataFrame, subspaces: int = 4,
     threshold frame broadcasts back into the filter. Costs three
     extra cheap aggregation passes, so the default gate-scale path
     keeps the single-sort plan."""
-    if prefilter:
-        # the prefilter evaluates the est expression in FOUR passes
-        # (range, histogram, filter, final window); over a lazy
-        # codes frame each pass would re-run the whole encode
-        # (assignment + wide-code pivot — measured 92.9 s vs ~33 s
-        # end-to-end at the 1 M design point), so pin the codes: they
-        # are the 64x-compressed representation (n·(S+1) ints), tiny
-        # by design, registered for release like every builder cache.
-        codes_wide = _cache.pin(codes_wide)
+    # ALWAYS pin the codes: they are the 64x-compressed representation
+    # (n·(S+1) ints), tiny by design, registered for release like
+    # every builder cache — and the pin is a COLLAPSE BARRIER, not
+    # just a reuse. Since the round-9 v3 encode is a lazy projection,
+    # Catalyst's CollapseProject would otherwise fold the whole
+    # nearest-centroid expression INTO the per-(vector, query) scan
+    # expression above the crossJoin, re-running the encode once per
+    # query (measured: the raw ADC arm went 11 s -> 21 s at q=8 and
+    # 36 s at q=128 before this pin); the prefilter additionally
+    # re-reads est in four passes (a lazy codes chain re-ran encode
+    # per pass: 92.9 s vs ~33 s end-to-end at the 1 M point).
+    codes_wide = _cache.pin(codes_wide)
     est = (codes_wide.crossJoin(F.broadcast(qwide))
            .select("q_id", "vec_id",
                    sum(F.element_at(
