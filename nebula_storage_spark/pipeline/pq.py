@@ -91,25 +91,25 @@ def pq_train_encode(emb: DataFrame, n_queries: int = 3, subspaces: int = 4,
                                 ivec.alias("fv")))
     dim = len(pts.select("fv").first()[0])
     sub_dim = dim // subspaces
-    # ZERO corpus-sized exchanges anywhere in PQ (round 9, v3 of this
-    # loop): the codebook is S·k tiny rows BY CONSTRUCTION, so nearest-
-    # centroid never needs the explode + groupBy(sub, vec_id) min-
-    # struct the earlier shapes used — it folds into a pure expression
-    # map over UN-exploded vector rows crossed with a ONE-ROW broadcast
-    # carrying all S codebooks as nested arrays (`cbs`). The round's
-    # measurement program forced this: v1 pinned the n·S-row exploded
+    # ZERO corpus-sized exchanges anywhere in PQ (round 9): the
+    # codebook is S·k tiny rows BY CONSTRUCTION, so nearest-centroid
+    # never needs the explode + groupBy(sub, vec_id) min-struct the
+    # earlier shapes used — assignment and encode are MAPS over
+    # un-exploded vector rows. The round's measurement program forced
+    # this in three falsified steps: v1 pinned the n·S-row exploded
     # frame pre-partitioned on the assignment key (one exchange, paid
     # at materialization, plus a corpus-sized cache); v2 dropped the
     # pin and the encode's groupBy planted its own n·S exchange —
-    # measured at the 1 M design point the two roughly tie (32.0 vs
-    # 52.1 s at q=8, 50.9 vs 39.2 at q=128: the exchange and the cache
-    # cost the same corpus-sized movement). v3 removes the explode,
-    # the exchange, AND the corpus cache: per Lloyd iteration one
-    # codegen pass over the (sampled) training vectors emits
-    # (sub, cluster, dim, x) refit rows whose groupBy reduces map-side
-    # to <= S·k·dim partials per task; the encode is a map. Same
-    # integer arithmetic, same (d2, cid) tie rule -> bit-identical
-    # codebooks, codes, and ranks.
+    # at the 1 M design point the two roughly tie (32.0 vs 52.1 s at
+    # q=8, 50.9 vs 39.2 at q=128: the exchange and the cache cost the
+    # same corpus-sized movement); v3 folded nearest-centroid into a
+    # SQL higher-order function over a one-row codebook broadcast —
+    # no explode, no exchange, no cache, but interpreted-lambda
+    # evaluation put the 1 M encode at ~32 s. v4 keeps v3's shape and
+    # moves the arithmetic into Arrow-batched numpy kernels (below);
+    # per Lloyd iteration the refit shuffle is <= S·k·dim partial
+    # rows per task. Same integer arithmetic, same (d2, cid) tie
+    # rule -> bit-identical codebooks, codes, and ranks.
     if train_fraction < 1.0:
         # deterministic per-VECTOR membership (md5 PRF, the
         # similarity-family idiom); the sample is read once per
@@ -145,35 +145,77 @@ def pq_train_encode(emb: DataFrame, n_queries: int = 3, subspaces: int = 4,
                 .select(F.array(*[f"_cb{s}" for s in range(subspaces)])
                         .alias("cbs")))
 
-    # nearest centroid of subspace `s` (an expression-level variable —
-    # the refit binds it inside an outer lambda, the encode burns in a
-    # Python literal): min struct (d2, cid) over that sub's codebook,
-    # exactly the old groupBy-min tie rule (cid unique per sub). The
-    # distance indexes fv DIRECTLY (0-based brackets, in-bounds by
-    # construction) instead of slicing a subvector per centroid — the
-    # slice version allocated a fresh sub_dim array n·S·k times and
-    # profiled ~1.8x slower on the encode pass at the 1 M point.
-    def _code(s: str) -> str:
-        d2 = (f"aggregate(sequence(0, {sub_dim - 1}), CAST(0 AS BIGINT), "
-              f"(acc, j) -> acc + (fv[{s} * {sub_dim} + j] - e.c[j]) "
-              f"* (fv[{s} * {sub_dim} + j] - e.c[j]))")
-        return (f"array_min(transform(element_at(cbs, {s} + 1), "
-                f"e -> struct({d2} AS d2, e.cid AS cid))).cid")
+    # Assignment and encode run as Arrow-batched numpy KERNELS
+    # (mapInPandas), not SQL expressions: the nearest-centroid HOF is
+    # interpreted per lambda invocation, and n·S·k of them profiled
+    # 32 s at the 1 M x k=32 design point where the vectorized
+    # (B, k, dim) int64 einsum does the identical exact arithmetic in
+    # ~2 s. Ties break to the LOWEST cid exactly like the old
+    # min-struct (d2, cid) rule: codebook rows are sorted by cid and
+    # np.argmin returns the first minimum. The codebook is collected
+    # driver-side — S·k tiny rows, the same bounded contract as the
+    # one-row cbs broadcast (training materializes it anyway).
+    import numpy as np
+
+    def _collect_cb(cb: DataFrame) -> list:
+        by_sub: dict[int, list] = {}
+        for r in cb.collect():
+            by_sub.setdefault(int(r["sub"]), []).append(
+                (int(r["cid"]), [int(x) for x in r["c"]]))
+        out = []
+        for s in range(subspaces):
+            entries = sorted(by_sub.get(s, []))
+            out.append(
+                (np.array([c for c, _ in entries], dtype=np.int64),
+                 np.array([v for _, v in entries], dtype=np.int64)))
+        return out
+
+    def _refit_partials(cb_np):
+        """Per Arrow batch: assign each training vector's subvectors
+        to their nearest centroids and emit the refit's partial sums —
+        at most S·k·dim (sub, cid, dim, sx, n) rows per batch. The
+        groupBy below adds exact integers, so the map-side reduction
+        is bit-neutral; the shuffle is codebook-sized, never
+        corpus-sized."""
+        def fn(batches):
+            import numpy as _np
+            import pandas as _pd
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                x = _np.stack(pdf["fv"].to_numpy()).astype(_np.int64)
+                rows = {"sub": [], "cid": [], "dim": [],
+                        "sx": [], "n": []}
+                for s, (cids, cents) in enumerate(cb_np):
+                    xs = x[:, s * sub_dim:(s + 1) * sub_dim]
+                    d = xs[:, None, :] - cents[None, :, :]
+                    a = _np.argmin(
+                        _np.einsum("bkd,bkd->bk", d, d), axis=1)
+                    for j in range(len(cids)):
+                        m = a == j
+                        cnt = int(m.sum())
+                        if not cnt:
+                            continue
+                        sx = xs[m].sum(axis=0, dtype=_np.int64)
+                        rows["sub"].extend([s] * sub_dim)
+                        rows["cid"].extend([int(cids[j])] * sub_dim)
+                        rows["dim"].extend(range(sub_dim))
+                        rows["sx"].extend(int(v) for v in sx)
+                        rows["n"].extend([cnt] * sub_dim)
+                yield _pd.DataFrame(rows).astype(
+                    {"sub": "int32", "cid": "int64", "dim": "int32",
+                     "sx": "int64", "n": "int64"})
+        return fn
 
     prev_cent = None
     for _ in range(iterations - 1):
-        asn = (f"transform(sequence(0, {subspaces - 1}), "
-               f"s -> struct(s AS sub, {_code('s')} AS cluster, "
-               f"slice(fv, s * {sub_dim} + 1, {sub_dim}) AS v))")
-        ex = (train_pts.crossJoin(F.broadcast(_cbs(cent)))
-              .select(F.explode(F.expr(asn)).alias("a"))
-              .select("a.sub", F.col("a.cluster").alias("cluster"),
-                      F.posexplode("a.v").alias("dim", "x")))
-        sums = (ex.groupBy("sub", "cluster", "dim")
-                .agg(F.sum("x").alias("sx"),
-                     F.count(F.lit(1)).alias("n")))
+        partials = train_pts.mapInPandas(
+            _refit_partials(_collect_cb(cent)),
+            schema="sub int, cid bigint, dim int, sx bigint, n bigint")
+        sums = (partials.groupBy("sub", "cid", "dim")
+                .agg(F.sum("sx").alias("sx"), F.sum("n").alias("n")))
         cent = (sums
-                .select("sub", F.col("cluster").alias("cid"), "dim",
+                .select("sub", "cid", "dim",
                         F.expr("sx DIV n").alias("cx"))
                 .groupBy("sub", "cid")
                 .agg(F.sort_array(F.collect_list(
@@ -192,35 +234,16 @@ def pq_train_encode(emb: DataFrame, n_queries: int = 3, subspaces: int = 4,
             prev_cent.unpersist()
         prev_cent = _cache.track(cent)
     cbs = _cbs(cent)
+    cb_np = _collect_cb(cent)
+
     # the ENCODE is a MAP: one row per vector in, S code columns out,
     # zero shuffle (under sampled training this is the only
-    # full-corpus pass). It runs as an Arrow-batched numpy kernel
-    # (mapInPandas), not the _code expression: the nearest-centroid
-    # HOF is interpreted per lambda invocation, and n·S·k of them
-    # profiled 32 s at the 1 M x k=32 design point where the
-    # vectorized (B, k, dim) einsum does the identical int64
-    # arithmetic in ~2 s. Ties break to the LOWEST cid exactly like
-    # array_min's (d2, cid) struct order: the codebook rows are
-    # sorted by cid and np.argmin returns the first minimum. The
-    # codebook itself is collected driver-side — S·k rows, the same
-    # bounded-broadcast contract as the one-row cbs frame (training
-    # has already materialized it). The wide-code form feeds the ADC
-    # scan (round-8 rewrite): est_d2 folds to S element_at lookups
-    # against the broadcast per-query tables and the per-query top-k
-    # is a WindowGroupLimit — the (sub, code) equi-join shape this
+    # full-corpus pass). The wide-code form feeds the ADC scan
+    # (round-8 rewrite): est_d2 folds to S element_at lookups against
+    # the broadcast per-query tables and the per-query top-k is a
+    # WindowGroupLimit — the (sub, code) equi-join shape this
     # replaced measured SLOWER than exact brute force at 1 M x 128
     # queries (81.9 vs 64.4 s, tools/ann_crossover.py).
-    import numpy as np
-    by_sub: dict[int, list] = {}
-    for r in cent.collect():
-        by_sub.setdefault(int(r["sub"]), []).append(
-            (int(r["cid"]), [int(x) for x in r["c"]]))
-    cb_np = []
-    for s in range(subspaces):
-        entries = sorted(by_sub.get(s, []))
-        cb_np.append((np.array([c for c, _ in entries], dtype=np.int64),
-                      np.array([v for _, v in entries], dtype=np.int64)))
-
     def _encode(batches):
         import numpy as _np
         import pandas as _pd
