@@ -277,17 +277,20 @@ SHOWCASE = {
     "knn_pq_adc": (
         ("BroadcastExchange", "HashAggregate", "Exchange",
          "WindowGroupLimit"),
-        "PQ/ADC: all S subspaces train in the SAME Lloyd jobs (corpus "
-        "explodes once into (sub, vec_id, subvector) rows, every step "
-        "keys by sub — r8: one refit barrier per iteration instead of "
-        "S). The ADC scan is wide-code (r8: the (sub, code) equi-join "
-        "shape measured SLOWER than brute at 1M vectors, 81.9 s vs "
-        "64.4; wide-code reads 14.8 s): S codes per vector row x "
-        "broadcast per-query lookup arrays, est_d2 as codegen "
-        "element_at sums, ZERO corpus shuffle after encoding; the "
-        "per-query top-k is WindowGroupLimit (map-side partial "
-        "limit). The corpus is stored as S codes per vector (64x "
-        "smaller than raw floats)."),
+        "PQ/ADC: all S subspaces train in the SAME Lloyd jobs (r8: "
+        "one refit barrier per iteration instead of S), and NO step "
+        "moves corpus-sized data (r9): assignment and encode are "
+        "Arrow-batched numpy kernels over un-exploded vector rows "
+        "(int64 einsum, lowest-cid ties — bit-identical to the "
+        "min-struct rule), so the refit shuffle is <= S*k*dim partial "
+        "rows per task and the encode is a map. The ADC scan is "
+        "wide-code (r8: the (sub, code) equi-join shape measured "
+        "SLOWER than brute at 1M vectors, 81.9 s vs 64.4): S codes "
+        "per vector row x broadcast per-query lookup arrays, est_d2 "
+        "as codegen element_at sums, ZERO corpus shuffle after "
+        "encoding; the per-query top-k is WindowGroupLimit (map-side "
+        "partial limit). The corpus is stored as S codes per vector "
+        "(64x smaller than raw floats)."),
     "knn_pq_rerank": (
         ("BroadcastExchange", "BroadcastHashJoin", "WindowGroupLimit",
          "Exchange"),
