@@ -26,7 +26,13 @@ Gates (exit 1 on violation):
   2. corpus-independence — scan shuffle at the largest factor under
      25 % of the encoded-corpus byte size n·(8 + 4·S) (a corpus-sized
      exchange would be >= 100 %);
-  3. row contract — the scan returns exactly n_queries · topk rows.
+  3. row contract — the scan returns exactly n_queries · topk rows;
+  4. train+encode shuffle (r9 kernel rewrite) — the whole training
+     pipeline's shuffle bytes are constant over corpus growth (<= 3x)
+     and under 1 % of the raw vector bytes: assignment and encode are
+     maps, the refit moves <= S·k·dim partial rows per task, so a
+     corpus-sized exchange reappearing anywhere in train/encode trips
+     this gate.
 
 Usage: python tools/pq_scaling.py [sf_dir] [--factors 64,512]
                                   [--queries 128] [--reps 2]
@@ -84,14 +90,22 @@ def main() -> int:
     for factor in sorted(factors):
         corpus = amplify(emb, factor).repartition(32).persist()
         n = corpus.count()
-        t0 = time.time()
-        codes_wide, qwide = pq_train_encode(
-            corpus, n_queries=nq, subspaces=SUBSPACES, k=K, iterations=2)
-        codes_wide = codes_wide.persist()
-        codes_wide.count()                       # encode untimed
-        qwide = qwide.persist()
-        qwide.count()
-        encode_sec = time.time() - t0
+
+        # train + encode, measured for SHUFFLE as well as wall (r9
+        # kernel rewrite claim: assignment and encode are maps, the
+        # refit shuffle is codebook-sized — so the whole train+encode
+        # pipeline's shuffle bytes must be corpus-independent, tiny
+        # vs the raw vector bytes n·dim·8).
+        def build():
+            cw, qw = pq_train_encode(
+                corpus, n_queries=nq, subspaces=SUBSPACES, k=K,
+                iterations=2)
+            cw = cw.persist()
+            cw.count()                           # encode untimed
+            qw = qw.persist()
+            qw.count()
+            return cw, qw
+        encode_sec, train_sw, (codes_wide, qwide) = measured(app_id, build)
         # warmup scan (codegen), untimed
         pq_adc_scan(codes_wide, qwide, subspaces=SUBSPACES, topk=TOPK).count()
         best_t = best_b = rows = None
@@ -107,6 +121,7 @@ def main() -> int:
         cell = {"op": "pq_adc_scan", "factor": factor, "n_vectors": n,
                 "n_queries": nq,
                 "encode_sec": round(encode_sec, 3),
+                "train_shuffle_kb": round(train_sw / 1024, 1),
                 "scan_sec": round(best_t, 3),
                 "scan_shuffle_kb": round(best_b / 1024, 1),
                 "rows": rows, "ok_rows": ok_rows}
@@ -137,6 +152,24 @@ def main() -> int:
               f"{gate['corpus_growth']}x corpus "
               f"({'OK' if gate['ok'] else 'VIOLATION'}: growth "
               f"{growth:.2f}x, {100 * frac:.2f}% of encoded corpus)")
+        # r9 kernel-rewrite gate: the WHOLE train+encode pipeline
+        # shuffles codebook-sized data only — constant over corpus
+        # growth and a vanishing fraction of the raw vector bytes a
+        # corpus-sized exchange (the falsified v1/v2 shapes) would
+        # have moved.
+        t_growth = hi["train_shuffle_kb"] / max(lo["train_shuffle_kb"], 1.0)
+        vec_kb = hi["n_vectors"] * 64 * 8 / 1024   # dim 64 x 8B quantized
+        t_frac = hi["train_shuffle_kb"] / vec_kb
+        tgate = {"gate": "pq_train_shuffle", "growth": round(t_growth, 2),
+                 "frac_of_vector_bytes": round(t_frac, 5),
+                 "ok": t_growth <= 3.0 and t_frac <= 0.01}
+        violated = violated or not tgate["ok"]
+        print(json.dumps(tgate), flush=True)
+        print(f"train+encode shuffle {lo['train_shuffle_kb']} KB -> "
+              f"{hi['train_shuffle_kb']} KB over "
+              f"{gate['corpus_growth']}x corpus "
+              f"({'OK' if tgate['ok'] else 'VIOLATION'}: growth "
+              f"{t_growth:.2f}x, {100 * t_frac:.3f}% of raw vectors)")
     return 1 if violated else 0
 
 
