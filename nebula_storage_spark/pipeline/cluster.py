@@ -11,21 +11,27 @@ truncating integer division (Spark `DIV` ≡ DuckDB `//`, both toward
 zero); argmin ties break to the lowest cluster id; init is the k
 lowest-id vectors. No step depends on row order or partitioning.
 
-Scale: per iteration = one broadcast of k centroid rows against the
-point frame (k·dim longs — trivially broadcastable for any practical k),
-one (vec_id) argmin hash aggregate, and one (cid, dim) sum — shuffle
-volume n·dim longs, the same profile as the IVF assignment step in
-similarity.py:81+. The higher-order-function distance stays in
-whole-stage codegen; no Python UDFs.
+Scale: ZERO corpus-sized exchanges (round 9, the PQ kernel treatment —
+pipeline/pq.py measured the chain that forced it). Assignment is
+per-ROW argmin over k broadcast centroids, so it never needed the
+crossJoin + groupBy(vec_id) min-struct shape this module used before:
+that plan re-shuffled n rows (carrying their full vectors in the
+min-struct) EVERY iteration, and its higher-order-function distance
+evaluates interpreted per lambda — n·k invocations per pass (the
+1 M-point profile that falsified the same shape in PQ). Assignment
+and refit now run as Arrow-batched numpy kernels: exact int64 einsum
+distances, first-minimum argmin over cid-sorted centroid rows (the
+lowest-cid tie rule, bit-identical to the min-struct order), and the
+refit emits at most k·dim exact partial-sum rows per batch — per
+iteration the only shuffle is codebook-sized. Centroids are collected
+driver-side between iterations (k·dim ints, the bounded-broadcast
+contract).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 from ..cache import pin as _pin
-
-_DIST = ("aggregate(zip_with(v, c, (x, y) -> (x - y) * (x - y)), "
-         "CAST(0 AS BIGINT), (acc, d) -> acc + d)")
 
 
 def kmeans_fixed(emb: DataFrame, k: int = 8, iterations: int = 2,
@@ -55,36 +61,82 @@ def kmeans_fixed(emb: DataFrame, k: int = 8, iterations: int = 2,
     cent = (pts.join(F.broadcast(ranks), "vec_id")
             .select((F.col("_rn") - 1).alias("cid"),
                     F.col("v").alias("c")))
-    asn = None
-    for t in range(iterations):
-        # argmin over k candidates: min of struct (d2, cid, v) — (d2,
-        # cid) is unique per vec so the array field is carried, never
-        # compared; keeping v in the aggregate saves a join back to pts
-        asn = (pts.crossJoin(F.broadcast(cent))
-               .select("vec_id", "v", "cid",
-                       F.expr(_DIST).alias("d2"))
-               .groupBy("vec_id")
-               .agg(F.min(F.struct("d2", "cid", "v")).alias("m"))
-               .select("vec_id", F.col("m.cid").alias("cluster"),
-                       F.col("m.d2").alias("d2"),
-                       F.col("m.v").alias("v")))
-        if t < iterations - 1:
-            ex = asn.select("cluster",
-                            F.posexplode("v").alias("dim", "x"))
-            sums = (ex.groupBy("cluster", "dim")
-                    .agg(F.sum("x").alias("s"),
-                         F.count(F.lit(1)).alias("n")))
-            cent = (sums
-                    .select(F.col("cluster").alias("cid"), "dim",
-                            F.expr("s DIV n").alias("cx"))
-                    .groupBy("cid")
-                    .agg(F.sort_array(F.collect_list(
-                        F.struct("dim", "cx"))).alias("sc"))
-                    .select("cid",
-                            F.expr("transform(sc, s -> s.cx)").alias("c"))
-                    .transform(_pin))
-            cent.count()
-    return asn.select("vec_id", "cluster", "d2")
+    import numpy as np
+
+    def _collect_cb(cb: DataFrame):
+        entries = sorted((int(r["cid"]), [int(x) for x in r["c"]])
+                         for r in cb.collect())
+        return (np.array([c for c, _ in entries], dtype=np.int64),
+                np.array([v for c, v in entries], dtype=np.int64))
+
+    def _refit_partials(cb_np):
+        """Per Arrow batch: nearest-centroid argmin + the refit's
+        exact integer partial sums — at most k·dim rows per batch."""
+        def fn(batches):
+            import numpy as _np
+            import pandas as _pd
+            cids, cents = cb_np
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                x = _np.stack(pdf["v"].to_numpy()).astype(_np.int64)
+                d = x[:, None, :] - cents[None, :, :]
+                a = _np.argmin(_np.einsum("bkd,bkd->bk", d, d), axis=1)
+                rows = {"cluster": [], "dim": [], "sx": [], "n": []}
+                for j in range(len(cids)):
+                    m = a == j
+                    cnt = int(m.sum())
+                    if not cnt:
+                        continue
+                    sx = x[m].sum(axis=0, dtype=_np.int64)
+                    rows["cluster"].extend([int(cids[j])] * x.shape[1])
+                    rows["dim"].extend(range(x.shape[1]))
+                    rows["sx"].extend(int(v) for v in sx)
+                    rows["n"].extend([cnt] * x.shape[1])
+                yield _pd.DataFrame(rows).astype(
+                    {"cluster": "int64", "dim": "int32",
+                     "sx": "int64", "n": "int64"})
+        return fn
+
+    def _assign(cb_np):
+        """Per Arrow batch: (vec_id, cluster, d2) — the final
+        assignment as a pure map, no exchange anywhere."""
+        def fn(batches):
+            import numpy as _np
+            import pandas as _pd
+            cids, cents = cb_np
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                x = _np.stack(pdf["v"].to_numpy()).astype(_np.int64)
+                d = x[:, None, :] - cents[None, :, :]
+                d2 = _np.einsum("bkd,bkd->bk", d, d)
+                a = _np.argmin(d2, axis=1)
+                yield _pd.DataFrame(
+                    {"vec_id": pdf["vec_id"],
+                     "cluster": cids[a],
+                     "d2": d2[_np.arange(len(a)), a]})
+        return fn
+
+    for _ in range(iterations - 1):
+        partials = pts.mapInPandas(
+            _refit_partials(_collect_cb(cent)),
+            schema="cluster bigint, dim int, sx bigint, n bigint")
+        sums = (partials.groupBy("cluster", "dim")
+                .agg(F.sum("sx").alias("s"), F.sum("n").alias("n")))
+        cent = (sums
+                .select(F.col("cluster").alias("cid"), "dim",
+                        F.expr("s DIV n").alias("cx"))
+                .groupBy("cid")
+                .agg(F.sort_array(F.collect_list(
+                    F.struct("dim", "cx"))).alias("sc"))
+                .select("cid",
+                        F.expr("transform(sc, s -> s.cx)").alias("c"))
+                .transform(_pin))
+        cent.count()
+    return pts.mapInPandas(
+        _assign(_collect_cb(cent)),
+        schema="vec_id bigint, cluster bigint, d2 bigint")
 
 
 def kmeans_oracle_sql(k: int = 8, iterations: int = 2,
