@@ -61,13 +61,16 @@ def kmeans_fixed(emb: DataFrame, k: int = 8, iterations: int = 2,
     cent = (pts.join(F.broadcast(ranks), "vec_id")
             .select((F.col("_rn") - 1).alias("cid"),
                     F.col("v").alias("c")))
-    import numpy as np
+    # the stack/einsum/argmin/partial-sum arithmetic and the lowest-cid
+    # tie rule live in pipeline/kernels.py — ONE copy shared with
+    # pipeline/pq.py (r10, per r9 ADVICE: two drift-prone copies of
+    # tie-break-sensitive exactness arithmetic).
+    from .kernels import collect_centroids
 
     def _collect_cb(cb: DataFrame):
-        entries = sorted((int(r["cid"]), [int(x) for x in r["c"]])
-                         for r in cb.collect())
-        return (np.array([c for c, _ in entries], dtype=np.int64),
-                np.array([v for c, v in entries], dtype=np.int64))
+        return collect_centroids(
+            (int(r["cid"]), [int(x) for x in r["c"]])
+            for r in cb.collect())
 
     def _refit_partials(cb_np):
         """Per Arrow batch: nearest-centroid argmin + the refit's
@@ -75,21 +78,17 @@ def kmeans_fixed(emb: DataFrame, k: int = 8, iterations: int = 2,
         def fn(batches):
             import numpy as _np
             import pandas as _pd
+            from nebula_storage_spark.pipeline.kernels import (
+                nearest_centroid, refit_partial_sums)
             cids, cents = cb_np
             for pdf in batches:
                 if not len(pdf):
                     continue
                 x = _np.stack(pdf["v"].to_numpy()).astype(_np.int64)
-                d = x[:, None, :] - cents[None, :, :]
-                a = _np.argmin(_np.einsum("bkd,bkd->bk", d, d), axis=1)
+                a, _ = nearest_centroid(x, cents)
                 rows = {"cluster": [], "dim": [], "sx": [], "n": []}
-                for j in range(len(cids)):
-                    m = a == j
-                    cnt = int(m.sum())
-                    if not cnt:
-                        continue
-                    sx = x[m].sum(axis=0, dtype=_np.int64)
-                    rows["cluster"].extend([int(cids[j])] * x.shape[1])
+                for cid, cnt, sx in refit_partial_sums(x, a, cids):
+                    rows["cluster"].extend([cid] * x.shape[1])
                     rows["dim"].extend(range(x.shape[1]))
                     rows["sx"].extend(int(v) for v in sx)
                     rows["n"].extend([cnt] * x.shape[1])
@@ -104,20 +103,21 @@ def kmeans_fixed(emb: DataFrame, k: int = 8, iterations: int = 2,
         def fn(batches):
             import numpy as _np
             import pandas as _pd
+            from nebula_storage_spark.pipeline.kernels import (
+                nearest_centroid)
             cids, cents = cb_np
             for pdf in batches:
                 if not len(pdf):
                     continue
                 x = _np.stack(pdf["v"].to_numpy()).astype(_np.int64)
-                d = x[:, None, :] - cents[None, :, :]
-                d2 = _np.einsum("bkd,bkd->bk", d, d)
-                a = _np.argmin(d2, axis=1)
+                a, d2 = nearest_centroid(x, cents)
                 yield _pd.DataFrame(
                     {"vec_id": pdf["vec_id"],
                      "cluster": cids[a],
                      "d2": d2[_np.arange(len(a)), a]})
         return fn
 
+    prev_cent = None
     for _ in range(iterations - 1):
         partials = pts.mapInPandas(
             _refit_partials(_collect_cb(cent)),
@@ -134,6 +134,14 @@ def kmeans_fixed(emb: DataFrame, k: int = 8, iterations: int = 2,
                         F.expr("transform(sc, s -> s.cx)").alias("c"))
                 .transform(_pin))
         cent.count()
+        # release-on-supersede (r9 ADVICE, mirroring pq.py's loop): the
+        # final assignment uses driver-collected numpy centroids, so a
+        # superseded iteration's pinned cent frame is dead weight once
+        # the new one materializes (k·dim ints each — small, but the
+        # registry precedent is explicit release).
+        if prev_cent is not None:
+            prev_cent.unpersist()
+        prev_cent = cent
     return pts.mapInPandas(
         _assign(_collect_cb(cent)),
         schema="vec_id bigint, cluster bigint, d2 bigint")

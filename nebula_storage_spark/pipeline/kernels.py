@@ -1,0 +1,64 @@
+"""Shared Arrow-batch numpy kernels for the Lloyd-iteration pipelines
+(pipeline/pq.py and pipeline/cluster.py) — extracted per r9 ADVICE:
+the two modules carried near-copies of the tie-break-sensitive
+stack/einsum/argmin/partial-sum arithmetic, and two copies of an
+exactness-critical kernel can drift independently. This module is the
+single definition both import.
+
+Determinism contract (what makes the kernels bit-identical to the SQL
+expression plans they replaced, and to the unrolled DuckDB oracles):
+
+  * all arithmetic is EXACT int64 — the vectors are fixed-point scaled
+    BIGINTs, squared distances are Σ(xi-ci)² computed in int64 (dim and
+    scale are sized so no intermediate overflows), refit partial sums
+    add exact integers so map-side reduction order cannot matter;
+  * ties break to the LOWEST cid: `collect_centroids` sorts rows by
+    cid and `np.argmin` returns the FIRST minimum, which reproduces
+    the min-struct (d2, cid) ordering of the old expression plans.
+
+Worker-import contract: the mapInPandas closures import this module
+INSIDE the closure body, so the import executes on the executor's
+Python worker. Local mode inherits the driver's sys.path; a cluster
+deployment ships the package (--py-files / an installed wheel) exactly
+as it must for every other package module the plans touch.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def collect_centroids(entries) -> tuple[np.ndarray, np.ndarray]:
+    """[(cid, vec), ...] -> (cids int64[k], cents int64[k, dim]),
+    rows sorted by cid. The sort IS the tie rule: argmin's
+    first-minimum over cid-sorted rows selects the lowest cid among
+    equal distances."""
+    entries = sorted(entries)
+    return (np.array([c for c, _ in entries], dtype=np.int64),
+            np.array([v for _, v in entries], dtype=np.int64))
+
+
+def nearest_centroid(x: np.ndarray, cents: np.ndarray
+                     ) -> tuple[np.ndarray, np.ndarray]:
+    """Exact int64 nearest-centroid assignment for one Arrow batch.
+    x: (B, dim) int64; cents: (k, dim) int64, cid-sorted.
+    Returns (assign (B,) first-minimum indices, d2 (B, k) exact
+    squared distances)."""
+    d = x[:, None, :] - cents[None, :, :]
+    d2 = np.einsum("bkd,bkd->bk", d, d)
+    return np.argmin(d2, axis=1), d2
+
+
+def refit_partial_sums(x: np.ndarray, assign: np.ndarray,
+                       cids: np.ndarray):
+    """The refit's per-batch partials: yields (cid, count, sx int64[dim])
+    for each NON-empty cluster — at most k rows per batch, the
+    codebook-sized-shuffle contract both pipelines gate on
+    (tools/pq_scaling.py, tools/kmeans_scaling.py). Summing exact
+    integers keeps the downstream groupBy bit-neutral to batch and
+    merge order."""
+    for j in range(len(cids)):
+        m = assign == j
+        cnt = int(m.sum())
+        if cnt:
+            yield int(cids[j]), cnt, x[m].sum(axis=0, dtype=np.int64)

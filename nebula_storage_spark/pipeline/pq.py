@@ -119,6 +119,19 @@ def pq_train_encode(emb: DataFrame, n_queries: int = 3, subspaces: int = 4,
             F.lit("pqt#"), F.col("vec_id").cast("string"))), 1, 4),
             16, 10).cast("bigint") < thr)
         train_pts = _cache.pin(pts.filter(prf))
+        # r9 ADVICE: thr=max(1,...) guards the FRACTION, not the corpus
+        # size — on a small corpus the PRF can admit zero rows (or fewer
+        # than k seeds), and an empty codebook surfaces as an opaque
+        # np.argmin ValueError inside executors during encode. Fail
+        # loudly here instead; the count also materializes the pinned
+        # sample the Lloyd iterations re-read.
+        n_train = train_pts.count()
+        if n_train < k:
+            raise ValueError(
+                f"pq_train_encode: train_fraction={train_fraction} "
+                f"sampled only {n_train} vectors but k={k} seeds are "
+                f"needed — raise train_fraction (corpus too small for "
+                f"this sampling rate)")
     else:
         train_pts = pts
     seed_ids = train_pts.orderBy("vec_id").limit(k).select("vec_id")
@@ -150,25 +163,20 @@ def pq_train_encode(emb: DataFrame, n_queries: int = 3, subspaces: int = 4,
     # interpreted per lambda invocation, and n·S·k of them profiled
     # 32 s at the 1 M x k=32 design point where the vectorized
     # (B, k, dim) int64 einsum does the identical exact arithmetic in
-    # ~2 s. Ties break to the LOWEST cid exactly like the old
-    # min-struct (d2, cid) rule: codebook rows are sorted by cid and
-    # np.argmin returns the first minimum. The codebook is collected
-    # driver-side — S·k tiny rows, the same bounded contract as the
-    # one-row cbs broadcast (training materializes it anyway).
-    import numpy as np
+    # ~2 s. The arithmetic and the lowest-cid tie rule live in
+    # pipeline/kernels.py (ONE copy shared with pipeline/cluster.py —
+    # r10, per r9 ADVICE). The codebook is collected driver-side —
+    # S·k tiny rows, the same bounded contract as the one-row cbs
+    # broadcast (training materializes it anyway).
+    from .kernels import collect_centroids
 
     def _collect_cb(cb: DataFrame) -> list:
         by_sub: dict[int, list] = {}
         for r in cb.collect():
             by_sub.setdefault(int(r["sub"]), []).append(
                 (int(r["cid"]), [int(x) for x in r["c"]]))
-        out = []
-        for s in range(subspaces):
-            entries = sorted(by_sub.get(s, []))
-            out.append(
-                (np.array([c for c, _ in entries], dtype=np.int64),
-                 np.array([v for _, v in entries], dtype=np.int64)))
-        return out
+        return [collect_centroids(by_sub.get(s, []))
+                for s in range(subspaces)]
 
     def _refit_partials(cb_np):
         """Per Arrow batch: assign each training vector's subvectors
@@ -180,6 +188,8 @@ def pq_train_encode(emb: DataFrame, n_queries: int = 3, subspaces: int = 4,
         def fn(batches):
             import numpy as _np
             import pandas as _pd
+            from nebula_storage_spark.pipeline.kernels import (
+                nearest_centroid, refit_partial_sums)
             for pdf in batches:
                 if not len(pdf):
                     continue
@@ -188,17 +198,10 @@ def pq_train_encode(emb: DataFrame, n_queries: int = 3, subspaces: int = 4,
                         "sx": [], "n": []}
                 for s, (cids, cents) in enumerate(cb_np):
                     xs = x[:, s * sub_dim:(s + 1) * sub_dim]
-                    d = xs[:, None, :] - cents[None, :, :]
-                    a = _np.argmin(
-                        _np.einsum("bkd,bkd->bk", d, d), axis=1)
-                    for j in range(len(cids)):
-                        m = a == j
-                        cnt = int(m.sum())
-                        if not cnt:
-                            continue
-                        sx = xs[m].sum(axis=0, dtype=_np.int64)
+                    a, _ = nearest_centroid(xs, cents)
+                    for cid, cnt, sx in refit_partial_sums(xs, a, cids):
                         rows["sub"].extend([s] * sub_dim)
-                        rows["cid"].extend([int(cids[j])] * sub_dim)
+                        rows["cid"].extend([cid] * sub_dim)
                         rows["dim"].extend(range(sub_dim))
                         rows["sx"].extend(int(v) for v in sx)
                         rows["n"].extend([cnt] * sub_dim)
@@ -247,6 +250,7 @@ def pq_train_encode(emb: DataFrame, n_queries: int = 3, subspaces: int = 4,
     def _encode(batches):
         import numpy as _np
         import pandas as _pd
+        from nebula_storage_spark.pipeline.kernels import nearest_centroid
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -254,9 +258,8 @@ def pq_train_encode(emb: DataFrame, n_queries: int = 3, subspaces: int = 4,
             out = {"vec_id": pdf["vec_id"]}
             for s, (cids, cents) in enumerate(cb_np):
                 xs = x[:, s * sub_dim:(s + 1) * sub_dim]
-                d = xs[:, None, :] - cents[None, :, :]
-                d2 = _np.einsum("bkd,bkd->bk", d, d)
-                out[f"_c{s}"] = cids[_np.argmin(d2, axis=1)]
+                a, _ = nearest_centroid(xs, cents)
+                out[f"_c{s}"] = cids[a]
             yield _pd.DataFrame(out)
 
     codes_wide = pts.mapInPandas(
@@ -321,15 +324,17 @@ def pq_adc_scan(codes_wide: DataFrame, qwide: DataFrame, subspaces: int = 4,
     keeps the single-sort plan."""
     # ALWAYS pin the codes: they are the 64x-compressed representation
     # (n·(S+1) ints), tiny by design, registered for release like
-    # every builder cache — and the pin is a COLLAPSE BARRIER, not
-    # just a reuse. Since the round-9 v3 encode is a lazy projection,
-    # Catalyst's CollapseProject would otherwise fold the whole
-    # nearest-centroid expression INTO the per-(vector, query) scan
-    # expression above the crossJoin, re-running the encode once per
-    # query (measured: the raw ADC arm went 11 s -> 21 s at q=8 and
-    # 36 s at q=128 before this pin); the prefilter additionally
-    # re-reads est in four passes (a lazy codes chain re-ran encode
-    # per pass: 92.9 s vs ~33 s end-to-end at the 1 M point).
+    # every builder cache — and the pin is a RE-EXECUTION BARRIER, not
+    # just a reuse. The v4 encode is a mapInPandas kernel (so
+    # CollapseProject can no longer fold it into the scan expression —
+    # the v3-era mechanism this comment used to describe), but an
+    # UNCACHED kernel still re-runs once per downstream pass over the
+    # codes: the prefilter's min/max + histogram + threshold + rank
+    # passes re-scan est four times (a lazy codes chain re-ran the
+    # encode per pass: 92.9 s vs ~33 s end-to-end at the 1 M point),
+    # and a deployment's repeated pq_adc_scan calls over one encoding
+    # would each pay the full-corpus kernel again (the v3 numbers for
+    # that shape: 11 s -> 21 s at q=8, 36 s at q=128).
     codes_wide = _cache.pin(codes_wide)
     est = (codes_wide.crossJoin(F.broadcast(qwide))
            .select("q_id", "vec_id",
