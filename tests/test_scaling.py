@@ -86,6 +86,27 @@ def test_pq_adc_scan_shuffle_stays_corpus_independent():
 
 
 @pytest.mark.scaling
+def test_kmeans_pipeline_shuffle_stays_corpus_independent():
+    """The k-means tripwire (r9 verdict, Next #5 — the PQ treatment for
+    pipeline/cluster.py's kernel rewrite): the whole kmeans_fixed
+    pipeline — seed rank, refit, final assignment — shuffles only
+    codebook-sized data, so measured shuffle-write bytes must stay
+    ~flat while the corpus grows 8x (16k -> 128k vectors; measured
+    383 -> 381 KB). A regression to the falsified crossJoin +
+    groupBy(vec_id) min-struct assignment would move >= one corpus of
+    (vec_id, struct(d2, cid, v)) rows per iteration and blow the
+    tool's 3x-growth and 1%-of-vector-bytes gates. The row contract
+    (n rows out, cluster ids within [0, k)) rides along via the tool's
+    exit code."""
+    cells = _run_tool(
+        [os.path.join("tools", "kmeans_scaling.py"),
+         "/root/testdata/sf0.1", "--factors", "8,64", "--reps", "1"])
+    gate = [c for c in cells if c.get("gate") == "kmeans_shuffle"]
+    assert gate and gate[0]["ok"], gate
+    assert gate[0]["corpus_growth"] >= 8.0, gate
+
+
+@pytest.mark.scaling
 def test_sketch_shuffle_bytes_stay_constant():
     """The sketch-constancy tripwire at 1x/10x (sf0.1 — at sf0.01 the
     HLL arm's ~190 KB base is AQE/metadata noise and the ratio is
