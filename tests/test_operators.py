@@ -1528,3 +1528,72 @@ def test_type_sweep_skip_list_in_sync(spark, sf_dir):
                 f"{name} neither matches a SKIP_PREFIXES entry nor "
                 f"schema-resolves: {exc}") from exc
         assert dtypes, name
+
+
+def test_bucketed_mutations_match_logical_postimage(spark, tmp_path):
+    """mutate/bucketed.py (r10): the partial-rewrite applies must yield
+    the SAME post-image as the full-table logical operators they wrap,
+    and must physically rewrite ONLY the touched `_bucket=` dirs —
+    the write-path contract tools/mutate_scaling.py measures at
+    1x/10x/100x (upsert falls 96.6 % -> 6.0 % of table bytes rewritten
+    at sf0.1 while the batch stays fixed)."""
+    import os
+    from nebula_storage_spark.mutate import upsert
+    from nebula_storage_spark.mutate.bucketed import (
+        delete_bucketed, read_bucketed, ttl_purge_partitions,
+        upsert_bucketed, write_bucketed, write_day_partitioned)
+
+    table = spark.range(200).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("n"), F.col("id").cast("string")).alias("name"),
+        (F.col("id") * 1.5).alias("bal"))
+    set_exprs = {"bal": "coalesce(t.bal, 0.0) + s.delta",
+                 "name": "coalesce(t.name, s.src_name)"}
+    batch = spark.createDataFrame(
+        [(0, 10.0, "x"), (7, 10.0, "x"), (33, 10.0, "x"),
+         (1000, 5.0, "new")],
+        "k bigint, delta double, src_name string")
+
+    def rows(df):
+        return sorted(map(tuple, df.select("k", "name", "bal").collect()))
+
+    # --- upsert: post-image parity + untouched dirs stay untouched
+    path = str(tmp_path / "t_upsert")
+    write_bucketed(table, "k", path, n_buckets=8)
+    before = {}
+    for root, _d, files in os.walk(path):
+        for f in files:
+            p = os.path.join(root, f)
+            before[p] = os.stat(p).st_mtime_ns
+    touched = upsert_bucketed(spark, path, batch, ["k"], set_exprs,
+                              n_buckets=8)
+    assert rows(read_bucketed(spark, path)) \
+        == rows(upsert(table, batch, ["k"], set_exprs))
+    changed_dirs = set()
+    for root, _d, files in os.walk(path):
+        for f in files:
+            p = os.path.join(root, f)
+            if before.get(p) != os.stat(p).st_mtime_ns:
+                rel = os.path.relpath(p, path)
+                if os.sep in rel:
+                    changed_dirs.add(rel.split(os.sep)[0])
+    assert changed_dirs <= {f"_bucket={b}" for b in touched}
+    assert len(touched) < 8          # a 4-key batch can't touch all 8
+
+    # --- delete: anti-join parity (absent key is a no-op)
+    path = str(tmp_path / "t_delete")
+    write_bucketed(table, "k", path, n_buckets=8)
+    keys = spark.createDataFrame([(5,), (17,), (999,)], "k bigint")
+    delete_bucketed(spark, path, keys, "k", n_buckets=8)
+    assert rows(read_bucketed(spark, path)) \
+        == rows(table.join(keys, "k", "left_anti"))
+
+    # --- ttl: partition drop parity, zero bytes rewritten
+    path = str(tmp_path / "t_ttl")
+    day = F.date_add(F.lit("2024-01-01"), F.pmod(F.col("k"), F.lit(5))
+                     .cast("int"))
+    write_day_partitioned(table.withColumn("_day", day), "_day", path)
+    dropped, kept = ttl_purge_partitions(spark, path, "_day", "2024-01-03")
+    assert (dropped, kept) == (2, 3)
+    assert (spark.read.parquet(path).count()
+            == table.filter(F.pmod(F.col("k"), F.lit(5)) >= 2).count())

@@ -107,6 +107,29 @@ def test_kmeans_pipeline_shuffle_stays_corpus_independent():
 
 
 @pytest.mark.scaling
+def test_keyed_upsert_rewrites_touched_buckets_not_table():
+    """The mutate-family tripwire (r9 verdict, Next #1): a keyed upsert
+    against the bucketed layout (mutate/bucketed.py) rewrites
+    O(|batch| + touched-bucket bytes), not O(table) — at a 10x table
+    growth with a fixed ~50-key batch the rewritten fraction must fall
+    to <= 15 % (a naive full-table rewrite is 100 % at every factor)
+    and rewritten bytes must grow sub-sqrt. The TTL purge against the
+    day-partitioned layout must rewrite ZERO bytes (partition drops
+    are metadata ops). Exactness rides along via the tool's exit code:
+    the reloaded table must equal the full-table logical operator's
+    post-image."""
+    cells = _run_tool(
+        [os.path.join("tools", "mutate_scaling.py"),
+         "/root/testdata/sf0.01", "--factors", "10,100",
+         "--ops", "upsert,ttl"])
+    up = [c for c in cells if c.get("gate") == "upsert_partial_rewrite"]
+    ttl = [c for c in cells if c.get("gate") == "ttl_zero_rewrite"]
+    assert up and up[0]["ok"], up
+    assert up[0]["table_growth"] >= 10.0, up
+    assert ttl and ttl[0]["ok"], ttl
+
+
+@pytest.mark.scaling
 def test_sketch_shuffle_bytes_stay_constant():
     """The sketch-constancy tripwire at 1x/10x (sf0.1 — at sf0.01 the
     HLL arm's ~190 KB base is AQE/metadata noise and the ratio is
