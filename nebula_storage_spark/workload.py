@@ -3633,53 +3633,45 @@ ORACLE_ANALYTIC = {
 #
 # At the very head: queries whose CODE changed since their latest
 # driver row, so the changed plan gets a fresh driver artifact first.
-# Round 9's only plan-affecting change is knn_pq_adc: the ADC lookup
-# arrays are now DENSIFIED to k slots keyed by code value (the r8
-# ADVICE non-contiguous-cid fix, pipeline/pq.py) — identical output
-# on the gate data (cids stay contiguous there), different plan.
-# The round's other code touches (persist-registry registration via
-# .transform(track)) are plan-neutral by construction. knn_pq_rerank
-# is NEW in r9 and sorts first automatically (no driver row yet).
+# Round 9's kernel rewrites (pipeline/cluster.py, pipeline/pq.py —
+# the Arrow-batch numpy assignment/encode/refit) landed AFTER the
+# round's driver sample ran, and round 10 extracted the shared
+# kernels into pipeline/kernels.py: the three k-means-backed queries
+# (latest rows r5/r6) and knn_pq_adc (r9 row recorded pre-kernel)
+# front the sample so the executed plans gain fresh driver artifacts
+# (r9 verdict, Next #3). knn_pq_rerank's r9 row was recorded at the
+# final r9 HEAD and its r10 diff is the plan-neutral kernel
+# extraction (bit-identity re-verified by hand-drive), so it stays
+# in its cohort.
 _REFRESH_HEAD = (
+    "kmeans_embeddings",
+    "cluster_top_terms",
+    "hard_negative_mining",
     "knn_pq_adc",
 )
 
-# Queries whose LATEST driver row is CORRECTNESS_r03.json (29 after
-# the r8 sample took 14 of the original 43).
-_LATEST_R03 = frozenset({
-    "anti_join_no_urgent", "bucketed_join", "common_neighbors",
-    "cube_revenue", "datetime_surface", "dedup_ngram_pruned",
-    "degree_quantiles", "fetch_multi_tag", "go_expr",
-    "go_stats_with_limit", "index_rebuild_edge", "lang_confusion",
-    "lookup_edge_index", "lookup_null", "neighbor_jaccard",
-    "preferential_attachment", "range_click_attribution",
-    "resource_allocation", "running_total", "source_orc_roundtrip",
-    "sssp_distances", "stream_cdc_upsert", "stream_dedup",
-    "string_surface", "tpch_q18", "tpch_q4_semi", "tpch_q6",
-    "triangle_counts", "vocab_topk",
-})
+# The r3 cohort drained to zero in the r9 sample (its 29 remaining
+# rows all re-checked green — CORRECTNESS_r09.json).
 
-# Queries whose LATEST driver row is CORRECTNESS_r04.json (35).
+# Queries whose LATEST driver row is CORRECTNESS_r04.json (16 after
+# the r9 sample took 19 of the 35).
 _LATEST_R04 = frozenset({
-    "bpe_pair_counts", "customer_value_quartiles", "dedup_chunk_exact",
-    "dedup_fuzzy", "doc_mixture_sample", "edge_triangle_support",
-    "events_anomaly_zscore", "events_cohort_retention",
-    "events_fill_forward", "events_funnel", "events_lead_lag",
-    "hll_incremental", "hof_surface", "index_incremental",
-    "inverted_index_search", "mm_video_meta", "price_size_correlation",
-    "scc_components", "scd2_history", "store_compaction",
-    "stream_enrich", "stream_join", "tpch_q10", "tpch_q13", "tpch_q14",
-    "tpch_q15", "tpch_q16_shape", "tpch_q17", "tpch_q19",
-    "tpch_q20_shape", "tpch_q21_shape", "tpch_q2_shape", "tpch_q5",
-    "tpch_q7", "tpch_q8",
+    "dedup_chunk_exact", "dedup_fuzzy", "doc_mixture_sample",
+    "edge_triangle_support", "events_anomaly_zscore",
+    "events_cohort_retention", "events_fill_forward", "events_funnel",
+    "inverted_index_search", "scd2_history", "store_compaction",
+    "stream_enrich", "tpch_q16_shape", "tpch_q17", "tpch_q20_shape",
+    "tpch_q8",
 })
 
-# Queries whose LATEST driver row is CORRECTNESS_r05.json (48 here;
-# knn_pq_adc also has an r5 row but moved to _REFRESH_HEAD — its
-# Lloyd training was restructured in round 8).
+# Queries whose LATEST driver row is CORRECTNESS_r05.json (46 here;
+# cluster_top_terms and hard_negative_mining also have r5 rows but
+# moved to _REFRESH_HEAD — their k-means stage was kernel-rewritten
+# in round 9 after that row. knn_pq_adc's r5 row is likewise
+# superseded by _REFRESH_HEAD membership.)
 _LATEST_R05 = frozenset({
     "analyze_table_stats", "ann_recall_eval", "bm25_topk",
-    "bpe_train_merges", "butterfly_count", "cluster_top_terms",
+    "bpe_train_merges", "butterfly_count",
     "conductance_brands", "dedup_semantic_rerank",
     "dedup_setsim_prefix", "degree_log_histogram",
     "doc_rarity_score", "dq_checks", "embedding_robust_scale",
@@ -3688,7 +3680,7 @@ _LATEST_R05 = frozenset({
     "events_markov_transitions", "events_new_users_daily",
     "events_pivot", "events_rolling_avg", "find_path_strings",
     "global_transitivity", "greedy_set_cover",
-    "hard_negative_mining", "harmonic_centrality", "hits_scores",
+    "harmonic_centrality", "hits_scores",
     "k_truss_edges", "kcenter_init",
     "louvain_one_sweep", "rendezvous_parts",
     "revenue_grouping_sets", "rfm_segments", "source_concentration",
@@ -3699,7 +3691,9 @@ _LATEST_R05 = frozenset({
     "weighted_pagerank", "zorder_pruning",
 })
 
-# Queries whose LATEST driver row is CORRECTNESS_r06.json (43).
+# Queries whose LATEST driver row is CORRECTNESS_r06.json (42 here;
+# kmeans_embeddings also has an r6 row but moved to _REFRESH_HEAD —
+# the r9 kernel rewrite postdates it).
 _LATEST_R06 = frozenset({
     "basket_affinity", "betweenness_2hop", "bigram_lm_rarity",
     "closeness_centrality", "corpus_stats", "decontaminate",
@@ -3708,7 +3702,7 @@ _LATEST_R06 = frozenset({
     "dedup_minhash_lsh", "dedup_simhash",
     "dedup_simhash_pairs", "doc_fingerprint", "embedding_near_dup",
     "events_mad_outliers", "events_winsorize",
-    "ft_index_incremental", "kmeans_embeddings",
+    "ft_index_incremental",
     "knn_bruteforce", "knn_hyperplane_lsh", "knn_ivf",
     "knn_ivf_incremental", "knn_ivf_nprobe", "knn_ivf_persisted",
     "knn_lsh_multiprobe", "lang_id", "modularity_brands",
@@ -3765,13 +3759,36 @@ _LATEST_R08 = frozenset({
     "upsert_returning", "walk_skipgrams", "weighted_sample_docs",
 })
 
-# Every query with ANY driver CORRECTNESS row (r1–r8) — the cohorts
+# Queries whose LATEST driver row is CORRECTNESS_r09.json (49 here;
+# knn_pq_adc also has an r9 row but sits in _REFRESH_HEAD — see its
+# comment; the cohort sets must stay an exact partition of
+# _DRIVER_CHECKED_EVER): the r9 sample = knn_pq_rerank (new) +
+# knn_pq_adc + the entire remaining r3 cohort (29) + 19 of r4.
+_LATEST_R09 = frozenset({
+    "anti_join_no_urgent", "bpe_pair_counts", "bucketed_join",
+    "common_neighbors", "cube_revenue", "customer_value_quartiles",
+    "datetime_surface", "dedup_ngram_pruned", "degree_quantiles",
+    "events_lead_lag", "fetch_multi_tag", "go_expr",
+    "go_stats_with_limit", "hll_incremental", "hof_surface",
+    "index_incremental", "index_rebuild_edge", "knn_pq_rerank",
+    "lang_confusion", "lookup_edge_index", "lookup_null",
+    "mm_video_meta", "neighbor_jaccard", "preferential_attachment",
+    "price_size_correlation", "range_click_attribution",
+    "resource_allocation", "running_total", "scc_components",
+    "source_orc_roundtrip", "sssp_distances", "stream_cdc_upsert",
+    "stream_dedup", "stream_join", "string_surface", "tpch_q10",
+    "tpch_q13", "tpch_q14", "tpch_q15", "tpch_q18", "tpch_q19",
+    "tpch_q21_shape", "tpch_q2_shape", "tpch_q4_semi", "tpch_q5",
+    "tpch_q6", "tpch_q7", "triangle_counts", "vocab_topk",
+})
+
+# Every query with ANY driver CORRECTNESS row (r1–r9) — the cohorts
 # above partition this set by latest-row round. A registry name NOT in
 # this union has never been driver-checked and must sample FIRST.
 _DRIVER_CHECKED_EVER = (frozenset(_REFRESH_HEAD)
-                        | _LATEST_R03 | _LATEST_R04
+                        | _LATEST_R04
                         | _LATEST_R05 | _LATEST_R06 | _LATEST_R07
-                        | _LATEST_R08)
+                        | _LATEST_R08 | _LATEST_R09)
 
 
 def build_queries() -> dict[str, Query]:
@@ -3785,13 +3802,13 @@ def build_queries() -> dict[str, Query]:
     # insertion order = driver sampling priority: (1) queries with NO
     # driver CORRECTNESS row yet (new registrations — must gain a row
     # their first round), (2) _REFRESH_HEAD (see comment above),
-    # (3) stalest-provenance cohorts oldest-first; r8-latest rows are
+    # (3) stalest-provenance cohorts oldest-first; r9-latest rows are
     # the freshest and sort last in registration order.
     ordered = {k: v for k, v in out.items()
                if k not in _DRIVER_CHECKED_EVER}
     ordered.update({k: out[k] for k in _REFRESH_HEAD if k in out})
-    for cohort in (_LATEST_R03, _LATEST_R04,
-                   _LATEST_R05, _LATEST_R06, _LATEST_R07):
+    for cohort in (_LATEST_R04,
+                   _LATEST_R05, _LATEST_R06, _LATEST_R07, _LATEST_R08):
         ordered.update({k: v for k, v in out.items()
                         if k in cohort and k not in ordered})
     ordered.update({k: v for k, v in out.items() if k not in ordered})

@@ -54,7 +54,8 @@ from nebula_storage_spark.graph import read_parquet
 from nebula_storage_spark.pipeline.similarity import (
     knn_bruteforce, build_ivf_index, search_ivf_index, hyperplane_lsh_topk)
 from nebula_storage_spark.pipeline.pq import (
-    pq_adc_topk, pq_rerank_from_codes, pq_rerank_topk, pq_train_encode)
+    pq_adc_scan, pq_adc_topk, pq_rerank_from_codes, pq_rerank_topk,
+    pq_train_encode)
 
 FACTORS = [1, 8, 64, 512]     # 2k, 16k, 128k, 1.024M at sf0.1
 QUERY_COUNTS = [8, 128]
@@ -208,6 +209,19 @@ def main() -> None:
                                               train_fraction=min(
                                                   1.0, 65536.0 / n)),
             }
+            if arms is None or "pqk" in arms:
+                # pqk — the PRODUCTION PQ config (r9 verdict, Next #2):
+                # k=256 per subspace (8-bit codes, 256^4 ≈ 4.3e9
+                # composite cells — cell occupancy << 1 even at 1 M),
+                # sampled training (~64 k vectors regardless of corpus,
+                # the Jegou posture pipeline/pq.py:16-26 documents but
+                # r9 never measured). Recorded SPLIT: train+encode
+                # seconds (one-time, amortized like build_ivf_index),
+                # standalone ADC scan seconds + recall@10, and the
+                # rerank composition seconds + recall@10 — whether
+                # 8-bit codes retrieve production-grade WITHOUT the
+                # exact-rerank stage is exactly what this row answers.
+                runs["pqk"] = "placeholder"  # replaced at its turn
             if arms is None or "pqa" in arms:
                 # pqa — pqp's STEADY STATE: codes encoded once per
                 # corpus (UNTIMED, the amortization build_ivf_index
@@ -229,6 +243,60 @@ def main() -> None:
                 runs = {n_: f for n_, f in runs.items() if n_ in arms}
             codes32 = qwide32 = None
             for name, fn in runs.items():
+                if name == "pqk":
+                    t0 = time.perf_counter()
+                    ck, qk = pq_train_encode(
+                        corpus, n_queries=nq, subspaces=4, k=256,
+                        iterations=2,
+                        train_fraction=min(1.0, 65536.0 / n))
+                    ck = ck.persist()
+                    ck.count()
+                    qk = qk.persist()
+                    qk.count()
+                    release_all()
+                    cell["pqk_train_sec"] = round(
+                        time.perf_counter() - t0, 3)
+                    # query-time ADC scan over cached codes (the same
+                    # boundary pqa times); recall is judged on the
+                    # top-k WITHOUT self — the scan includes q itself
+                    # at rank 1 (est_d2 = 0) while brute excludes it,
+                    # so the K+1 cut is collected (<= nq·(K+1) rows)
+                    # and self is dropped driver-side before scoring.
+                    def scan():
+                        return pq_adc_scan(ck, qk, subspaces=4, topk=K)
+                    sec, _ = timed(scan)
+                    cell["pqk_scan_sec"] = round(sec, 3)
+                    byq = {}
+                    for r in (pq_adc_scan(ck, qk, subspaces=4,
+                                          topk=K + 1).collect()):
+                        if r["q_id"] != r["vec_id"]:
+                            byq.setdefault(r["q_id"], []).append(
+                                (r["rank"], r["vec_id"]))
+                    hits = {(q, v) for q, rs in byq.items()
+                            for _, v in sorted(rs)[:K]}
+                    cell["pqk_scan_recall"] = round(
+                        len(hits & exact) / max(len(exact), 1), 3)
+
+                    def rr():
+                        # the r9 cell-occupancy rule: R must cover the
+                        # near-dup family size (= factor) — at k=256
+                        # a 512-member family still quantizes onto
+                        # nearly one composite code, so an R-cut below
+                        # the family size would slice a tie by id
+                        # order exactly like the gate config did
+                        return pq_rerank_from_codes(
+                            ck, qk, corpus, n_queries=nq, subspaces=4,
+                            candidates=max(50, 2 * factor), topk=K,
+                            prefilter=True)
+                    sec, _ = timed(rr)
+                    cell["pqk_rerank_sec"] = round(sec, 3)
+                    hits = {(r[0], r[1]) for r in rr().collect()}
+                    cell["pqk_rerank_recall"] = round(
+                        len(hits & exact) / max(len(exact), 1), 3)
+                    ck.unpersist()
+                    qk.unpersist()
+                    release_all()
+                    continue
                 if name == "pqa":
                     codes32, qwide32 = pq_train_encode(
                         corpus, n_queries=nq, subspaces=4, k=32,
