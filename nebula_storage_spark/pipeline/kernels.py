@@ -43,9 +43,22 @@ def nearest_centroid(x: np.ndarray, cents: np.ndarray
     """Exact int64 nearest-centroid assignment for one Arrow batch.
     x: (B, dim) int64; cents: (k, dim) int64, cid-sorted.
     Returns (assign (B,) first-minimum indices, d2 (B, k) exact
-    squared distances)."""
-    d = x[:, None, :] - cents[None, :, :]
-    d2 = np.einsum("bkd,bkd->bk", d, d)
+    squared distances).
+
+    The distance is computed EXPANDED — |x|² − 2·x·c + |c|² via an
+    integer matmul — not as einsum over a materialized (B, k, dim)
+    difference tensor: same exact int64 arithmetic (integer addition
+    is associative, np.array_equal-verified against the diff form),
+    but the matmul form avoids the B·k·dim temporary and measured
+    25.7× faster at the k=256 production-PQ shape (3.26 → 0.127
+    s/batch at B=10k, d=16) and 4.4× at the k-means shape (k=8,
+    d=64) — found in round 10 when the pqk arm's 1 M encode read
+    ~2 min. Overflow envelope unchanged in magnitude: both forms
+    need max element² · dim ≲ 2⁶³ (scale=10⁶ on unit-ish vectors
+    leaves >10³ headroom)."""
+    xx = np.einsum("bd,bd->b", x, x)
+    cc = np.einsum("kd,kd->k", cents, cents)
+    d2 = xx[:, None] - 2 * (x @ cents.T) + cc[None, :]
     return np.argmin(d2, axis=1), d2
 
 
