@@ -1480,8 +1480,9 @@ def test_driver_sampling_order_invariants(monkeypatch):
     from nebula_storage_spark import workload as w
     qs = w.build_queries()
     cohorts = [frozenset(w._REFRESH_HEAD),
-               w._LATEST_R03, w._LATEST_R04, w._LATEST_R05,
-               w._LATEST_R06, w._LATEST_R07, w._LATEST_R08]
+               w._LATEST_R04, w._LATEST_R05,
+               w._LATEST_R06, w._LATEST_R07, w._LATEST_R08,
+               w._LATEST_R09]
     assert sum(len(c) for c in cohorts) == len(w._DRIVER_CHECKED_EVER)
     assert frozenset().union(*cohorts) == w._DRIVER_CHECKED_EVER
     # registry = every checked name + genuinely-new registrations
