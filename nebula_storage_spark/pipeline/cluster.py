@@ -19,8 +19,9 @@ that plan re-shuffled n rows (carrying their full vectors in the
 min-struct) EVERY iteration, and its higher-order-function distance
 evaluates interpreted per lambda — n·k invocations per pass (the
 1 M-point profile that falsified the same shape in PQ). Assignment
-and refit now run as Arrow-batched numpy kernels: exact int64 einsum
-distances, first-minimum argmin over cid-sorted centroid rows (the
+and refit now run as Arrow-batched numpy kernels (pipeline/kernels.py):
+exact int64 distances via the expanded integer matmul, first-minimum
+argmin over cid-sorted centroid rows (the
 lowest-cid tie rule, bit-identical to the min-struct order), and the
 refit emits at most k·dim exact partial-sum rows per batch — per
 iteration the only shuffle is codebook-sized. Centroids are collected
@@ -61,7 +62,7 @@ def kmeans_fixed(emb: DataFrame, k: int = 8, iterations: int = 2,
     cent = (pts.join(F.broadcast(ranks), "vec_id")
             .select((F.col("_rn") - 1).alias("cid"),
                     F.col("v").alias("c")))
-    # the stack/einsum/argmin/partial-sum arithmetic and the lowest-cid
+    # the stack/distance/argmin/partial-sum arithmetic and the lowest-cid
     # tie rule live in pipeline/kernels.py — ONE copy shared with
     # pipeline/pq.py (r10, per r9 ADVICE: two drift-prone copies of
     # tie-break-sensitive exactness arithmetic).

@@ -163,7 +163,8 @@ def pq_train_encode(emb: DataFrame, n_queries: int = 3, subspaces: int = 4,
     # interpreted per lambda invocation, and n·S·k of them profiled
     # 32 s at the 1 M x k=32 design point where the vectorized
     # (B, k, dim) int64 einsum does the identical exact arithmetic in
-    # ~2 s. The arithmetic and the lowest-cid tie rule live in
+    # ~2 s (r10: the kernel is now the expanded integer matmul of
+    # pipeline/kernels.py — same exact arithmetic, 4-26x again). The arithmetic and the lowest-cid tie rule live in
     # pipeline/kernels.py (ONE copy shared with pipeline/cluster.py —
     # r10, per r9 ADVICE). The codebook is collected driver-side —
     # S·k tiny rows, the same bounded contract as the one-row cbs

@@ -146,14 +146,19 @@ SHOWCASE = {
         "rows of other partitions are read. The 100 TB posture for "
         "status/date-sliced fact tables."),
     "kmeans_embeddings": (
-        ("BroadcastNestedLoopJoin", "HashAggregate", "Exchange"),
-        "Lloyd assignment: the k-row centroid frame broadcasts into a "
-        "nested-loop join (k candidates per point — the intended "
-        "all-candidates compare), the integer distance evaluates as "
-        "zip_with/aggregate HOFs inside whole-stage codegen, and the "
-        "argmin is a min-of-struct hash aggregate. Shuffle volume per "
-        "iteration is n rows of (id, long, array) — no Python, no "
-        "row-at-a-time UDFs."),
+        ("MapInPandas", "ArrowEvalPython", "HashAggregate", "Exchange"),
+        "Lloyd assignment under the r9/r10 kernel rewrite "
+        "(pipeline/cluster.py + kernels.py): assignment and refit run "
+        "as Arrow-batched numpy kernels over un-exploded vector rows "
+        "(exact int64 expanded-matmul distances, lowest-cid ties), so "
+        "the ONLY exchanges left in the plan are codebook-sized — the "
+        "refit reduces map-side to <= k*dim partial-sum rows per task "
+        "and the final assignment is a pure MapInPandas with no "
+        "exchange above it. The old shape (centroids broadcast into a "
+        "nested-loop join + min-of-struct aggregate) re-shuffled all n "
+        "rows with their vectors every iteration; "
+        "tools/kmeans_scaling.py gates the new shape at 383 KB shuffle "
+        "flat over an 8x corpus."),
     "tpch_q5": (
         ("BroadcastHashJoin", "Exchange", "PushedFilters"),
         "Snowflake join: region/nation/supplier dims broadcast, the date "
@@ -281,7 +286,7 @@ SHOWCASE = {
         "one refit barrier per iteration instead of S), and NO step "
         "moves corpus-sized data (r9): assignment and encode are "
         "Arrow-batched numpy kernels over un-exploded vector rows "
-        "(int64 einsum, lowest-cid ties — bit-identical to the "
+        "(exact int64 arithmetic — the expanded |x|^2-2x.c+|c|^2 integer matmul of pipeline/kernels.py — lowest-cid ties, bit-identical to the "
         "min-struct rule), so the refit shuffle is <= S*k*dim partial "
         "rows per task and the encode is a map. The ADC scan is "
         "wide-code (r8: the (sub, code) equi-join shape measured "
