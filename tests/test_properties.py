@@ -879,3 +879,49 @@ def test_pq_sampled_training_keeps_adc_invariants(spark, sf_dir):
     again = {tuple(r) for r in pq_adc_topk(
         emb, n_queries=2, topk=1 << 30, train_fraction=0.5).collect()}
     assert again == {tuple(r) for r in rows}
+
+
+@given(st.lists(st.tuples(st.integers(0, 40),       # batch key
+                          st.booleans()),           # True = delete it too
+                min_size=1, max_size=12, unique_by=lambda t: t[0]),
+       st.integers(min_value=2, max_value=16))      # n_buckets
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_bucketed_upsert_partial_rewrite_is_postimage_exact(
+        spark, tmp_path_factory, batch_keys, n_buckets):
+    """Property: for ANY batch (update keys, insert keys — ids >= 20
+    are absent from the 20-row table — under any bucket count) the
+    bucketed partial-rewrite apply (mutate/bucketed.py) produces a
+    table bit-equal to the full-table logical upsert()'s post-image,
+    and a follow-up bucketed delete equals the anti-join. This is the
+    exactness half of the tools/mutate_scaling.py contract with the
+    batch shape randomized instead of fixed."""
+    import os
+    from pyspark.sql import functions as F
+    from nebula_storage_spark.mutate import upsert
+    from nebula_storage_spark.mutate.bucketed import (
+        delete_bucketed, read_bucketed, upsert_bucketed, write_bucketed)
+
+    table = spark.range(20).select(
+        F.col("id").alias("k"), (F.col("id") * 2.0).alias("bal"))
+    set_exprs = {"bal": "coalesce(t.bal, 0.0) + s.delta"}
+    batch = spark.createDataFrame(
+        [(k, float(k) + 0.5) for k, _ in batch_keys],
+        "k bigint, delta double")
+    path = str(tmp_path_factory.mktemp("bm") / "t")
+    write_bucketed(table, "k", path, n_buckets=n_buckets)
+    upsert_bucketed(spark, path, batch, ["k"], set_exprs,
+                    n_buckets=n_buckets)
+    post = upsert(table, batch, ["k"], set_exprs)
+    got = sorted(map(tuple, read_bucketed(spark, path).collect()))
+    want = sorted(map(tuple, post.collect()))
+    assert got == want
+
+    dels = [k for k, d in batch_keys if d]
+    if dels:
+        keys = spark.createDataFrame([(k,) for k in dels], "k bigint")
+        delete_bucketed(spark, path, keys, "k", n_buckets=n_buckets)
+        got = sorted(map(tuple, read_bucketed(spark, path).collect()))
+        want = sorted(map(tuple,
+                          post.join(keys, "k", "left_anti").collect()))
+        assert got == want
