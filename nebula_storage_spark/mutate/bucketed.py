@@ -152,8 +152,12 @@ def ttl_purge_partitions(spark: SparkSession, path: str, day_col: str,
     metadata/file deletes: ZERO bytes are rewritten, the partitioned
     analogue of the compaction-filter drop (mutate/ttl.py's full-scan
     filter stays the layout-agnostic fallback and the read-time
-    semantics stay in catalog.apply_read_semantics).
-    Returns (dropped_partitions, kept_partitions)."""
+    semantics stay in catalog.apply_read_semantics). Day granularity
+    is intentional: a row expiring MID-day stays physically present —
+    but read-invisible via the catalog's TTL filter — until its whole
+    day drops, exactly how the reference's expired rows stay on disk
+    (invisible per CommonUtils.h:217-233) until a compaction happens
+    to claim them. Returns (dropped_partitions, kept_partitions)."""
     prefix = f"{day_col}="
     dropped = kept = 0
     for name in sorted(os.listdir(path)):
