@@ -1598,3 +1598,26 @@ def test_bucketed_mutations_match_logical_postimage(spark, tmp_path):
     assert (dropped, kept) == (2, 3)
     assert (spark.read.parquet(path).count()
             == table.filter(F.pmod(F.col("k"), F.lit(5)) >= 2).count())
+
+
+def test_kernel_assignment_plans_are_pure_maps(spark, sf_dir):
+    """The r9/r10 kernel contract, plan-pinned in the FAST suite (the
+    measured halves live behind `pytest -m scaling` and only run at
+    close-out): the k-means final assignment and the PQ encode are
+    MapInPandas over the (cached) corpus with NO exchange, sort, or
+    join anywhere in the returned plan — a regression to the falsified
+    crossJoin + groupBy(vec_id) min-struct shape (or any other plan
+    that moves corpus rows to compute an assignment) plants an
+    Exchange here and fails on every plain `pytest tests/` run."""
+    from nebula_storage_spark.cache import release_all
+    from nebula_storage_spark.graph import read_parquet
+    from nebula_storage_spark.pipeline.cluster import kmeans_fixed
+    from nebula_storage_spark.pipeline.pq import pq_train_encode
+    emb = read_parquet(spark, f"{sf_dir}/embeddings.parquet")
+    for df in (kmeans_fixed(emb, k=4, iterations=2),
+               pq_train_encode(emb, n_queries=2)[0]):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "MapInPandas" in plan, plan
+        for node in ("Exchange", "Sort", "Join"):
+            assert node not in plan, f"{node} in assignment plan:\n{plan}"
+    release_all()
