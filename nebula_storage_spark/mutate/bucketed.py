@@ -14,14 +14,20 @@ equivalent is a PARTIAL REWRITE against a bucketed layout:
     partition directories (rebuild_index_bucketed's layout; a
     metastore deployment would use `bucketBy` + ALTER ... BUCKETS,
     and the 8-buckets-per-amplification-factor sizing rule keeps
-    bucket SIZE constant as the corpus grows);
+    bucket SIZE constant as the corpus grows), with a `_layout.json`
+    sidecar pinning {n_buckets, key, key_type} so an apply with a
+    mismatched modulus or key dtype FAILS instead of silently
+    routing keys to wrong buckets (bucketed_layout.validate_layout /
+    align_key_types — r10 ADVICE);
   * a mutation batch touches only the buckets its keys hash to —
     the read prunes to those directories (partition pruning on a
     driver-side bucket-id list: <= n_buckets small integers of layout
     metadata, never data rows), the SAME merge semantics run over
     that slice (upsert() / the delete anti-join, so exactness
     inherits the driver-checked operators), and ONE
-    dynamic-partition-overwrite rewrites only the touched dirs;
+    dynamic-partition-overwrite rewrites only the touched dirs
+    (bucketed_layout.overwrite_touched_buckets — the single shared
+    definition, also used by the index op-log catch-up);
   * therefore the rewrite is O(|batch| + touched-bucket bytes), not
     O(table) — measured as a 1x/10x/100x curve with a byte-diff gate
     in tools/mutate_scaling.py (r9 verdict, Next #1).
@@ -34,6 +40,12 @@ reasoning as index_scaling's "file removals are O(1) metadata ops").
 That is what RocksDB's CompactionFilter amortizes into compaction
 (storage/CompactionFilter.h:35-183); a partitioned table makes it a
 partition drop, the layout every TTL'd production table uses.
+
+Deployment substitution: the directory drops here are local-FS calls
+standing in for `FileSystem.delete(dir, recursive=True)` /
+`ALTER TABLE ... DROP PARTITION` on a real deployment — see the
+bucketed_layout module header for the full contract; everything else
+(pruned reads, the dynamic-overwrite write) is portable as written.
 """
 
 from __future__ import annotations
@@ -44,61 +56,33 @@ from collections.abc import Mapping, Sequence
 
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
+from ..bucketed_layout import (
+    BUCKET_COL, align_key_types, bucket_id, overwrite_touched_buckets,
+    touched_bucket_ids, validate_layout, write_layout_sidecar)
 from .upsert import upsert
 
 
 def write_bucketed(df: DataFrame, key: str, path: str,
                    n_buckets: int = 8) -> None:
     """Lay `df` out in `_bucket=` hash-partition directories on `key`
-    (rebuild_index_bucketed's layout for base tables)."""
-    (df.withColumn("_bucket", F.pmod(F.hash(key), F.lit(n_buckets)))
-     .repartition("_bucket")
+    (rebuild_index_bucketed's layout for base tables), recording the
+    layout in a `_layout.json` sidecar the apply functions validate."""
+    (df.withColumn(BUCKET_COL, bucket_id(key, n_buckets))
+     .repartition(BUCKET_COL)
      .sortWithinPartitions(key)
-     .write.mode("overwrite").partitionBy("_bucket").parquet(path))
+     .write.mode("overwrite").partitionBy(BUCKET_COL).parquet(path))
+    write_layout_sidecar(path, key, n_buckets,
+                         df.schema[key].dataType.simpleString(), [key])
 
 
 def read_bucketed(spark: SparkSession, path: str) -> DataFrame:
-    return spark.read.parquet(path).drop("_bucket")
-
-
-def _touched_buckets(batch: DataFrame, key: str, n_buckets: int
-                     ) -> list[int]:
-    return [r["_b"] for r in
-            (batch.select(F.pmod(F.hash(key), F.lit(n_buckets))
-                          .alias("_b")).distinct().collect())]
-
-
-def _overwrite_touched(spark: SparkSession, path: str, merged: DataFrame,
-                       key: str, n_buckets: int,
-                       touched: list[int]) -> None:
-    """ONE dynamic-partition-overwrite of the touched `_bucket=` dirs;
-    a touched bucket whose rows all vanished must be dropped explicitly
-    (dynamic overwrite only replaces partitions PRESENT in the written
-    data — apply_index_delta's contract)."""
-    out = (merged.withColumn("_bucket", F.pmod(F.hash(key),
-                                               F.lit(n_buckets)))
-           .repartition("_bucket")
-           .sortWithinPartitions(key))
-    present_rows = out.select("_bucket").distinct().collect()
-    saved = spark.conf.get("spark.sql.sources.partitionOverwriteMode",
-                           "static")
-    try:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode",
-                       "dynamic")
-        out.write.mode("overwrite").partitionBy("_bucket").parquet(path)
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", saved)
-    present = {r["_bucket"] for r in present_rows}
-    for b in set(touched) - present:
-        d = os.path.join(path, f"_bucket={b}")
-        if os.path.isdir(d):
-            shutil.rmtree(d)
+    return spark.read.parquet(path).drop(BUCKET_COL)
 
 
 def upsert_bucketed(spark: SparkSession, path: str, batch: DataFrame,
                     keys: Sequence[str],
                     set_exprs: Mapping[str, Column | str],
-                    n_buckets: int = 8,
+                    n_buckets: int | None = None,
                     condition: Column | str | None = None,
                     insertable: bool = True,
                     schema=None) -> list[int]:
@@ -109,28 +93,44 @@ def upsert_bucketed(spark: SparkSession, path: str, batch: DataFrame,
     the full table, because rows outside the touched buckets cannot
     match any batch key (same hash ⇒ same bucket) and the insert
     branch lands each new key in exactly its hash bucket.
-    Returns the touched bucket ids."""
-    lead = list(keys)[0]
-    touched = _touched_buckets(batch, lead, n_buckets)
-    cur = (spark.read.parquet(path)
-           .filter(F.col("_bucket").isin(touched)).drop("_bucket"))
+    `n_buckets=None` reads the modulus from the layout sidecar; a
+    given value must match it. Returns the touched bucket ids."""
+    keys = list(keys)
+    lead = keys[0]
+    n_buckets, _ = validate_layout(path, lead, n_buckets)
+    cur = spark.read.parquet(path)
+    batch = align_key_types(batch, cur.schema, keys)
+    touched = touched_bucket_ids(batch, lead, n_buckets)
+    cur = cur.filter(F.col(BUCKET_COL).isin(touched)).drop(BUCKET_COL)
     post = upsert(cur, batch, keys, set_exprs, condition=condition,
                   insertable=insertable, schema=schema)
-    _overwrite_touched(spark, path, post, lead, n_buckets, touched)
+    overwrite_touched_buckets(spark, path, post, lead, n_buckets,
+                              [lead], touched)
     return touched
 
 
 def delete_bucketed(spark: SparkSession, path: str, key_frame: DataFrame,
-                    key: str, n_buckets: int = 8) -> list[int]:
-    """Delete the rows whose `key` appears in `key_frame` (the
-    DeleteVertices anti-join, mutate/delete.py) rewriting only the
-    touched buckets. Returns the touched bucket ids."""
-    touched = _touched_buckets(key_frame, key, n_buckets)
-    cur = (spark.read.parquet(path)
-           .filter(F.col("_bucket").isin(touched)).drop("_bucket"))
-    post = cur.join(F.broadcast(key_frame.select(key).distinct()),
-                    key, "left_anti")
-    _overwrite_touched(spark, path, post, key, n_buckets, touched)
+                    keys: str | Sequence[str],
+                    n_buckets: int | None = None) -> list[int]:
+    """Delete the rows whose key tuple appears in `key_frame` (the
+    DeleteVertices / DeleteEdges anti-join, mutate/delete.py) rewriting
+    only the touched buckets. `keys` may be composite — the reference's
+    edge delete keys on (src, type, rank, dst)
+    (mutate/DeleteEdgesProcessor.cpp) — in which case the table is
+    bucketed on the LEAD key (edge parts hash on src,
+    utils/NebulaKeyUtils.h:17-19) and the anti-join matches on ALL of
+    them. Returns the touched bucket ids."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    lead = keys[0]
+    n_buckets, _ = validate_layout(path, lead, n_buckets)
+    cur = spark.read.parquet(path)
+    key_frame = align_key_types(key_frame, cur.schema, keys)
+    touched = touched_bucket_ids(key_frame, lead, n_buckets)
+    cur = cur.filter(F.col(BUCKET_COL).isin(touched)).drop(BUCKET_COL)
+    post = cur.join(F.broadcast(key_frame.select(*keys).distinct()),
+                    keys, "left_anti")
+    overwrite_touched_buckets(spark, path, post, lead, n_buckets,
+                              keys, touched)
     return touched
 
 
@@ -157,7 +157,10 @@ def ttl_purge_partitions(spark: SparkSession, path: str, day_col: str,
     but read-invisible via the catalog's TTL filter — until its whole
     day drops, exactly how the reference's expired rows stay on disk
     (invisible per CommonUtils.h:217-233) until a compaction happens
-    to claim them. Returns (dropped_partitions, kept_partitions)."""
+    to claim them. The rmtree stands in for the storage API's
+    recursive delete / DROP PARTITION (module header);
+    `refreshByPath` keeps this session's cached file listing
+    consistent with the drop. Returns (dropped, kept) partitions."""
     prefix = f"{day_col}="
     dropped = kept = 0
     for name in sorted(os.listdir(path)):
@@ -169,4 +172,5 @@ def ttl_purge_partitions(spark: SparkSession, path: str, day_col: str,
             dropped += 1
         else:
             kept += 1
+    spark.catalog.refreshByPath(path)
     return dropped, kept

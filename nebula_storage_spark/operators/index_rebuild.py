@@ -45,22 +45,28 @@ def rebuild_index_bucketed(base: DataFrame, index_cols: list[str],
     (`_bucket=<i>/`), sorted on the index key within each bucket — the
     layout that makes the op-log catch-up below a partial rewrite:
     a delta touches only the bucket dirs its leading index values hash
-    to, never the whole projection."""
+    to, never the whole projection. A `_layout.json` sidecar pins
+    {n_buckets, key, key_type} so the catch-up validates its modulus
+    instead of trusting the caller (bucketed_layout module header)."""
+    from ..bucketed_layout import BUCKET_COL, bucket_id, write_layout_sidecar
     cols = list(index_cols) + [c for c in (include_cols or base.columns)
                                if c not in index_cols]
-    from pyspark.sql import functions as F
+    lead = index_cols[0]
     (base.select(*cols)
-     .withColumn("_bucket", F.pmod(F.hash(index_cols[0]),
-                                   F.lit(n_buckets)))
-     .repartition("_bucket")
+     .withColumn(BUCKET_COL, bucket_id(lead, n_buckets))
+     .repartition(BUCKET_COL)
      .sortWithinPartitions(*index_cols)
-     .write.mode("overwrite").partitionBy("_bucket").parquet(path))
-    return base.sparkSession.read.parquet(path).drop("_bucket")
+     .write.mode("overwrite").partitionBy(BUCKET_COL).parquet(path))
+    write_layout_sidecar(path, lead, n_buckets,
+                         base.schema[lead].dataType.simpleString(),
+                         index_cols)
+    return base.sparkSession.read.parquet(path).drop(BUCKET_COL)
 
 
 def apply_index_delta(spark: SparkSession, path: str, adds: DataFrame,
                       deletes: DataFrame, index_cols: list[str],
-                      key_col: str = VID, n_buckets: int = 8) -> DataFrame:
+                      key_col: str = VID,
+                      n_buckets: int | None = None) -> DataFrame:
     """RebuildIndexTask op-log catch-up (admin/RebuildIndexTask.cpp:
     the task scans a snapshot, then drains the writes buffered while it
     ran): apply `adds` (full index rows — upsert by key) and `deletes`
@@ -71,19 +77,31 @@ def apply_index_delta(spark: SparkSession, path: str, adds: DataFrame,
     Scale shape: ONE dynamic-partition-overwrite job that reads only the
     touched `_bucket=` directories (partition pruning on the delta's
     bucket set) and rewrites only those — O(|delta| + touched buckets),
-    while the rest of a 100 TB projection is untouched bytes."""
+    while the rest of a 100 TB projection is untouched bytes. The
+    prune → merge → overwrite → vanished-bucket-drop mechanics are the
+    SHARED definition in bucketed_layout (one copy for this and the
+    keyed-mutation applies — r10 verdict Next #3), and the modulus is
+    validated against the projection's `_layout.json` sidecar
+    (`n_buckets=None` reads it from there)."""
     from pyspark.sql import functions as F
+
+    from ..bucketed_layout import (
+        BUCKET_COL, align_key_types, bucket_id, overwrite_touched_buckets,
+        validate_layout)
     lead = index_cols[0]
-    bucket = F.pmod(F.hash(F.col(lead)), F.lit(n_buckets))
-    adds_b = adds.withColumn("_bucket", bucket)
-    dels_b = deletes.withColumn("_bucket", bucket)
+    n_buckets, _ = validate_layout(path, lead, n_buckets)
+    cur_all = spark.read.parquet(path)
+    adds = align_key_types(adds, cur_all.schema, [lead, key_col])
+    deletes = align_key_types(deletes, cur_all.schema, [lead, key_col])
+    bucket = bucket_id(lead, n_buckets)
+    adds_b = adds.withColumn(BUCKET_COL, bucket)
+    dels_b = deletes.withColumn(BUCKET_COL, bucket)
     # bucket-id list: <= n_buckets small integers of driver-side layout
     # metadata (drives partition pruning), never data rows
-    touched = [r._bucket for r in
-               adds_b.select("_bucket").union(dels_b.select("_bucket"))
+    touched = [r[BUCKET_COL] for r in
+               adds_b.select(BUCKET_COL).union(dels_b.select(BUCKET_COL))
                .distinct().collect()]
-    cur = (spark.read.parquet(path)
-           .filter(F.col("_bucket").isin(touched)))
+    cur = cur_all.filter(F.col(BUCKET_COL).isin(touched))
     # upsert then delete (op-log order: a delete logged after an add
     # wins): drop current rows whose key reappears in the log, append
     # the adds that survive the deletes
@@ -93,26 +111,6 @@ def apply_index_delta(spark: SparkSession, path: str, adds: DataFrame,
                             key_col, "left_anti")
     merged = (cur.join(drop_keys, key_col, "left_anti")
               .unionByName(adds_live.select(*cur.columns)))
-    saved = spark.conf.get("spark.sql.sources.partitionOverwriteMode",
-                           "static")
-    present = {r._bucket for r in
-               merged.select("_bucket").distinct().collect()}
-    try:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode",
-                       "dynamic")
-        (merged.repartition("_bucket")
-         .sortWithinPartitions(*index_cols)
-         .write.mode("overwrite").partitionBy("_bucket").parquet(path))
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", saved)
-    # dynamic overwrite only replaces partitions PRESENT in the written
-    # data — a touched bucket whose rows were all deleted must be
-    # dropped explicitly or its stale files survive (on a cluster this
-    # is the storage API's prefix delete / a table format's remove log)
-    import os
-    import shutil
-    for b in set(touched) - present:
-        d = os.path.join(path, f"_bucket={b}")
-        if os.path.isdir(d):
-            shutil.rmtree(d)
-    return spark.read.parquet(path).drop("_bucket")
+    overwrite_touched_buckets(spark, path, merged, lead, n_buckets,
+                              index_cols, touched)
+    return spark.read.parquet(path).drop(BUCKET_COL)

@@ -1600,6 +1600,59 @@ def test_bucketed_mutations_match_logical_postimage(spark, tmp_path):
             == table.filter(F.pmod(F.col("k"), F.lit(5)) >= 2).count())
 
 
+def test_bucketed_layout_guardrails(spark, tmp_path):
+    """bucketed_layout (r11, from the r10 ADVICE mediums): an apply
+    with a MISMATCHED modulus or bucket key must raise instead of
+    silently pruning to wrong buckets; a batch whose key dtype differs
+    from the table's (hash() is type-sensitive) must be cast so its
+    keys still route to the right buckets; and a composite-key delete
+    (the reference's (src, type, rank, dst) edge key,
+    mutate/DeleteEdgesProcessor.cpp) must equal the logical anti-join
+    on ALL key parts while bucketing on the lead key only."""
+    import pytest
+    from nebula_storage_spark.mutate.bucketed import (
+        delete_bucketed, read_bucketed, upsert_bucketed, write_bucketed)
+
+    table = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") * 2.0).alias("bal"))
+    set_exprs = {"bal": "coalesce(t.bal, 0.0) + s.delta"}
+    path = str(tmp_path / "t_guard")
+    write_bucketed(table, "k", path, n_buckets=8)
+
+    batch = spark.createDataFrame([(3, 1.0)], "k bigint, delta double")
+    with pytest.raises(ValueError, match="n_buckets mismatch"):
+        upsert_bucketed(spark, path, batch, ["k"], set_exprs,
+                        n_buckets=16)
+    with pytest.raises(ValueError, match="bucket-key mismatch"):
+        delete_bucketed(spark, path, batch.select(F.col("k")
+                                                  .alias("bal")), "bal")
+
+    # dtype alignment: an INT-keyed batch against the BIGINT table
+    # updates in place (no duplicate-key insert in a wrong bucket),
+    # with n_buckets resolved from the sidecar (None)
+    int_batch = spark.createDataFrame([(3, 1.0), (200, 5.0)],
+                                      "k int, delta double")
+    upsert_bucketed(spark, path, int_batch, ["k"], set_exprs)
+    got = read_bucketed(spark, path)
+    assert got.count() == 101
+    assert got.filter("k = 3").first()["bal"] == 7.0
+
+    # composite-key delete: bucket on src, anti-join on (src, rank, dst)
+    edges = spark.range(60).select(
+        (F.col("id") % 10).alias("src"), (F.col("id") % 3).alias("rank"),
+        (F.col("id") % 6).alias("dst"), F.col("id").alias("w"))
+    epath = str(tmp_path / "t_edges")
+    write_bucketed(edges, "src", epath, n_buckets=4)
+    dels = spark.createDataFrame([(0, 0, 0), (7, 1, 1), (9, 9, 9)],
+                                 "src bigint, rank bigint, dst bigint")
+    delete_bucketed(spark, epath, dels, ["src", "rank", "dst"])
+    want = sorted(map(tuple,
+                      edges.join(dels, ["src", "rank", "dst"],
+                                 "left_anti").collect()))
+    assert sorted(map(tuple, read_bucketed(spark, epath)
+                      .select(*edges.columns).collect())) == want
+
+
 def test_kernel_assignment_plans_are_pure_maps(spark, sf_dir):
     """The r9/r10 kernel contract, plan-pinned in the FAST suite (the
     measured halves live behind `pytest -m scaling` and only run at
