@@ -19,7 +19,11 @@ Setup per factor F (customer table, custkey offset r·10^9 per replica):
   - the mutation batches are FIXED SIZE across factors (replica-0
     keys strided over the base key range, so every key exists at
     every factor): upsert = ~38 updates (c_acctbal += a batch delta)
-    PLUS 12 brand-new keys (the insert branch); delete = ~13 keys.
+    PLUS 12 brand-new keys (the insert branch, keys at 10^15 — above
+    EVERY replica range, asserted absent via anti-join per r10
+    ADVICE); delete = ~13 keys; delete_edge = ~13 COMPOSITE keys on
+    the reference's 4-part edge key (src, etype, rank, dst) against
+    an edge-shaped projection bucketed on src (r10 verdict Next #4).
     TTL uses the
     TIME-partitioned layout (module header of mutate/bucketed.py):
     day = 2024-01-01 + (custkey % 64) days — 10^9 ≡ 0 (mod 64), so
@@ -41,7 +45,7 @@ is capped by the batch's key count); the TTL purge rewrites ZERO
 bytes at every factor.
 
 Usage: python tools/mutate_scaling.py [sf_dir] [--factors 1,10,100]
-                                      [--ops upsert,delete,ttl] [--reps N]
+           [--ops upsert,delete,delete_edge,ttl] [--reps N]
 """
 
 from __future__ import annotations
@@ -65,6 +69,13 @@ from nebula_storage_spark.mutate.upsert import upsert
 from nebula_storage_spark.session import get_spark
 
 REP_STRIDE = 10 ** 9
+# Brand-new insert keys start ABOVE any possible replica key range
+# (replica r owns [r*REP_STRIDE + 1, r*REP_STRIDE + n_base]): the
+# original 5*REP_STRIDE base collided with replica 5's rows at any
+# factor >= 6, so the "insert branch" cells at 10x/100x were mostly
+# updates (r10 ADVICE). one_cell now also ASSERTS the insert keys are
+# absent from the amplified table via an anti-join.
+INS_BASE = 10 ** 15
 UPD_N, INS_N, DEL_N = 38, 12, 13     # fixed batch sizes across factors
 BUCKETS_PER_FACTOR = 8
 DAYS, EXPIRED_DAYS = 64, 10
@@ -120,7 +131,8 @@ def make_upsert_batch(spark, n_base):
     """Fixed-size batch: ~UPD_N replica-0 updates (keys strided over
     the BASE key range 0..n_base-1, so every update key exists in the
     table at every factor) + INS_N brand-new keys (the insert branch —
-    5·REP_STRIDE is above any replica's range)."""
+    INS_BASE = 10^15 is above EVERY replica's range at any factor;
+    see the constant's comment)."""
     stride = max(1, n_base // UPD_N)
     upd = (spark.range(0, n_base)
            .filter(F.col("id") % stride == 0)
@@ -128,11 +140,47 @@ def make_upsert_batch(spark, n_base):
                    F.lit(100.0).alias("delta"),
                    F.lit("upd").alias("src_name")))
     ins = (spark.range(INS_N)
-           .select((F.col("id") + 5 * REP_STRIDE).alias("c_custkey"),
+           .select((F.col("id") + INS_BASE).alias("c_custkey"),
                    F.lit(7.5).alias("delta"),
                    F.concat(F.lit("new#"), F.col("id").cast("string"))
                    .alias("src_name")))
     return upd.unionByName(ins)
+
+
+EDGE_KEYS = ["src", "etype", "rank", "dst"]
+
+
+def edges_from(table):
+    """Edge-shaped projection of the amplified table, keyed on the
+    reference's 4-part edge key (src, edgeType, rank, dst)
+    (utils/NebulaKeyUtils.h:17-19; DeleteEdgesProcessor keys deletes on
+    exactly this tuple). Two deterministic edges per customer row so
+    the delete batch can reconstruct exact matching tuples from the
+    base key alone."""
+    def leg(etype):
+        return table.select(
+            F.col("c_custkey").alias("src"),
+            F.lit(etype).cast("bigint").alias("etype"),
+            F.pmod(F.col("c_custkey"), F.lit(3)).cast("bigint")
+            .alias("rank"),
+            F.pmod(F.col("c_custkey") * 7, F.lit(10 ** 6)).cast("bigint")
+            .alias("dst"),
+            F.col("c_acctbal").alias("w"))
+    return leg(1).unionByName(leg(2))
+
+
+def make_edge_delete_batch(spark, n_base):
+    """DEL_N composite edge keys, all present at every factor: the
+    etype=1 leg of replica-0 rows strided over the base key range."""
+    stride = max(1, n_base // DEL_N)
+    return (spark.range(0, n_base)
+            .filter(F.col("id") % stride == 0)
+            .select(F.col("id").alias("src"),
+                    F.lit(1).cast("bigint").alias("etype"),
+                    F.pmod(F.col("id"), F.lit(3)).cast("bigint")
+                    .alias("rank"),
+                    F.pmod(F.col("id") * 7, F.lit(10 ** 6)).cast("bigint")
+                    .alias("dst")))
 
 
 def one_cell(spark, op, factor, cust, reps, workdir, n_base):
@@ -169,11 +217,21 @@ def one_cell(spark, op, factor, cust, reps, workdir, n_base):
             detail = {"dropped_partitions": dropped, "live_rows": got}
             tb = dropped          # touched = dropped day dirs
         else:
-            write_bucketed(table, "c_custkey", path, n_buckets=n_buckets)
-            before = fs_snapshot(path)
-            total_bytes = sum(sz for sz, _ in before.values())
+            if op != "delete_edge":
+                write_bucketed(table, "c_custkey", path,
+                               n_buckets=n_buckets)
+                before = fs_snapshot(path)
+                total_bytes = sum(sz for sz, _ in before.values())
             if op == "upsert":
                 batch = make_upsert_batch(spark, n_base)
+                # the insert branch must BE an insert branch: its keys
+                # must not exist in the amplified table (r10 ADVICE —
+                # the old 5e9 base collided with replica 5+)
+                ins_hits = (table.join(
+                    F.broadcast(batch.filter(
+                        F.col("c_custkey") >= INS_BASE)
+                        .select("c_custkey")),
+                    "c_custkey", "left_semi").count())
                 t0 = time.time()
                 tbs = upsert_bucketed(spark, path, batch, ["c_custkey"],
                                       SET_EXPRS, n_buckets=n_buckets)
@@ -184,9 +242,35 @@ def one_cell(spark, op, factor, cust, reps, workdir, n_base):
                 expect = checksum(upsert(table, batch, ["c_custkey"],
                                          SET_EXPRS))
                 got = checksum(read_bucketed(spark, path))
-                ok = got == expect and tb <= len(tbs)
+                ok = got == expect and tb <= len(tbs) and ins_hits == 0
                 detail = {"batch_rows": batch.count(),
-                          "post_rows": got[0]}
+                          "post_rows": got[0],
+                          "insert_key_collisions": ins_hits}
+            elif op == "delete_edge":
+                # composite-key delete on the 4-part edge key: bucket
+                # on the lead key (src — edge parts hash on src), anti-
+                # join on all four (r10 verdict, Next #4)
+                etab = edges_from(table).persist()
+                n_edge_rows = etab.count()
+                write_bucketed(etab, "src", path, n_buckets=n_buckets)
+                before = fs_snapshot(path)
+                total_bytes = sum(sz for sz, _ in before.values())
+                dels = make_edge_delete_batch(spark, n_base)
+                t0 = time.time()
+                tbs = delete_bucketed(spark, path, dels, EDGE_KEYS,
+                                      n_buckets=n_buckets)
+                dt = time.time() - t0
+                w, tb = rewritten(before, fs_snapshot(path))
+                nk = dels.count()
+                post = read_bucketed(spark, path)
+                got_n = post.count()
+                survivors = post.join(F.broadcast(dels), EDGE_KEYS,
+                                      "left_semi").count()
+                ok = got_n == n_edge_rows - nk and survivors == 0 \
+                    and tb <= len(tbs)
+                detail = {"deleted_keys": nk, "post_rows": got_n}
+                n_rows = n_edge_rows
+                etab.unpersist()
             else:                  # delete
                 # DEL_N keys strided over the base range: all present
                 stride = max(1, n_base // DEL_N)
@@ -236,7 +320,7 @@ def slope(cells, ykey) -> float:
 def main() -> int:
     args = list(sys.argv[1:])
     factors = [1, 10, 100]
-    ops = ["upsert", "delete", "ttl"]
+    ops = ["upsert", "delete", "delete_edge", "ttl"]
     reps = 1
     if "--factors" in args:
         i = args.index("--factors")
