@@ -53,9 +53,30 @@ def nearest_centroid(x: np.ndarray, cents: np.ndarray
     25.7× faster at the k=256 production-PQ shape (3.26 → 0.127
     s/batch at B=10k, d=16) and 4.4× at the k-means shape (k=8,
     d=64) — found in round 10 when the pqk arm's 1 M encode read
-    ~2 min. Overflow envelope unchanged in magnitude: both forms
-    need max element² · dim ≲ 2⁶³ (scale=10⁶ on unit-ish vectors
-    leaves >10³ headroom)."""
+    ~2 min.
+
+    Overflow envelope (stated precisely per r10 ADVICE — the two
+    forms bound DIFFERENT quantities): the expanded form needs
+    max|element|² · dim < 2⁶³ (its intermediates |x|², x·c, |c|²
+    grow with raw element magnitudes), while the diff form needs
+    only max(xᵢ−cᵢ)² · dim < 2⁶³ — so large-offset-but-clustered
+    fixed-point data could overflow the expanded form where the
+    diff form would not. At the house scale=10⁶ on unit-ish vectors
+    both bounds hold with >10³ headroom; the assertion below trips
+    on gross misuse. It checks (max|xᵢ| + max|cᵢ|)² · dim < 2⁶³ on
+    the RAW element magnitudes (one vectorized abs-max pass, cheap
+    next to the matmul) — every intermediate (|x|², x·c, |c|², the
+    final sum) is bounded by that quantity, and unlike a check on
+    the computed norms it cannot be fooled by the norms themselves
+    wrapping."""
+    dim = x.shape[1] if x.ndim > 1 else len(x)
+    mx = float(np.abs(x).max(initial=0))
+    mc = float(np.abs(cents).max(initial=0))
+    if (mx + mc) ** 2 * dim >= 2.0 ** 63:
+        raise OverflowError(
+            "expanded-form distance would exceed int64: "
+            f"max|x|={mx:.3g}, max|c|={mc:.3g}, dim={dim} — rescale "
+            "the fixed-point encoding (kernels.py envelope)")
     xx = np.einsum("bd,bd->b", x, x)
     cc = np.einsum("kd,kd->k", cents, cents)
     d2 = xx[:, None] - 2 * (x @ cents.T) + cc[None, :]
