@@ -90,6 +90,34 @@ def _cached_kb() -> int:
     return -1
 
 
+def _loadavg() -> list[float]:
+    """1/5/15-min run-queue averages from /proc/loadavg, [-1]*3 if
+    unreadable. Recorded before/after the run so a load-inflated
+    record is self-labeling: BENCH_r10 landed 1.57x of the same-HEAD
+    clean envelope purely because other tenants loaded the host (warm
+    phase 251 s vs r9's 184 s on identical code), and nothing in the
+    JSON said so (r10 verdict, Next #1 — the cached_kb precedent)."""
+    try:
+        with open("/proc/loadavg") as fh:
+            return [float(x) for x in fh.read().split()[:3]]
+    except (OSError, ValueError):
+        return [-1.0, -1.0, -1.0]
+
+
+def _cpu_calib_s(n: int = 10_000_000) -> float:
+    """~1 s single-thread CPU calibration: a FIXED integer loop (pure
+    Python LCG fold, no allocation), timed. CPU contention inflates
+    this directly — a clean host on this VM class reads ~0.9-1.0 s,
+    so a reading far above the recorded clean band marks the whole
+    record as load-inflated, independent of /proc/loadavg (which can
+    read high from IO-wait alone)."""
+    t0 = time.perf_counter()
+    acc = 0
+    for i in range(n):
+        acc = (acc * 1103515245 + i) & 0x7FFFFFFFFFFF
+    return round(time.perf_counter() - t0, 4)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").split("sf")[-1]) if "sf" in sf_dir else -1.0
@@ -105,6 +133,8 @@ def main() -> None:
     # pass over the headliner list — warms JVM JIT, codegen caches,
     # Python worker pools and the library pages an eviction also drops.
     cached_before_kb = _cached_kb()
+    load_before = _loadavg()
+    calib_before_s = _cpu_calib_s()
     t_warm = time.perf_counter()
     for fn in sorted(os.listdir(sf_dir)):
         p = os.path.join(sf_dir, fn)
@@ -172,6 +202,8 @@ def main() -> None:
         timings[name] = round(best, 4)
         rewarm()
 
+    load_after = _loadavg()
+    calib_after_s = _cpu_calib_s()
     print(json.dumps({
         "metric": "headline_queries_total",
         "value": round(sum(timings.values()), 4),
@@ -181,6 +213,10 @@ def main() -> None:
         "warm": {"sec": warm_sec,
                  "cached_kb_before": cached_before_kb,
                  "cached_kb_after": cached_after_kb},
+        "load": {"loadavg_before": load_before,
+                 "loadavg_after": load_after,
+                 "cpu_calib_s_before": calib_before_s,
+                 "cpu_calib_s_after": calib_after_s},
     }))
 
 

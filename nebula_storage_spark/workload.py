@@ -3633,67 +3633,35 @@ ORACLE_ANALYTIC = {
 #
 # At the very head: queries whose CODE changed since their latest
 # driver row, so the changed plan gets a fresh driver artifact first.
-# Round 9's kernel rewrites (pipeline/cluster.py, pipeline/pq.py —
-# the Arrow-batch numpy assignment/encode/refit) landed AFTER the
-# round's driver sample ran, and round 10 extracted the shared
-# kernels into pipeline/kernels.py: the three k-means-backed queries
-# (latest rows r5/r6) and knn_pq_adc (r9 row recorded pre-kernel)
-# front the sample so the executed plans gain fresh driver artifacts
-# (r9 verdict, Next #3). knn_pq_rerank's r9 row was recorded at the
-# final r9 HEAD and its r10 diff is the plan-neutral kernel
-# extraction (bit-identity re-verified by hand-drive), so it stays
-# in its cohort.
+# Round 11 extracted the shared bucketed partial-rewrite helper
+# (bucketed_layout.py — r10 verdict Next #3): apply_index_delta now
+# validates the `_layout.json` sidecar, aligns delta key dtypes, and
+# runs the SHARED persist-before-collect overwrite, so the two
+# queries that execute it front the sample for fresh driver rows
+# (both re-verified by hand-drive at sf0.01 when the helper landed).
 _REFRESH_HEAD = (
-    "kmeans_embeddings",
-    "cluster_top_terms",
-    "hard_negative_mining",
-    "knn_pq_adc",
+    "index_incremental",
+    "ft_index_incremental",
 )
 
-# The r3 cohort drained to zero in the r9 sample (its 29 remaining
-# rows all re-checked green — CORRECTNESS_r09.json).
+# The r3 cohort drained to zero in the r9 sample, and r4 drained in
+# the r10 sample (all 16 rows re-checked green — CORRECTNESS_r10).
 
-# Queries whose LATEST driver row is CORRECTNESS_r04.json (16 after
-# the r9 sample took 19 of the 35).
-_LATEST_R04 = frozenset({
-    "dedup_chunk_exact", "dedup_fuzzy", "doc_mixture_sample",
-    "edge_triangle_support", "events_anomaly_zscore",
-    "events_cohort_retention", "events_fill_forward", "events_funnel",
-    "inverted_index_search", "scd2_history", "store_compaction",
-    "stream_enrich", "tpch_q16_shape", "tpch_q17", "tpch_q20_shape",
-    "tpch_q8",
-})
-
-# Queries whose LATEST driver row is CORRECTNESS_r05.json (46 here;
-# cluster_top_terms and hard_negative_mining also have r5 rows but
-# moved to _REFRESH_HEAD — their k-means stage was kernel-rewritten
-# in round 9 after that row. knn_pq_adc's r5 row is likewise
-# superseded by _REFRESH_HEAD membership.)
+# Queries whose LATEST driver row is CORRECTNESS_r05.json (16 after
+# the r10 sample took 30 of the 46).
 _LATEST_R05 = frozenset({
-    "analyze_table_stats", "ann_recall_eval", "bm25_topk",
-    "bpe_train_merges", "butterfly_count",
-    "conductance_brands", "dedup_semantic_rerank",
-    "dedup_setsim_prefix", "degree_log_histogram",
-    "doc_rarity_score", "dq_checks", "embedding_robust_scale",
-    "embedding_smoothing", "event_type_trigrams",
-    "events_last_state", "events_m4_downsample",
-    "events_markov_transitions", "events_new_users_daily",
-    "events_pivot", "events_rolling_avg", "find_path_strings",
-    "global_transitivity", "greedy_set_cover",
-    "harmonic_centrality", "hits_scores",
-    "k_truss_edges", "kcenter_init",
-    "louvain_one_sweep", "rendezvous_parts",
-    "revenue_grouping_sets", "rfm_segments", "source_concentration",
-    "source_logs_parse", "stats_variance", "store_merkle_diff",
-    "store_orphan_gc", "store_snapshot_diff", "tpch_q11_shape",
-    "tpch_q12_shape", "tpch_q22_shape", "tpch_q9_shape",
-    "training_shards", "user_churn_flags", "vocab_coverage_curve",
-    "weighted_pagerank", "zorder_pruning",
+    "analyze_table_stats", "ann_recall_eval", "butterfly_count",
+    "dedup_semantic_rerank", "degree_log_histogram",
+    "embedding_robust_scale", "embedding_smoothing",
+    "event_type_trigrams", "find_path_strings", "greedy_set_cover",
+    "kcenter_init", "rendezvous_parts", "rfm_segments",
+    "store_orphan_gc", "user_churn_flags", "vocab_coverage_curve",
 })
 
-# Queries whose LATEST driver row is CORRECTNESS_r06.json (42 here;
-# kmeans_embeddings also has an r6 row but moved to _REFRESH_HEAD —
-# the r9 kernel rewrite postdates it).
+# Queries whose LATEST driver row is CORRECTNESS_r06.json (41 here;
+# ft_index_incremental also has an r6 row but moved to _REFRESH_HEAD
+# — the r11 shared-helper extraction postdates it, and the cohort
+# sets must stay an exact partition of _DRIVER_CHECKED_EVER).
 _LATEST_R06 = frozenset({
     "basket_affinity", "betweenness_2hop", "bigram_lm_rarity",
     "closeness_centrality", "corpus_stats", "decontaminate",
@@ -3702,7 +3670,6 @@ _LATEST_R06 = frozenset({
     "dedup_minhash_lsh", "dedup_simhash",
     "dedup_simhash_pairs", "doc_fingerprint", "embedding_near_dup",
     "events_mad_outliers", "events_winsorize",
-    "ft_index_incremental",
     "knn_bruteforce", "knn_hyperplane_lsh", "knn_ivf",
     "knn_ivf_incremental", "knn_ivf_nprobe", "knn_ivf_persisted",
     "knn_lsh_multiprobe", "lang_id", "modularity_brands",
@@ -3759,18 +3726,20 @@ _LATEST_R08 = frozenset({
     "upsert_returning", "walk_skipgrams", "weighted_sample_docs",
 })
 
-# Queries whose LATEST driver row is CORRECTNESS_r09.json (49 here;
-# knn_pq_adc also has an r9 row but sits in _REFRESH_HEAD — see its
-# comment; the cohort sets must stay an exact partition of
-# _DRIVER_CHECKED_EVER): the r9 sample = knn_pq_rerank (new) +
-# knn_pq_adc + the entire remaining r3 cohort (29) + 19 of r4.
+# Queries whose LATEST driver row is CORRECTNESS_r09.json (48 here;
+# knn_pq_adc's r9 row was superseded by its r10 row, and
+# index_incremental moved to _REFRESH_HEAD — the r11 shared-helper
+# extraction postdates its r9 row; the cohort sets must stay an
+# exact partition of _DRIVER_CHECKED_EVER): the r9 sample =
+# knn_pq_rerank (new) + knn_pq_adc + the entire remaining r3 cohort
+# (29) + 19 of r4.
 _LATEST_R09 = frozenset({
     "anti_join_no_urgent", "bpe_pair_counts", "bucketed_join",
     "common_neighbors", "cube_revenue", "customer_value_quartiles",
     "datetime_surface", "dedup_ngram_pruned", "degree_quantiles",
     "events_lead_lag", "fetch_multi_tag", "go_expr",
     "go_stats_with_limit", "hll_incremental", "hof_surface",
-    "index_incremental", "index_rebuild_edge", "knn_pq_rerank",
+    "index_rebuild_edge", "knn_pq_rerank",
     "lang_confusion", "lookup_edge_index", "lookup_null",
     "mm_video_meta", "neighbor_jaccard", "preferential_attachment",
     "price_size_correlation", "range_click_attribution",
@@ -3782,13 +3751,37 @@ _LATEST_R09 = frozenset({
     "tpch_q6", "tpch_q7", "triangle_counts", "vocab_topk",
 })
 
-# Every query with ANY driver CORRECTNESS row (r1–r9) — the cohorts
+# Queries whose LATEST driver row is CORRECTNESS_r10.json (50): the
+# r10 sample = the 4 kernel-refresh head queries + the entire r4
+# cohort (16, drained) + 30 of r5.
+_LATEST_R10 = frozenset({
+    "kmeans_embeddings", "cluster_top_terms", "hard_negative_mining",
+    "knn_pq_adc",
+    "dedup_chunk_exact", "dedup_fuzzy", "doc_mixture_sample",
+    "edge_triangle_support", "events_anomaly_zscore",
+    "events_cohort_retention", "events_fill_forward", "events_funnel",
+    "inverted_index_search", "scd2_history", "store_compaction",
+    "stream_enrich", "tpch_q16_shape", "tpch_q17", "tpch_q20_shape",
+    "tpch_q8",
+    "bm25_topk", "bpe_train_merges", "conductance_brands",
+    "dedup_setsim_prefix", "doc_rarity_score", "dq_checks",
+    "events_last_state", "events_m4_downsample",
+    "events_markov_transitions", "events_new_users_daily",
+    "events_pivot", "events_rolling_avg", "global_transitivity",
+    "harmonic_centrality", "hits_scores", "k_truss_edges",
+    "louvain_one_sweep", "revenue_grouping_sets",
+    "source_concentration", "source_logs_parse", "stats_variance",
+    "store_merkle_diff", "store_snapshot_diff", "tpch_q11_shape",
+    "tpch_q12_shape", "tpch_q22_shape", "tpch_q9_shape",
+    "training_shards", "weighted_pagerank", "zorder_pruning",
+})
+
+# Every query with ANY driver CORRECTNESS row (r1–r10) — the cohorts
 # above partition this set by latest-row round. A registry name NOT in
 # this union has never been driver-checked and must sample FIRST.
 _DRIVER_CHECKED_EVER = (frozenset(_REFRESH_HEAD)
-                        | _LATEST_R04
                         | _LATEST_R05 | _LATEST_R06 | _LATEST_R07
-                        | _LATEST_R08 | _LATEST_R09)
+                        | _LATEST_R08 | _LATEST_R09 | _LATEST_R10)
 
 
 def build_queries() -> dict[str, Query]:
@@ -3807,8 +3800,8 @@ def build_queries() -> dict[str, Query]:
     ordered = {k: v for k, v in out.items()
                if k not in _DRIVER_CHECKED_EVER}
     ordered.update({k: out[k] for k in _REFRESH_HEAD if k in out})
-    for cohort in (_LATEST_R04,
-                   _LATEST_R05, _LATEST_R06, _LATEST_R07, _LATEST_R08):
+    for cohort in (_LATEST_R05, _LATEST_R06, _LATEST_R07, _LATEST_R08,
+                   _LATEST_R09):
         ordered.update({k: v for k, v in out.items()
                         if k in cohort and k not in ordered})
     ordered.update({k: v for k, v in out.items() if k not in ordered})
