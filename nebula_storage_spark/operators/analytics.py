@@ -933,7 +933,8 @@ def scc_components(edges: DataFrame, rounds: int = 8) -> DataFrame:
 
 def _min_label_fixpoint(e: DataFrame, nodes: DataFrame,
                         max_rounds: int = 16,
-                        loop_parts: int | None = None) -> DataFrame:
+                        loop_parts: int | None = None,
+                        ckpt_cadence: int = 4) -> DataFrame:
     """Forward min-label propagation (labels flow along src→dst) with
     POINTER DOUBLING, run to fixpoint: returns (node, label) with
     label(v) = min({v} ∪ {u : u →* v in e}). The label-of-label hop is
@@ -948,9 +949,12 @@ def _min_label_fixpoint(e: DataFrame, nodes: DataFrame,
     includes the old label), so Σlabel is strictly monotone: the
     fixpoint is reached exactly when Σlabel stops falling. The sum runs
     in DECIMAL(38,0) so 10^10 nodes × 10^9 ids can't overflow int64.
-    Plans are truncated with localCheckpoint every few rounds instead of
-    every round (lineage depth between truncations is bounded and the
-    per-round frames are cached, so there is no O(K²) re-evaluation).
+    Plans are truncated with localCheckpoint every `ckpt_cadence`
+    rounds instead of every round (lineage depth between truncations is
+    bounded and the per-round frames are cached, so there is no O(K²)
+    re-evaluation). The default cadence 4 is MEASURED, not assumed:
+    tools/coloring_cadence.py sweeps 2/4/8 at 1×/10× with a
+    bit-identity gate (r10 verdict, Next #6 — table in BENCH_NOTES).
     Raises if max_rounds is exhausted while Σlabel is still falling
     (2^max_rounds reach — silently returning unconverged labels would
     let scc_coloring split an SCC, r4 advice).
@@ -983,7 +987,7 @@ def _min_label_fixpoint(e: DataFrame, nodes: DataFrame,
                            F.col("y.label").alias("label")))
             new = narrow(labels.union(nbr).union(lol)
                          .groupBy("node").agg(F.min("label").alias("label")))
-            if (r + 1) % 4 == 0:
+            if (r + 1) % ckpt_cadence == 0:
                 new = new.localCheckpoint()     # truncate plan growth
             else:
                 new = new.persist()
@@ -1101,7 +1105,8 @@ def _tarjan_scc(edge_list: list[tuple[int, int]]) -> dict[int, int]:
 
 def scc_coloring(edges: DataFrame, max_outer: int = 64,
                  max_rounds: int = 16,
-                 driver_tail_edges: int = 50_000) -> DataFrame:
+                 driver_tail_edges: int = 50_000,
+                 fixpoint_ckpt_cadence: int = 4) -> DataFrame:
     """Whole-graph strongly connected components via the COLORING
     algorithm over the pointer-doubling primitive — the scale-safe
     replacement for scc_components' transitive-closure route on
@@ -1223,7 +1228,8 @@ def scc_coloring(edges: DataFrame, max_outer: int = 64,
             cur = cur.localCheckpoint()  # pin before the fixpoints
             # 2. color
             colors = _min_label_fixpoint(cur, remaining, max_rounds,
-                                         loop_parts)
+                                         loop_parts,
+                                         fixpoint_ckpt_cadence)
             # 3. peel: min descendant within the color class, via the
             # same doubling on reversed same-color edges
             lsrc = colors.select(F.col("node").alias(SRC),
@@ -1238,7 +1244,8 @@ def scc_coloring(edges: DataFrame, max_outer: int = 64,
                 .persist())
             cached.append(same_rev)
             desc = _min_label_fixpoint(same_rev, remaining, max_rounds,
-                                       loop_parts)
+                                       loop_parts,
+                                       fixpoint_ckpt_cadence)
             member = (narrow(
                 colors.join(desc.withColumnRenamed("label", "mdesc"),
                             "node")
@@ -1475,7 +1482,8 @@ def hits_oracle_sql(edges_sql: str, iterations: int = 3,
 
 
 def greedy_coloring(edges: DataFrame, rounds: int = 3,
-                    prefix: str = "col#") -> DataFrame:
+                    prefix: str = "col#",
+                    ckpt_every: int = 1) -> DataFrame:
     """Jones-Plassmann parallel greedy coloring with deterministic Luby
     priorities: per round, every uncolored node whose md5 priority
     (ties by id) beats all uncolored neighbours takes the smallest
@@ -1488,8 +1496,19 @@ def greedy_coloring(edges: DataFrame, rounds: int = 3,
     Scale: per round = the MIS winner selection (hash joins on the
     node key) plus one aggregation of neighbour colors into a bitmask;
     the uncolored frontier shrinks geometrically and is
-    localCheckpoint()ed per round. Output: (node, color).
+    localCheckpoint()ed on every `ckpt_every`-th round (registry-pinned
+    persist() between — materialization without the checkpoint's block
+    upload, lineage depth bounded by the cadence). The default cadence
+    1 is MEASURED, not assumed: tools/coloring_cadence.py sweeps 1/2/3
+    at 1×/10× with a bit-identity gate (r10 verdict, Next #6 — table
+    in BENCH_NOTES). Output: (node, color).
     """
+    from ..cache import pin
+
+    def trunc(df: DataFrame, t: int) -> DataFrame:
+        return (df.localCheckpoint() if (t + 1) % ckpt_every == 0
+                else pin(df))
+
     a, b = F.col(SRC), F.col(DST)
     und = (edges.filter(a != b)
            .select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
@@ -1542,12 +1561,12 @@ def greedy_coloring(edges: DataFrame, rounds: int = 3,
         # a 4.7 s floor at bench scale).
         colored = newly if colored is None else colored.union(newly)
         if t + 1 < rounds:
-            colored = colored.localCheckpoint()
-            u = u.join(win, "node", "left_anti").localCheckpoint()
-            act = (act.join(u.select(F.col("node").alias(SRC)), SRC,
-                            "left_semi")
-                   .join(u.select(F.col("node").alias(DST)), DST,
-                         "left_semi").localCheckpoint())
+            colored = trunc(colored, t)
+            u = trunc(u.join(win, "node", "left_anti"), t)
+            act = trunc(act.join(u.select(F.col("node").alias(SRC)), SRC,
+                                 "left_semi")
+                        .join(u.select(F.col("node").alias(DST)), DST,
+                              "left_semi"), t)
     return (nodes.join(colored, "node", "left")
             .select("node", F.coalesce("color", F.lit(-1)).alias("color")))
 
