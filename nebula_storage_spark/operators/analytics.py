@@ -934,7 +934,7 @@ def scc_components(edges: DataFrame, rounds: int = 8) -> DataFrame:
 def _min_label_fixpoint(e: DataFrame, nodes: DataFrame,
                         max_rounds: int = 16,
                         loop_parts: int | None = None,
-                        ckpt_cadence: int = 4) -> DataFrame:
+                        ckpt_cadence: int = 2) -> DataFrame:
     """Forward min-label propagation (labels flow along src→dst) with
     POINTER DOUBLING, run to fixpoint: returns (node, label) with
     label(v) = min({v} ∪ {u : u →* v in e}). The label-of-label hop is
@@ -952,9 +952,14 @@ def _min_label_fixpoint(e: DataFrame, nodes: DataFrame,
     Plans are truncated with localCheckpoint every `ckpt_cadence`
     rounds instead of every round (lineage depth between truncations is
     bounded and the per-round frames are cached, so there is no O(K²)
-    re-evaluation). The default cadence 4 is MEASURED, not assumed:
-    tools/coloring_cadence.py sweeps 2/4/8 at 1×/10× with a
-    bit-identity gate (r10 verdict, Next #6 — table in BENCH_NOTES).
+    re-evaluation). The default cadence 2 is MEASURED, not assumed
+    (tools/coloring_cadence.py, bit-identity-gated, r10 verdict Next
+    #6): vs the previous 4 it reads 13.7 vs 19.0 s at 1× and 19.2 vs
+    21.2 s at 10× on the end-to-end scc loop — the per-round frames
+    are only |V| rows, so the checkpoint upload is cheap while the
+    analysis cost of deeper persist-chains is not; cadence 8 did not
+    complete 1× within 15 minutes (driver pegged in Catalyst analysis
+    of the 7-round lineage), the pathology this truncation bounds.
     Raises if max_rounds is exhausted while Σlabel is still falling
     (2^max_rounds reach — silently returning unconverged labels would
     let scc_coloring split an SCC, r4 advice).
@@ -1106,7 +1111,7 @@ def _tarjan_scc(edge_list: list[tuple[int, int]]) -> dict[int, int]:
 def scc_coloring(edges: DataFrame, max_outer: int = 64,
                  max_rounds: int = 16,
                  driver_tail_edges: int = 50_000,
-                 fixpoint_ckpt_cadence: int = 4) -> DataFrame:
+                 fixpoint_ckpt_cadence: int = 2) -> DataFrame:
     """Whole-graph strongly connected components via the COLORING
     algorithm over the pointer-doubling primitive — the scale-safe
     replacement for scc_components' transitive-closure route on
@@ -1481,9 +1486,12 @@ def hits_oracle_sql(edges_sql: str, iterations: int = 3,
             f"JOIN h{iterations} USING (node)")
 
 
+CKPT_PERSIST_MIN_NODES = 500_000
+
+
 def greedy_coloring(edges: DataFrame, rounds: int = 3,
                     prefix: str = "col#",
-                    ckpt_every: int = 1) -> DataFrame:
+                    ckpt_every: int | None = None) -> DataFrame:
     """Jones-Plassmann parallel greedy coloring with deterministic Luby
     priorities: per round, every uncolored node whose md5 priority
     (ties by id) beats all uncolored neighbours takes the smallest
@@ -1498,16 +1506,20 @@ def greedy_coloring(edges: DataFrame, rounds: int = 3,
     the uncolored frontier shrinks geometrically and is
     localCheckpoint()ed on every `ckpt_every`-th round (registry-pinned
     persist() between — materialization without the checkpoint's block
-    upload, lineage depth bounded by the cadence). The default cadence
-    1 is MEASURED, not assumed: tools/coloring_cadence.py sweeps 1/2/3
-    at 1×/10× with a bit-identity gate (r10 verdict, Next #6 — table
-    in BENCH_NOTES). Output: (node, color).
+    upload, lineage depth bounded by the cadence). `ckpt_every=None`
+    picks the cadence by a SIZE GATE on |V|, from the measured
+    crossover (tools/coloring_cadence.py, bit-identity-gated — r10
+    verdict Next #6): per-round checkpointing wins at gate scale
+    (165 k nodes: 8.3 vs 9.7 s) because truncation keeps Catalyst
+    analysis flat while the upload is small, but the upload scales
+    with |V| and loses 3.3× at 1.65 M nodes (73.3 s per-round vs
+    22.1 s persist-between) — so ≤ 500 k nodes runs cadence 1,
+    above it cadence min(rounds, 3) (3 = the measured best arm;
+    still truncating every 3rd round for long round budgets, the
+    fixpoint-cadence lesson that unbounded persist-chains thrash
+    the optimizer). Output: (node, color).
     """
     from ..cache import pin
-
-    def trunc(df: DataFrame, t: int) -> DataFrame:
-        return (df.localCheckpoint() if (t + 1) % ckpt_every == 0
-                else pin(df))
 
     a, b = F.col(SRC), F.col(DST)
     und = (edges.filter(a != b)
@@ -1533,6 +1545,15 @@ def greedy_coloring(edges: DataFrame, rounds: int = 3,
          f"CAST({DST} AS STRING))), 1, 15), 16, 10) AS BIGINT)"
     act = (both.withColumn("ha", F.expr(ha)).withColumn("hb", F.expr(hb))
            .localCheckpoint())
+    if ckpt_every is None:
+        # |V| size gate (docstring) — u is already eagerly
+        # checkpointed, so this count is a cached-frame scan
+        ckpt_every = (1 if u.count() <= CKPT_PERSIST_MIN_NODES
+                      else min(rounds, 3))
+
+    def trunc(df: DataFrame, t: int) -> DataFrame:
+        return (df.localCheckpoint() if (t + 1) % ckpt_every == 0
+                else pin(df))
     colored = None  # (node, color)
     for t in range(rounds):
         beaten = (act.filter(

@@ -3639,9 +3639,16 @@ ORACLE_ANALYTIC = {
 # runs the SHARED persist-before-collect overwrite, so the two
 # queries that execute it front the sample for fresh driver rows
 # (both re-verified by hand-drive at sf0.01 when the helper landed).
+# The coloring-family three joined after the measured cadence changes
+# (fixpoint checkpoint cadence 4→2; greedy's size-gated auto cadence —
+# tools/coloring_cadence.py, bit-identity-gated): their plans moved,
+# so they too need fresh rows (all hand-driven green at sf0.01).
 _REFRESH_HEAD = (
     "index_incremental",
     "ft_index_incremental",
+    "greedy_coloring",
+    "scc_coloring",
+    "scc_coloring_full",
 )
 
 # The r3 cohort drained to zero in the r9 sample, and r4 drained in
@@ -3658,10 +3665,11 @@ _LATEST_R05 = frozenset({
     "store_orphan_gc", "user_churn_flags", "vocab_coverage_curve",
 })
 
-# Queries whose LATEST driver row is CORRECTNESS_r06.json (41 here;
-# ft_index_incremental also has an r6 row but moved to _REFRESH_HEAD
-# — the r11 shared-helper extraction postdates it, and the cohort
-# sets must stay an exact partition of _DRIVER_CHECKED_EVER).
+# Queries whose LATEST driver row is CORRECTNESS_r06.json (40 here;
+# ft_index_incremental and scc_coloring also have r6 rows but moved
+# to _REFRESH_HEAD — the r11 shared-helper extraction / fixpoint-
+# cadence change postdate them, and the cohort sets must stay an
+# exact partition of _DRIVER_CHECKED_EVER).
 _LATEST_R06 = frozenset({
     "basket_affinity", "betweenness_2hop", "bigram_lm_rarity",
     "closeness_centrality", "corpus_stats", "decontaminate",
@@ -3674,7 +3682,7 @@ _LATEST_R06 = frozenset({
     "knn_ivf_incremental", "knn_ivf_nprobe", "knn_ivf_persisted",
     "knn_lsh_multiprobe", "lang_id", "modularity_brands",
     "pack_sequences", "quality_filter",
-    "repetition_stats", "scc_coloring",
+    "repetition_stats",
     "shard_balance_audit", "skyline_parts", "source_tv_distance",
     "split_assign", "stratified_sample", "stream_late_data",
     "text_features", "text_normalize", "text_redact",
@@ -3702,10 +3710,10 @@ _LATEST_R07 = frozenset({
     "upsert_insert", "upsert_update_cond", "walk_visit_counts",
 })
 
-# Queries whose LATEST driver row is CORRECTNESS_r08.json (49 here;
-# knn_pq_adc also has an r8 row but sits in _REFRESH_HEAD — its ADC
-# lookup arrays were densified in round 9, and the cohort sets must
-# stay an exact partition of _DRIVER_CHECKED_EVER).
+# Queries whose LATEST driver row is CORRECTNESS_r08.json (47 here;
+# greedy_coloring and scc_coloring_full also have r8 rows but moved
+# to _REFRESH_HEAD — the r11 cadence changes postdate them; knn_pq_adc
+# has since gained an r10 row and sits in _LATEST_R10.)
 _LATEST_R08 = frozenset({
     "bfs_distances", "bloom_vocab_probe", "clustering_coefficient",
     "cms_token_counts", "connected_components",
@@ -3715,11 +3723,11 @@ _LATEST_R08 = frozenset({
     "delete_tag_rows", "events_props_json", "events_value_percentiles",
     "fetch_string_vids", "fulltext_search", "go_1_to_n", "go_grouped",
     "go_in_projected", "go_multi_tag", "go_stats_salted", "go_two_hop",
-    "greedy_coloring", "hll_distinct_users",
+    "hll_distinct_users",
     "incremental_view_maintenance", "k_core", "label_propagation",
     "lookup_multi_index", "maximal_independent_set", "pagerank",
     "personalized_pagerank", "random_walks", "rollup_revenue",
-    "scan_edge_page", "scc_coloring_full", "schema_evolution",
+    "scan_edge_page", "schema_evolution",
     "sessionize", "source_json_roundtrip", "source_partitioned_pruning",
     "sssp_parent_tree", "stream_session_window",
     "stream_stateful_count", "stream_window", "subgraph", "ttl_purge",

@@ -10,8 +10,13 @@ is a candidate component. Before changing any default, MEASURE:
     checkpoints (materialization without the block upload, lineage
     depth bounded by the cadence).
   * scc_coloring (driver_tail_edges=0, the end-to-end distributed
-    loop) sweeps `fixpoint_ckpt_cadence` ∈ {2, 4, 8} around the
-    shipping 4 inside _min_label_fixpoint.
+    loop) sweeps `fixpoint_ckpt_cadence` ∈ {4, 2} around the shipping
+    4 inside _min_label_fixpoint. Cadence 8 is NOT in the default
+    sweep: measured once at 1× it did not complete within 15 minutes
+    (vs 19 s at cadence 4) — the driver pegged one core in Catalyst
+    analysis of the 7-round-deep lineage, the exact pathology the
+    checkpoint truncation exists to bound. Recorded as a decisive
+    negative; pass --scc-arms 4,2,8 to reproduce.
 
 Each cell: best of --reps runs at 1×/10× amplification (loop_scaling's
 disjoint-copy pattern — round counts stay constant, per-round work
@@ -98,6 +103,16 @@ def main() -> int:
     factors = [1, 10]
     reps = 2
     ops = ["greedy", "scc"]
+    greedy_arms = [1, 2, 3]
+    scc_arms = [4, 2]
+    if "--greedy-arms" in args:
+        i = args.index("--greedy-arms")
+        greedy_arms = [int(x) for x in args[i + 1].split(",")]
+        del args[i:i + 2]
+    if "--scc-arms" in args:
+        i = args.index("--scc-arms")
+        scc_arms = [int(x) for x in args[i + 1].split(",")]
+        del args[i:i + 2]
     if "--factors" in args:
         i = args.index("--factors")
         factors = [int(x) for x in args[i + 1].split(",")]
@@ -122,7 +137,7 @@ def main() -> int:
         if "greedy" in ops:
             e = amplify(_pagerank_gate_graph(spark, sf), factor)
             arms = {f"ckpt_every={k}": {"rounds": 3, "ckpt_every": k}
-                    for k in (1, 2, 3)}
+                    for k in greedy_arms}
             cells = run_arms(f"greedy_coloring@{factor}x", e, arms,
                              lambda ed, **kw: greedy_coloring(ed, **kw),
                              reps)
@@ -132,7 +147,7 @@ def main() -> int:
             e = amplify(_scc_gate_graph(spark, sf), factor)
             arms = {f"fixpoint_cadence={k}":
                     {"driver_tail_edges": 0, "fixpoint_ckpt_cadence": k}
-                    for k in (4, 2, 8)}
+                    for k in scc_arms}
             cells = run_arms(f"scc_coloring@{factor}x", e, arms,
                              lambda ed, **kw: scc_coloring(ed, **kw),
                              reps)
