@@ -1479,10 +1479,13 @@ def test_driver_sampling_order_invariants(monkeypatch):
     round."""
     from nebula_storage_spark import workload as w
     qs = w.build_queries()
-    cohorts = [frozenset(w._REFRESH_HEAD),
-               w._LATEST_R04, w._LATEST_R05,
-               w._LATEST_R06, w._LATEST_R07, w._LATEST_R08,
-               w._LATEST_R09]
+    # discover the cohort sets by naming convention so per-round
+    # rotation (drained cohorts removed, the new round's added) can't
+    # silently desynchronize this test from the policy it pins
+    cohorts = [frozenset(w._REFRESH_HEAD)] + [
+        getattr(w, n) for n in sorted(dir(w))
+        if n.startswith("_LATEST_R")]
+    assert len(cohorts) >= 3
     assert sum(len(c) for c in cohorts) == len(w._DRIVER_CHECKED_EVER)
     assert frozenset().union(*cohorts) == w._DRIVER_CHECKED_EVER
     # registry = every checked name + genuinely-new registrations
