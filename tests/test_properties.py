@@ -884,13 +884,17 @@ def test_pq_sampled_training_keeps_adc_invariants(spark, sf_dir):
 @given(st.lists(st.tuples(st.integers(0, 40),       # batch key
                           st.booleans()),           # True = delete it too
                 min_size=1, max_size=12, unique_by=lambda t: t[0]),
-       st.integers(min_value=2, max_value=16))      # n_buckets
+       st.integers(min_value=2, max_value=16),      # n_buckets
+       st.sampled_from(["bigint", "int", "smallint"]))  # batch key dtype
 @settings(max_examples=6, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 def test_bucketed_upsert_partial_rewrite_is_postimage_exact(
-        spark, tmp_path_factory, batch_keys, n_buckets):
+        spark, tmp_path_factory, batch_keys, n_buckets, key_dtype):
     """Property: for ANY batch (update keys, insert keys — ids >= 20
-    are absent from the 20-row table — under any bucket count) the
+    are absent from the 20-row table — under any bucket count, with
+    the batch's key column in ANY narrower integral dtype than the
+    table's bigint: hash() is type-sensitive, so align_key_types must
+    cast before bucketing or keys route to wrong buckets) the
     bucketed partial-rewrite apply (mutate/bucketed.py) produces a
     table bit-equal to the full-table logical upsert()'s post-image,
     and a follow-up bucketed delete equals the anti-join. This is the
@@ -907,7 +911,7 @@ def test_bucketed_upsert_partial_rewrite_is_postimage_exact(
     set_exprs = {"bal": "coalesce(t.bal, 0.0) + s.delta"}
     batch = spark.createDataFrame(
         [(k, float(k) + 0.5) for k, _ in batch_keys],
-        "k bigint, delta double")
+        f"k {key_dtype}, delta double")
     path = str(tmp_path_factory.mktemp("bm") / "t")
     write_bucketed(table, "k", path, n_buckets=n_buckets)
     upsert_bucketed(spark, path, batch, ["k"], set_exprs,
@@ -919,7 +923,8 @@ def test_bucketed_upsert_partial_rewrite_is_postimage_exact(
 
     dels = [k for k, d in batch_keys if d]
     if dels:
-        keys = spark.createDataFrame([(k,) for k in dels], "k bigint")
+        keys = spark.createDataFrame([(k,) for k in dels],
+                                     f"k {key_dtype}")
         delete_bucketed(spark, path, keys, "k", n_buckets=n_buckets)
         got = sorted(map(tuple, read_bucketed(spark, path).collect()))
         want = sorted(map(tuple,
