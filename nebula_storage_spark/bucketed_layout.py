@@ -96,16 +96,73 @@ def validate_layout(path: str, key: str,
     return layout["n_buckets"], layout
 
 
+# Exact (value-preserving) widenings by simpleString: integral chain,
+# plus the float/double relations where every source value is exactly
+# representable (int→float and long→double are NOT — 2^53 < long max).
+_INT_ORDER = {"tinyint": 0, "smallint": 1, "int": 2, "bigint": 3}
+_EXACT_TO_DOUBLE = {"tinyint", "smallint", "int", "float", "double"}
+_EXACT_TO_FLOAT = {"tinyint", "smallint", "float"}
+
+
+def _is_lossless_widening(src: str, dst: str) -> bool:
+    if src in _INT_ORDER and dst in _INT_ORDER:
+        return _INT_ORDER[src] <= _INT_ORDER[dst]
+    if dst == "double":
+        return src in _EXACT_TO_DOUBLE
+    if dst == "float":
+        return src in _EXACT_TO_FLOAT
+    return False
+
+
 def align_key_types(batch: DataFrame, table_schema,
                     keys: Sequence[str]) -> DataFrame:
     """Cast the batch's key columns to the TABLE's key dtypes before
     any hash/bucket arithmetic: Spark's hash() is type-sensitive
     (hash(5 as int) != hash(5 as bigint)), so an uncast batch routes
-    keys to the wrong buckets with no error (r10 ADVICE)."""
+    keys to the wrong buckets with no error (r10 ADVICE).
+
+    Only value-preserving widenings cast unconditionally. A NARROWING
+    cast (batch bigint key 2^33+5 against an int-keyed table) would
+    silently wrap/null under Spark's non-ANSI cast and land the row
+    under a WRONG key — the exact silent-corruption class the sidecar
+    work closed (r11 ADVICE medium) — so narrowing/cross-kind casts
+    are verified lossless first: every batch key must round-trip
+    table_type→batch_type bit-exactly with no new nulls, else
+    ValueError (validate_layout's fail-loud contract)."""
     table_types = {f.name: f.dataType for f in table_schema.fields}
     for k in keys:
-        if k in table_types and batch.schema[k].dataType != table_types[k]:
-            batch = batch.withColumn(k, F.col(k).cast(table_types[k]))
+        if k not in table_types:
+            continue
+        if k not in batch.columns:
+            raise ValueError(
+                f"batch is missing key column {k!r} (batch columns: "
+                f"{batch.columns}) — cannot bucket-align a key the "
+                "batch does not carry")
+        src = batch.schema[k].dataType
+        dst = table_types[k]
+        if src == dst:
+            continue
+        if not _is_lossless_widening(src.simpleString(),
+                                     dst.simpleString()):
+            # try_cast, not cast: under ANSI (Spark 4 default) a plain
+            # overflow cast throws mid-job; non-ANSI it silently wraps.
+            # try_cast nulls either way, so "new null or round-trip
+            # mismatch" detects lossiness under BOTH modes.
+            cast = F.col(k).try_cast(dst)
+            lossy = batch.filter(
+                F.col(k).isNotNull()
+                & (cast.isNull() | (cast.try_cast(src) != F.col(k))))
+            if not lossy.isEmpty():
+                bad = lossy.select(k).limit(3).collect()
+                raise ValueError(
+                    f"lossy key cast for {k!r}: batch dtype "
+                    f"{src.simpleString()} does not round-trip through "
+                    f"the table's {dst.simpleString()} (e.g. "
+                    f"{[r[k] for r in bad]}) — a wrapped/nulled key "
+                    "would route the row under a WRONG key with no "
+                    "error; re-key the batch or migrate the table "
+                    "key type")
+        batch = batch.withColumn(k, F.col(k).cast(dst))
     return batch
 
 
@@ -140,16 +197,20 @@ def overwrite_touched_buckets(spark: SparkSession, path: str,
            .repartition(BUCKET_COL)
            .sortWithinPartitions(*sort_cols)
            .persist())
-    saved = spark.conf.get("spark.sql.sources.partitionOverwriteMode",
-                           "static")
     try:
         present = {r[BUCKET_COL] for r in
                    out.select(BUCKET_COL).distinct().collect()}
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode",
-                       "dynamic")
-        out.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(path)
+        # dynamic mode is set PER-WRITE via the DataFrameWriter option
+        # (takes precedence over the session conf), never by mutating
+        # session-global conf: two concurrent applies in one session
+        # could otherwise interleave one apply's finally-restore
+        # between the other's set and write, flipping that write to
+        # STATIC overwrite — which deletes every untouched bucket
+        # directory (r11 ADVICE).
+        (out.write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy(BUCKET_COL).parquet(path))
     finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", saved)
         out.unpersist()
     for b in set(touched) - present:
         d = os.path.join(path, f"{BUCKET_COL}={b}")

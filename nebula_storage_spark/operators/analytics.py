@@ -964,6 +964,12 @@ def _min_label_fixpoint(e: DataFrame, nodes: DataFrame,
     (2^max_rounds reach — silently returning unconverged labels would
     let scc_coloring split an SCC, r4 advice).
     """
+    if ckpt_cadence < 1:
+        raise ValueError(
+            f"ckpt_cadence must be >= 1, got {ckpt_cadence} — 0 would "
+            "divide by zero mid-loop and a negative cadence silently "
+            "disables lineage truncation")
+
     def narrow(df: DataFrame) -> DataFrame:
         # size-gated: a frontier that fits one task runs as one task —
         # 32-wide stages on a few thousand rows are pure scheduler
@@ -1547,9 +1553,15 @@ def greedy_coloring(edges: DataFrame, rounds: int = 3,
            .localCheckpoint())
     if ckpt_every is None:
         # |V| size gate (docstring) — u is already eagerly
-        # checkpointed, so this count is a cached-frame scan
+        # checkpointed, so this count is a cached-frame scan; an
+        # EXPLICIT ckpt_every skips the count job entirely
         ckpt_every = (1 if u.count() <= CKPT_PERSIST_MIN_NODES
                       else min(rounds, 3))
+    elif ckpt_every < 1:
+        raise ValueError(
+            f"ckpt_every must be >= 1, got {ckpt_every} — 0 would "
+            "divide by zero mid-loop and a negative cadence silently "
+            "disables lineage truncation")
 
     def trunc(df: DataFrame, t: int) -> DataFrame:
         return (df.localCheckpoint() if (t + 1) % ckpt_every == 0

@@ -1656,6 +1656,82 @@ def test_bucketed_layout_guardrails(spark, tmp_path):
                       .select(*edges.columns).collect())) == want
 
 
+def test_bucketed_layout_lossy_cast_and_conf_guards(spark, tmp_path):
+    """r11 ADVICE closures on the shared layout helper: (1) a NARROWING
+    key cast that would wrap/null under Spark's non-ANSI cast (bigint
+    batch key 2^33+5 against an int-keyed table) must raise, not route
+    the row under a wrapped key; (2) a batch missing a key column
+    raises a descriptive ValueError, not a bare KeyError; (3) a
+    successful apply never mutates the session-global
+    partitionOverwriteMode (the dynamic mode is a per-write option —
+    a session-conf save/restore could interleave between two
+    concurrent applies and flip one to STATIC, dropping every
+    untouched bucket)."""
+    import pytest
+    from nebula_storage_spark.mutate.bucketed import (
+        read_bucketed, upsert_bucketed, write_bucketed)
+
+    table = spark.range(100).select(
+        F.col("id").cast("int").alias("k"), (F.col("id") * 2.0).alias("bal"))
+    set_exprs = {"bal": "coalesce(t.bal, 0.0) + s.delta"}
+    path = str(tmp_path / "t_lossy")
+    write_bucketed(table, "k", path, n_buckets=8)
+
+    wrap = spark.createDataFrame([(2 ** 33 + 5, 1.0)],
+                                 "k bigint, delta double")
+    with pytest.raises(ValueError, match="lossy key cast"):
+        upsert_bucketed(spark, path, wrap, ["k"], set_exprs)
+
+    nokey = spark.createDataFrame([(1.0,)], "delta double")
+    with pytest.raises(ValueError, match="missing key column"):
+        upsert_bucketed(spark, path, nokey, ["k"], set_exprs)
+
+    # an IN-RANGE bigint batch against the int table narrows losslessly
+    # (round-trip verified) and updates in place
+    conf_key = "spark.sql.sources.partitionOverwriteMode"
+    saved = spark.conf.get(conf_key, "static")
+    ok = spark.createDataFrame([(3, 1.0)], "k bigint, delta double")
+    upsert_bucketed(spark, path, ok, ["k"], set_exprs)
+    assert spark.conf.get(conf_key, "static") == saved
+    got = read_bucketed(spark, path)
+    assert got.count() == 100
+    assert got.filter("k = 3").first()["bal"] == 7.0
+
+
+def test_coloring_cadence_validation_and_no_count_when_explicit(spark):
+    """r11 ADVICE low + r11 verdict Next #6: ckpt_every/ckpt_cadence=0
+    would ZeroDivisionError mid-loop (negatives silently disable
+    truncation) — both now raise at entry; and an EXPLICIT ckpt_every
+    runs no auto-gate count() job (pinned by making count raise for
+    the duration of the build)."""
+    import pytest
+    from pyspark.sql import DataFrame
+    from nebula_storage_spark.operators.analytics import (
+        _min_label_fixpoint, greedy_coloring)
+
+    e = spark.createDataFrame([(0, 1), (1, 2), (2, 3), (3, 0), (1, 4)],
+                              "_src bigint, _dst bigint")
+    with pytest.raises(ValueError, match="ckpt_every"):
+        greedy_coloring(e, rounds=2, ckpt_every=0)
+    nodes = spark.range(5).select(F.col("id").alias("node"))
+    with pytest.raises(ValueError, match="ckpt_cadence"):
+        _min_label_fixpoint(e, nodes, ckpt_cadence=0)
+
+    real_count = DataFrame.count
+
+    def boom(self):
+        raise AssertionError("auto-gate count() ran despite explicit "
+                             "ckpt_every")
+    DataFrame.count = boom
+    try:
+        colored = greedy_coloring(e, rounds=2, ckpt_every=1)
+    finally:
+        DataFrame.count = real_count
+    auto = {r.node: r.color
+            for r in greedy_coloring(e, rounds=2).collect()}
+    assert {r.node: r.color for r in colored.collect()} == auto
+
+
 def test_kernel_assignment_plans_are_pure_maps(spark, sf_dir):
     """The r9/r10 kernel contract, plan-pinned in the FAST suite (the
     measured halves live behind `pytest -m scaling` and only run at
