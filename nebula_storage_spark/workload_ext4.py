@@ -16,6 +16,8 @@ grouped-aggregate shapes).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Window as W, functions as F
 from .cache import pin as _pin
 
@@ -1582,6 +1584,68 @@ def _oracle_hard_negative() -> str:
 # dangling-edge GC sweep
 # ---------------------------------------------------------------------------
 
+def q_store_bucketed_upsert(spark, sf_dir):
+    """End-to-end driver gate for the bucketed WRITE path (r11 verdict
+    Next #5): lay `part` out in the hash-bucketed `_bucket=` layout
+    (the O(touched-bucket) partial-rewrite posture the reference prices
+    as a per-part RocksDB WriteBatch, mutate/AddVerticesProcessor.cpp:
+    227-283), then run the full mutation lifecycle IN PLACE through the
+    shared bucketed_layout helper — a conditional upsert (update branch
+    gated on the pre-image, UpdateNode.h:151-440 semantics) whose batch
+    also INSERTS 50 new keys, followed by a keyed delete — and read the
+    table back. The batch key is deliberately INT against the BIGINT
+    table so the sidecar-validated dtype alignment path is driver-gated
+    too. The oracle states the logical post-image; equality proves the
+    pruned partial rewrites compose to exactly the full-table
+    semantics (same hash => same bucket)."""
+    import shutil
+    from .graph import read_parquet
+    from .mutate.bucketed import (delete_bucketed, read_bucketed,
+                                  upsert_bucketed, write_bucketed)
+    from .staging import pid_staging_root, sf_tag
+    table = read_parquet(spark, f"{sf_dir}/part.parquet").select(
+        F.col("p_partkey").alias("k"), F.col("p_brand").alias("brand"),
+        F.expr(f"{_RETAIL_CENTS}").alias("cents"))
+    root = pid_staging_root("/tmp/nebula_spark_bucketed", sf_tag(sf_dir))
+    path = os.path.join(root, "part_store")
+    shutil.rmtree(path, ignore_errors=True)
+    write_bucketed(table, "k", path, n_buckets=8)
+    # conditional upsert: +500 cents on even-cent rows of the k%7==3
+    # slice (condition sees the PRE-image), plus 50 brand-new keys far
+    # above the existing range; batch key INT vs table BIGINT exercises
+    # align_key_types' widening path under the gate
+    updates = table.filter(F.col("k") % 7 == 3).select(
+        F.col("k").cast("int").alias("k"),
+        F.lit(500).cast("bigint").alias("delta"),
+        F.lit(None).cast("string").alias("brand"))
+    inserts = spark.range(50).select(
+        (F.lit(10 ** 9) + F.col("id")).cast("int").alias("k"),
+        (F.col("id") * 100).cast("bigint").alias("delta"),
+        F.lit("Brand#NEW").alias("brand"))
+    upsert_bucketed(
+        spark, path, updates.unionByName(inserts), ["k"],
+        {"cents": "coalesce(t.cents, CAST(0 AS BIGINT)) + s.delta",
+         "brand": "coalesce(t.brand, s.brand)"},
+        condition="t.cents % 2 = 0")
+    dels = read_bucketed(spark, path).filter(F.col("k") % 11 == 0)
+    delete_bucketed(spark, path, dels.select("k"), "k")
+    return (read_bucketed(spark, path)
+            .select("k", "brand", "cents").orderBy("k"))
+
+
+ORACLE_BUCKETED_UPSERT = (
+    "WITH base AS (SELECT p_partkey AS k, p_brand AS brand, "
+    "CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents "
+    "FROM part), "
+    "upserted AS ("
+    "SELECT k, brand, CASE WHEN k % 7 = 3 AND cents % 2 = 0 "
+    "THEN cents + 500 ELSE cents END AS cents FROM base "
+    "UNION ALL "
+    "SELECT 1000000000 + range AS k, 'Brand#NEW' AS brand, "
+    "CAST(range * 100 AS BIGINT) AS cents FROM range(50)) "
+    "SELECT k, brand, cents FROM upserted WHERE k % 11 <> 0 ORDER BY k")
+
+
 def q_store_orphan_gc(spark, sf_dir):
     """Dangling-edge garbage collection: after a NON-cascaded vertex
     delete (the crash-between-mutations state the reference's cascade
@@ -2012,6 +2076,7 @@ EXT4_QUERIES = {
     "ann_recall_eval": q_ann_recall_eval,
     "butterfly_count": q_butterfly_count,
     "hard_negative_mining": q_hard_negative_mining,
+    "store_bucketed_upsert": q_store_bucketed_upsert,
     "store_orphan_gc": q_store_orphan_gc,
     "kcenter_init": q_kcenter_init,
     "rendezvous_parts": q_rendezvous_parts,
@@ -2065,6 +2130,7 @@ def build_ext4_oracles() -> dict[str, str]:
         "ann_recall_eval": _oracle_ann_recall(),
         "butterfly_count": ORACLE_BUTTERFLY,
         "hard_negative_mining": _oracle_hard_negative(),
+        "store_bucketed_upsert": ORACLE_BUCKETED_UPSERT,
         "store_orphan_gc": ORACLE_ORPHAN_GC,
         "kcenter_init": _oracle_kcenter(),
         "rendezvous_parts": ORACLE_RENDEZVOUS,
