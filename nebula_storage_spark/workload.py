@@ -3633,16 +3633,14 @@ ORACLE_ANALYTIC = {
 #
 # At the very head: queries whose CODE changed since their latest
 # driver row, so the changed plan gets a fresh driver artifact first.
-# Round 11 extracted the shared bucketed partial-rewrite helper
-# (bucketed_layout.py — r10 verdict Next #3): apply_index_delta now
-# validates the `_layout.json` sidecar, aligns delta key dtypes, and
-# runs the SHARED persist-before-collect overwrite, so the two
-# queries that execute it front the sample for fresh driver rows
-# (both re-verified by hand-drive at sf0.01 when the helper landed).
-# The coloring-family three joined after the measured cadence changes
-# (fixpoint checkpoint cadence 4→2; greedy's size-gated auto cadence —
-# tools/coloring_cadence.py, bit-identity-gated): their plans moved,
-# so they too need fresh rows (all hand-driven green at sf0.01).
+# Round 12 closed the r11 ADVICE items on the shared layout helper
+# (align_key_types: lossless-widening classification + try_cast
+# round-trip probe for narrowing; per-write partitionOverwriteMode
+# option) and added cadence validation to the coloring loops, so the
+# five queries that execute those paths front the sample again for
+# fresh post-change driver rows (all re-driven green at sf0.01 when
+# the changes landed; greedy_coloring additionally carries the r12
+# fused-arm profiling outcome, whatever it measures).
 _REFRESH_HEAD = (
     "index_incremental",
     "ft_index_incremental",
@@ -3651,42 +3649,20 @@ _REFRESH_HEAD = (
     "scc_coloring_full",
 )
 
-# The r3 cohort drained to zero in the r9 sample, and r4 drained in
-# the r10 sample (all 16 rows re-checked green — CORRECTNESS_r10).
+# The r3 cohort drained to zero in the r9 sample, r4 drained in the
+# r10 sample, and r5 drained in the r11 sample (all 16 rows
+# re-checked green — CORRECTNESS_r11).
 
-# Queries whose LATEST driver row is CORRECTNESS_r05.json (16 after
-# the r10 sample took 30 of the 46).
-_LATEST_R05 = frozenset({
-    "analyze_table_stats", "ann_recall_eval", "butterfly_count",
-    "dedup_semantic_rerank", "degree_log_histogram",
-    "embedding_robust_scale", "embedding_smoothing",
-    "event_type_trigrams", "find_path_strings", "greedy_set_cover",
-    "kcenter_init", "rendezvous_parts", "rfm_segments",
-    "store_orphan_gc", "user_churn_flags", "vocab_coverage_curve",
-})
-
-# Queries whose LATEST driver row is CORRECTNESS_r06.json (40 here;
-# ft_index_incremental and scc_coloring also have r6 rows but moved
-# to _REFRESH_HEAD — the r11 shared-helper extraction / fixpoint-
-# cadence change postdate them, and the cohort sets must stay an
-# exact partition of _DRIVER_CHECKED_EVER).
+# Queries whose LATEST driver row is CORRECTNESS_r06.json (11 after
+# the r11 sample took 29 of the 40) — the OLDEST cohort, so it
+# samples first and drains this round.
 _LATEST_R06 = frozenset({
     "basket_affinity", "betweenness_2hop", "bigram_lm_rarity",
-    "closeness_centrality", "corpus_stats", "decontaminate",
-    "dedup_apply", "dedup_exact",
+    "closeness_centrality",
     "dedup_jaccard_histogram",
-    "dedup_minhash_lsh", "dedup_simhash",
-    "dedup_simhash_pairs", "doc_fingerprint", "embedding_near_dup",
     "events_mad_outliers", "events_winsorize",
-    "knn_bruteforce", "knn_hyperplane_lsh", "knn_ivf",
-    "knn_ivf_incremental", "knn_ivf_nprobe", "knn_ivf_persisted",
-    "knn_lsh_multiprobe", "lang_id", "modularity_brands",
-    "pack_sequences", "quality_filter",
-    "repetition_stats",
+    "modularity_brands",
     "shard_balance_audit", "skyline_parts", "source_tv_distance",
-    "split_assign", "stratified_sample", "stream_late_data",
-    "text_features", "text_normalize", "text_redact",
-    "tfidf_top_terms", "time_surface", "top_docs_per_source",
 })
 
 # Queries whose LATEST driver row is CORRECTNESS_r07.json (50): the
@@ -3784,12 +3760,37 @@ _LATEST_R10 = frozenset({
     "training_shards", "weighted_pagerank", "zorder_pruning",
 })
 
-# Every query with ANY driver CORRECTNESS row (r1–r10) — the cohorts
+# Queries whose LATEST driver row is CORRECTNESS_r11.json (45 here;
+# the 5 _REFRESH_HEAD queries also have r11 rows but the r12 helper /
+# cadence changes postdate them — the cohort sets must stay an exact
+# partition of _DRIVER_CHECKED_EVER): the r11 sample = the 5 then-
+# refresh-head queries + the entire r5 cohort (16, drained) + 29 of r6.
+_LATEST_R11 = frozenset({
+    "analyze_table_stats", "ann_recall_eval", "butterfly_count",
+    "dedup_semantic_rerank", "degree_log_histogram",
+    "embedding_robust_scale", "embedding_smoothing",
+    "event_type_trigrams", "find_path_strings", "greedy_set_cover",
+    "kcenter_init", "rendezvous_parts", "rfm_segments",
+    "store_orphan_gc", "user_churn_flags", "vocab_coverage_curve",
+    "corpus_stats", "decontaminate", "dedup_apply", "dedup_exact",
+    "dedup_minhash_lsh", "dedup_simhash", "dedup_simhash_pairs",
+    "doc_fingerprint", "embedding_near_dup",
+    "knn_bruteforce", "knn_hyperplane_lsh", "knn_ivf",
+    "knn_ivf_incremental", "knn_ivf_nprobe", "knn_ivf_persisted",
+    "knn_lsh_multiprobe", "lang_id",
+    "pack_sequences", "quality_filter", "repetition_stats",
+    "split_assign", "stratified_sample", "stream_late_data",
+    "text_features", "text_normalize", "text_redact",
+    "tfidf_top_terms", "time_surface", "top_docs_per_source",
+})
+
+# Every query with ANY driver CORRECTNESS row (r1–r11) — the cohorts
 # above partition this set by latest-row round. A registry name NOT in
 # this union has never been driver-checked and must sample FIRST.
 _DRIVER_CHECKED_EVER = (frozenset(_REFRESH_HEAD)
-                        | _LATEST_R05 | _LATEST_R06 | _LATEST_R07
-                        | _LATEST_R08 | _LATEST_R09 | _LATEST_R10)
+                        | _LATEST_R06 | _LATEST_R07
+                        | _LATEST_R08 | _LATEST_R09 | _LATEST_R10
+                        | _LATEST_R11)
 
 
 def build_queries() -> dict[str, Query]:
@@ -3808,8 +3809,8 @@ def build_queries() -> dict[str, Query]:
     ordered = {k: v for k, v in out.items()
                if k not in _DRIVER_CHECKED_EVER}
     ordered.update({k: out[k] for k in _REFRESH_HEAD if k in out})
-    for cohort in (_LATEST_R05, _LATEST_R06, _LATEST_R07, _LATEST_R08,
-                   _LATEST_R09):
+    for cohort in (_LATEST_R06, _LATEST_R07, _LATEST_R08,
+                   _LATEST_R09, _LATEST_R10):
         ordered.update({k: v for k, v in out.items()
                         if k in cohort and k not in ordered})
     ordered.update({k: v for k, v in out.items() if k not in ordered})
