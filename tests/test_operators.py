@@ -1656,6 +1656,33 @@ def test_bucketed_layout_guardrails(spark, tmp_path):
                       .select(*edges.columns).collect())) == want
 
 
+def test_touched_map_covers_registry():
+    """TOUCHED_MAP.json (tools/touched_queries.py --build — the r11
+    verdict's lead item) is the computed diff→touched-queries mapping
+    the close-out's targeted sf0.1 drive derives from. Pin the
+    coverage invariants: the map covers the registry EXACTLY (a key
+    registered after the last --build would silently escape every
+    targeted drive — rebuild the map), every key traces to >= 1
+    package module, and every traced path is package code."""
+    import json
+    import os
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(root, "TOUCHED_MAP.json")) as fh:
+        data = json.load(fh)
+    from nebula_storage_spark.workload import build_queries
+    registry = set(build_queries())
+    assert set(data["keys"]) == registry, (
+        "TOUCHED_MAP.json out of sync with the registry — rerun "
+        "tools/touched_queries.py --build: "
+        f"missing={sorted(registry - set(data['keys']))} "
+        f"stale={sorted(set(data['keys']) - registry)}")
+    for key, files in data["keys"].items():
+        assert files, f"{key} maps to no module"
+        for f, quals in files.items():
+            assert f.startswith("nebula_storage_spark/"), (key, f)
+            assert quals, (key, f)
+
+
 def test_bucketed_layout_lossy_cast_and_conf_guards(spark, tmp_path):
     """r11 ADVICE closures on the shared layout helper: (1) a NARROWING
     key cast that would wrap/null under Spark's non-ANSI cast (bigint

@@ -1,0 +1,474 @@
+#!/usr/bin/env python
+"""Mechanize the diff→touched-queries mapping (r11 verdict, lead item).
+
+The close-out discipline substitutes a TARGETED sf0.1 drive for the
+full 257-query pass when wall clock demands it — but the claim "the
+round's diff surface is exactly these N queries" was a MANUAL mapping
+in r11. This tool computes it:
+
+  python tools/touched_queries.py --build [sf_dir]
+      Re-derive TOUCHED_MAP.json by RUNNING every registry query at
+      sf0.001 under a sys.settrace call tracer scoped to the package:
+      for each key, the exact set of (file, function-qualname) pairs
+      its build/execution entered. Runtime truth, not an import guess —
+      a key maps to bucketed_layout.py because its plan actually
+      executed it.
+
+  python tools/touched_queries.py RANGE [--map TOUCHED_MAP.json]
+      Map a git range (e.g. 482b5bc..HEAD) to the registry keys whose
+      gate outcome the diff can affect, and print the targeted-drive
+      list. Per changed line, in precedence order:
+        1. inside a REGISTRATION entry (a dict-literal entry whose key
+           is a registry name — query dicts, oracle dicts,
+           _ORACLE_BIGINT_CASTS) → that key exactly;
+        2. inside a function → every key whose trace entered that
+           qualname, plus keys whose registration value references it
+           (covers oracle-builder functions, which no query executes);
+        3. a module-level assignment → keys whose registrations
+           reference the name; sampler metadata (_LATEST_R*,
+           _REFRESH_HEAD, _DRIVER_CHECKED_EVER) maps to NO keys
+           (ordering policy, not plans or oracles) and is reported;
+        4. anything else at module level → conservative: every key
+           that touched the module at trace time + every key
+           registered in it.
+      Entity references close transitively WITHIN a module (an oracle
+      helper that embeds another registration's SQL via
+      ORACLE_EXT['k'] also depends on key k), and BOTH diff sides are
+      analyzed (old side via `git show`), so deleted functions map
+      too. Changed package files the map has never seen, and a changed
+      __spark_entry__.py, escalate to a FULL-DRIVE recommendation
+      rather than guessing. Non-package files (tools/, tests/,
+      bench.py) are listed as unmapped — they can't change a gate
+      outcome.
+
+The map is committed; tests/test_operators.py pins that it covers the
+registry exactly (every key ≥1 module). Over-approximation is the
+designed failure mode — a docstring edit drives its function's keys —
+and under-approximation is the bug class this tool exists to kill.
+"""
+
+from __future__ import annotations
+
+import argparse
+import ast
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+PKG = "nebula_storage_spark"
+MAP_PATH = os.path.join(REPO, "TOUCHED_MAP.json")
+ENTRY_FILE = "__spark_entry__.py"
+# Sampler/provenance metadata: changes here reorder the driver sample
+# but cannot change any query's plan or oracle.
+METADATA_NAMES = ("_LATEST_R", "_REFRESH_HEAD", "_DRIVER_CHECKED_EVER")
+
+
+# ---------------------------------------------------------------------------
+# --build: runtime trace of every registry query
+# ---------------------------------------------------------------------------
+
+def build_map(sf_dir: str) -> dict:
+    import nebula_storage_spark
+    from nebula_storage_spark.cache import release_all
+    from nebula_storage_spark.session import get_spark
+    import __spark_entry__ as entrymod
+
+    pkg_dir = os.path.dirname(os.path.abspath(nebula_storage_spark.__file__))
+    spark = get_spark()
+    queries = entrymod.queries()
+    keys: dict[str, dict[str, list[str]]] = {}
+    for i, (key, fn) in enumerate(queries.items()):
+        touched: dict[str, set[str]] = {}
+
+        def tracer(frame, event, arg):
+            fname = frame.f_code.co_filename
+            if fname.startswith(pkg_dir):
+                rel = os.path.relpath(fname, REPO)
+                touched.setdefault(rel, set()).add(frame.f_code.co_qualname)
+            return None  # call events only — never trace lines
+
+        sys.settrace(tracer)
+        try:
+            df = fn(spark, sf_dir)
+            _ = df.columns          # force analysis on the built plan
+        finally:
+            sys.settrace(None)
+        keys[key] = {f: sorted(q) for f, q in sorted(touched.items())}
+        print(f"[{i + 1}/{len(queries)}] {key}: "
+              f"{len(touched)} modules", file=sys.stderr)
+        if (i + 1) % 25 == 0:
+            release_all()
+            spark.catalog.clearCache()
+    head = subprocess.run(["git", "rev-parse", "HEAD"], cwd=REPO,
+                          capture_output=True, text=True).stdout.strip()
+    return {"head": head, "sf_dir": sf_dir, "keys": keys}
+
+
+# ---------------------------------------------------------------------------
+# static side: registrations, entities, and the within-module ref graph
+# ---------------------------------------------------------------------------
+
+class ModuleIndex:
+    """One diff side of one package module: where every function and
+    top-level assignment lives, which registration entries (dict
+    entries keyed by a registry name) live where, and which top-level
+    names / registry keys each entity references."""
+
+    def __init__(self, src: str, registry: frozenset[str]):
+        self.registry = registry
+        self.lines = src.splitlines()
+        self.entities: list[tuple[str, int, int]] = []   # (name, lo, hi)
+        self.reg_entries: list[tuple[str, int, int, set]] = []
+        self.entity_refs: dict[str, set[str]] = {}       # name -> names/keys
+        self.reg_value_refs: dict[str, set[str]] = {}    # key -> names
+        self.imports: list[tuple[int, int, list[str]]] = []  # (lo, hi, names)
+        tree = ast.parse(src)
+        self._walk(tree, prefix="")
+
+    @staticmethod
+    def _span(node) -> tuple[int, int]:
+        return node.lineno, node.end_lineno
+
+    def _refs(self, node) -> set[str]:
+        out: set[str] = set()
+        for n in ast.walk(node):
+            if isinstance(n, ast.Name):
+                out.add(n.id)
+            elif isinstance(n, ast.Attribute):
+                out.add(n.attr)
+            elif (isinstance(n, ast.Subscript)
+                  and isinstance(n.slice, ast.Constant)
+                  and isinstance(n.slice.value, str)
+                  and n.slice.value in self.registry):
+                # ORACLE_EXT['bfs_distances'] read inside an oracle
+                # builder: the entity depends on that KEY's entry
+                out.add("key:" + n.slice.value)
+        return out
+
+    def _collect_dicts(self, node, owner: str | None):
+        for d in ast.walk(node):
+            if not isinstance(d, ast.Dict):
+                continue
+            ents = [(k, v) for k, v in zip(d.keys, d.values)
+                    if isinstance(k, ast.Constant)
+                    and isinstance(k.value, str) and k.value in self.registry]
+            if len(ents) < 1:
+                continue
+            for k, v in ents:
+                lo = min(k.lineno, v.lineno)
+                hi = max(k.end_lineno, v.end_lineno)
+                refs = self._refs(v)
+                self.reg_entries.append((k.value, lo, hi, refs))
+                self.reg_value_refs.setdefault(k.value, set()).update(refs)
+
+    def _walk(self, tree, prefix):
+        for node in tree.body:
+            if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
+                self._add_func(node, prefix)
+            elif isinstance(node, ast.ClassDef):
+                name = prefix + node.name
+                self.entities.append((name, *self._span(node)))
+                self.entity_refs[name] = self._refs(node)
+                self._collect_dicts(node, name)
+                for sub in node.body:
+                    if isinstance(sub, (ast.FunctionDef,
+                                        ast.AsyncFunctionDef)):
+                        self._add_func(sub, name + ".")
+            elif isinstance(node, (ast.Assign, ast.AnnAssign,
+                                   ast.AugAssign)):
+                targets = (node.targets if isinstance(node, ast.Assign)
+                           else [node.target])
+                names, keyed = [], None
+                for t in targets:
+                    if isinstance(t, ast.Name):
+                        names.append(t.id)
+                    elif (isinstance(t, ast.Subscript)
+                          and isinstance(t.slice, ast.Constant)
+                          and isinstance(t.slice.value, str)
+                          and t.slice.value in self.registry):
+                        keyed = t.slice.value   # ORACLE_EXT["k"] = ...
+                lo, hi = self._span(node)
+                if keyed is not None:
+                    refs = self._refs(node.value) if node.value else set()
+                    self.reg_entries.append((keyed, lo, hi, refs))
+                    self.reg_value_refs.setdefault(keyed, set()).update(refs)
+                    continue
+                for name in names or ["<anon-assign>"]:
+                    self.entities.append((name, lo, hi))
+                    if node.value is not None:
+                        self.entity_refs.setdefault(name, set()).update(
+                            self._refs(node.value))
+                if node.value is not None:
+                    self._collect_dicts(node.value, names[0] if names
+                                        else None)
+            elif isinstance(node, (ast.Import, ast.ImportFrom)):
+                bound = [(a.asname or a.name.split(".")[0])
+                         for a in node.names]
+                self.imports.append((*self._span(node), bound))
+            elif (isinstance(node, ast.Expr)
+                  and isinstance(node.value, ast.Constant)
+                  and isinstance(node.value.value, str)):
+                # bare string (module docstring) — no behavior
+                self.entities.append(("<docstring>", *self._span(node)))
+            else:
+                lo, hi = self._span(node)
+                self.entities.append(("<module-stmt>", lo, hi))
+                self._collect_dicts(node, None)
+
+    def _add_func(self, node, prefix):
+        name = prefix + node.name
+        self.entities.append((name, *self._span(node)))
+        self.entity_refs[name] = self._refs(node)
+        self._collect_dicts(node, name)
+        # nested defs get the qualname the tracer records (a.<locals>.b)
+        for sub in ast.walk(node):
+            if (isinstance(sub, (ast.FunctionDef, ast.AsyncFunctionDef))
+                    and sub is not node):
+                sub_name = f"{name}.<locals>.{sub.name}"
+                self.entities.append((sub_name, *self._span(sub)))
+                self.entity_refs[sub_name] = self._refs(sub)
+
+    # --- resolution -------------------------------------------------------
+
+    def classify_line(self, line: int):
+        """-> ('key', k) | ('entity', name) | ('import', names) |
+        ('skip', reason) | ('module', None)."""
+        for key, lo, hi, _ in self.reg_entries:
+            if lo <= line <= hi:
+                return ("key", key)
+        for lo, hi, names in self.imports:
+            if lo <= line <= hi:
+                return ("import", names)
+        best = None
+        for name, lo, hi in self.entities:
+            if lo <= line <= hi:
+                if best is None or (hi - lo) < (best[2] - best[1]):
+                    best = (name, lo, hi)
+        if best is not None:
+            if best[0] == "<docstring>":
+                return ("skip", "docstring")
+            if best[0] not in ("<module-stmt>", "<anon-assign>"):
+                return ("entity", best[0])
+            return ("module", None)
+        # outside every statement span: comments and blank lines have
+        # no AST node and no behavior
+        if 1 <= line <= len(self.lines):
+            stripped = self.lines[line - 1].strip()
+            if not stripped or stripped.startswith("#"):
+                return ("skip", "comment/blank")
+        return ("module", None)
+
+    def closure(self, seeds: set[str]) -> set[str]:
+        """All entity names that (transitively) reference any seed —
+        seeds may be entity names or 'key:<registry-key>' markers."""
+        out = set(s for s in seeds if not s.startswith("key:"))
+        frontier = set(seeds)
+        changed = True
+        while changed:
+            changed = False
+            for name, refs in self.entity_refs.items():
+                if name not in out and refs & frontier:
+                    out.add(name)
+                    frontier.add(name)
+                    changed = True
+        return out
+
+    def keys_referencing(self, names: set[str]) -> set[str]:
+        return {k for k, refs in self.reg_value_refs.items()
+                if refs & names}
+
+    def registered_keys(self) -> set[str]:
+        return {k for k, *_ in self.reg_entries}
+
+
+# ---------------------------------------------------------------------------
+# diff plumbing
+# ---------------------------------------------------------------------------
+
+def git(args: list[str]) -> str:
+    r = subprocess.run(["git", *args], cwd=REPO, capture_output=True,
+                       text=True)
+    if r.returncode != 0:
+        raise SystemExit(f"git {' '.join(args)} failed: {r.stderr}")
+    return r.stdout
+
+
+def changed_lines(rng: str):
+    """{file: (old_lines, new_lines)} for the range, from -U0 hunks."""
+    out: dict[str, tuple[set[int], set[int]]] = {}
+    cur = None
+    for line in git(["diff", "-U0", "--no-color", rng, "--",
+                     "*.py"]).splitlines():
+        if line.startswith("+++ b/"):
+            cur = line[6:]
+            out.setdefault(cur, (set(), set()))
+        elif line.startswith("+++ /dev/null"):
+            pass  # deletion: keep the --- side's name
+        elif line.startswith("--- a/"):
+            cur = line[6:]
+            out.setdefault(cur, (set(), set()))
+        elif line.startswith("@@") and cur:
+            seg = line.split("@@")[1].split()
+            o, n = seg[0].lstrip("-"), seg[1].lstrip("+")
+            ostart, ocnt = (map(int, o.split(","))
+                            if "," in o else (int(o), 1))
+            nstart, ncnt = (map(int, n.split(","))
+                            if "," in n else (int(n), 1))
+            out[cur][0].update(range(ostart, ostart + ocnt))
+            out[cur][1].update(range(nstart, nstart + ncnt))
+    return out
+
+
+def side_source(rng: str, path: str, side: str) -> str | None:
+    rev = rng.split("..")[0] if side == "old" else (
+        rng.split("..")[1] or "HEAD" if ".." in rng else "HEAD")
+    if side == "new" and (rev in ("HEAD", "") or rng.endswith("..")):
+        p = os.path.join(REPO, path)
+        if os.path.isfile(p):
+            with open(p) as fh:
+                return fh.read()
+        return None
+    r = subprocess.run(["git", "show", f"{rev}:{path}"], cwd=REPO,
+                       capture_output=True, text=True)
+    return r.stdout if r.returncode == 0 else None
+
+
+# ---------------------------------------------------------------------------
+# range → keys
+# ---------------------------------------------------------------------------
+
+def resolve_range(rng: str, map_path: str) -> dict:
+    with open(map_path) as fh:
+        tmap = json.load(fh)
+    registry = frozenset(tmap["keys"])
+    # reverse index: (file, qualname) -> keys ; file -> keys
+    by_func: dict[tuple[str, str], set[str]] = {}
+    by_file: dict[str, set[str]] = {}
+    for key, files in tmap["keys"].items():
+        for f, quals in files.items():
+            by_file.setdefault(f, set()).add(key)
+            for q in quals:
+                by_func.setdefault((f, q), set()).add(key)
+
+    touched: set[str] = set()
+    report: dict[str, list[str]] = {}
+    full_drive: list[str] = []
+    for path, (old_lines, new_lines) in sorted(changed_lines(rng).items()):
+        notes: list[str] = []
+        if path == ENTRY_FILE:
+            full_drive.append(f"{path}: driver contract changed — "
+                              "full drive recommended")
+            report[path] = ["-> FULL DRIVE (driver contract)"]
+            continue
+        if not path.startswith(PKG + "/"):
+            report[path] = ["unmapped (not package code — cannot change "
+                            "a gate outcome)"]
+            continue
+        file_keys: set[str] = set()
+        for side, lines in (("old", old_lines), ("new", new_lines)):
+            if not lines:
+                continue
+            src = side_source(rng, path, side)
+            if src is None:
+                continue
+            try:
+                idx = ModuleIndex(src, registry)
+            except SyntaxError as e:
+                full_drive.append(f"{path} ({side}): unparseable ({e}) — "
+                                  "full drive recommended")
+                continue
+            seeds: set[str] = set()
+            direct_keys: set[str] = set()
+            module_level = False
+            for ln in sorted(lines):
+                kind, what = idx.classify_line(ln)
+                if kind == "key":
+                    direct_keys.add(what)
+                    seeds.add("key:" + what)
+                elif kind == "entity":
+                    if any(what.startswith(m) for m in METADATA_NAMES):
+                        notes.append(f"{side} L{ln}: {what} — sampler "
+                                     "metadata, no gate impact")
+                    else:
+                        seeds.add(what)
+                elif kind == "import":
+                    # a changed import binds names; its gate surface is
+                    # exactly the entities that reference those names
+                    seeds.update(what)
+                    notes.append(f"{side} L{ln}: import of "
+                                 f"{','.join(what)} — mapped via its "
+                                 "referencing entities")
+                elif kind == "skip":
+                    pass  # comments, blanks, docstrings: no behavior
+                else:
+                    module_level = True
+            ents = idx.closure(seeds)
+            side_keys = set(direct_keys)
+            # registration entries that embed a changed key's SQL
+            key_markers = {"key:" + k for k in direct_keys}
+            for name, refs in idx.entity_refs.items():
+                if refs & key_markers:
+                    ents.add(name)
+            for k, refs in idx.reg_value_refs.items():
+                if refs & key_markers:
+                    side_keys.add(k)
+            # trace callers of every entity in the closure
+            for e in ents:
+                side_keys |= by_func.get((path, e), set())
+            # registrations whose value references an entity
+            side_keys |= idx.keys_referencing(ents)
+            if module_level:
+                mod_keys = by_file.get(path, set()) | idx.registered_keys()
+                notes.append(f"{side}: module-level change — "
+                             f"conservative, all {len(mod_keys)} keys "
+                             "touching the module")
+                side_keys |= mod_keys
+            if path not in by_file and not side_keys:
+                full_drive.append(f"{path}: package module never seen by "
+                                  "the trace — full drive recommended")
+            file_keys |= side_keys
+        touched |= file_keys
+        report[path] = (sorted(file_keys) or ["(no gated keys)"]) + notes
+    # registry keys the map has never traced (registered after --build)
+    untraced = set()
+    try:
+        import __spark_entry__ as entrymod
+        untraced = set(entrymod.queries()) - registry
+    except Exception:
+        pass
+    return {"range": rng, "map_head": tmap["head"],
+            "touched": sorted(touched | untraced),
+            "untraced_new_keys": sorted(untraced),
+            "full_drive_triggers": full_drive, "files": report}
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("range", nargs="?", help="git range, e.g. r11..HEAD")
+    ap.add_argument("--build", action="store_true")
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    ap.add_argument("--map", default=MAP_PATH)
+    args = ap.parse_args()
+    if args.build:
+        data = build_map(args.sf_dir)
+        with open(args.map, "w") as fh:
+            json.dump(data, fh, indent=1, sort_keys=True)
+        print(f"wrote {args.map}: {len(data['keys'])} keys at "
+              f"{data['head'][:10]}")
+        return
+    if not args.range:
+        raise SystemExit("need a git range or --build")
+    res = resolve_range(args.range, args.map)
+    json.dump(res, sys.stdout, indent=1)
+    print()
+    print(f"\n# targeted drive ({len(res['touched'])} keys):",
+          file=sys.stderr)
+    print(" ".join(res["touched"]), file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()
