@@ -1497,7 +1497,8 @@ CKPT_PERSIST_MIN_NODES = 500_000
 
 def greedy_coloring(edges: DataFrame, rounds: int = 3,
                     prefix: str = "col#",
-                    ckpt_every: int | None = None) -> DataFrame:
+                    ckpt_every: int | None = None,
+                    fused: bool = True) -> DataFrame:
     """Jones-Plassmann parallel greedy coloring with deterministic Luby
     priorities: per round, every uncolored node whose md5 priority
     (ties by id) beats all uncolored neighbours takes the smallest
@@ -1512,18 +1513,26 @@ def greedy_coloring(edges: DataFrame, rounds: int = 3,
     the uncolored frontier shrinks geometrically and is
     localCheckpoint()ed on every `ckpt_every`-th round (registry-pinned
     persist() between — materialization without the checkpoint's block
-    upload, lineage depth bounded by the cadence). `ckpt_every=None`
-    picks the cadence by a SIZE GATE on |V|, from the measured
-    crossover (tools/coloring_cadence.py, bit-identity-gated — r10
-    verdict Next #6): per-round checkpointing wins at gate scale
-    (165 k nodes: 8.3 vs 9.7 s) because truncation keeps Catalyst
-    analysis flat while the upload is small, but the upload scales
-    with |V| and loses 3.3× at 1.65 M nodes (73.3 s per-round vs
-    22.1 s persist-between) — so ≤ 500 k nodes runs cadence 1,
-    above it cadence min(rounds, 3) (3 = the measured best arm;
-    still truncating every 3rd round for long round budgets, the
-    fixpoint-cadence lesson that unbounded persist-chains thrash
-    the optimizer). Output: (node, color).
+    upload, lineage depth bounded by the cadence).
+
+    `fused=True` (default since r12, MEASURED via
+    tools/coloring_cadence.py under its bit-identity gate) maintains
+    the used-color bitmask incrementally on the frontier state
+    u2(node, used): winner selection and the mex fuse into one pass,
+    the neighbour-color aggregation joins `both` against only the
+    NEWLY-colored winners (geometrically shrinking, AQE-broadcastable
+    — total delta bytes over all rounds O(|E|) once, vs the legacy
+    path's per-round join against the GROWING colored set), frontier
+    restriction is two anti-joins against the small winner set, and
+    `colored` needs no checkpointing because it is never re-joined.
+    Measured: 165 k nodes 6.26 s vs legacy-shipping 7.81 s; 1.65 M
+    nodes 15.36 s vs legacy-shipping 25.11 s (both bit-identical).
+    Fused `ckpt_every=None` is cadence 1 (fastest at both measured
+    scales; 2 checkpointed frames/round instead of 3). The legacy
+    path (fused=False) keeps its measured |V| size gate — per-round
+    truncation wins ≤ 500 k nodes (8.3 vs 9.7 s at 165 k), the upload
+    loses 3.3× at 1.65 M (73.3 vs 22.1 s) so cadence min(rounds, 3)
+    above — and stays for the harness A/B. Output: (node, color).
     """
     from ..cache import pin
 
@@ -1552,11 +1561,20 @@ def greedy_coloring(edges: DataFrame, rounds: int = 3,
     act = (both.withColumn("ha", F.expr(ha)).withColumn("hb", F.expr(hb))
            .localCheckpoint())
     if ckpt_every is None:
-        # |V| size gate (docstring) — u is already eagerly
-        # checkpointed, so this count is a cached-frame scan; an
-        # EXPLICIT ckpt_every skips the count job entirely
-        ckpt_every = (1 if u.count() <= CKPT_PERSIST_MIN_NODES
-                      else min(rounds, 3))
+        if fused:
+            # fused checkpoints 2 frames/round (u2, act) instead of 3
+            # — colored is never re-joined, so it needs no truncation —
+            # and per-round cadence 1 MEASURED fastest at both gate
+            # scales (165 k nodes: 6.26 vs 6.38 s cadence-3; 1.65 M:
+            # 15.36 vs 17.24 s — tools/coloring_cadence.py r12,
+            # bit-identity-gated), so no size gate and no count job.
+            ckpt_every = 1
+        else:
+            # legacy |V| size gate (docstring) — u is already eagerly
+            # checkpointed, so this count is a cached-frame scan; an
+            # EXPLICIT ckpt_every skips the count job entirely
+            ckpt_every = (1 if u.count() <= CKPT_PERSIST_MIN_NODES
+                          else min(rounds, 3))
     elif ckpt_every < 1:
         raise ValueError(
             f"ckpt_every must be >= 1, got {ckpt_every} — 0 would "
@@ -1566,6 +1584,64 @@ def greedy_coloring(edges: DataFrame, rounds: int = 3,
     def trunc(df: DataFrame, t: int) -> DataFrame:
         return (df.localCheckpoint() if (t + 1) % ckpt_every == 0
                 else pin(df))
+
+    if fused:
+        # FUSED arm (r11 verdict Next #4): maintain the used-color
+        # bitmask INCREMENTALLY on the frontier state itself —
+        # u2(node, used) — so each round is (a) winner selection and
+        # mex in ONE pass over u2 (no separate win↔used join, no join
+        # against the GROWING colored set), and (b) a neighbour-mask
+        # delta aggregated from edges touching only the NEWLY-colored
+        # winners (shrinks geometrically; AQE broadcasts it, so `both`
+        # never shuffles), merged into u2 as the same left join that
+        # drops the winners. Frontier restriction of act is two
+        # anti-joins against the small winner set instead of two
+        # semi-joins against the big uncolored set. Total delta bytes
+        # over all rounds = O(|E|) once (each edge's winner side fires
+        # exactly once), vs the legacy path's O(K · |colored ⋈ both|)
+        # growing join. Bit-identical to the legacy arm by
+        # construction (same winners; mex over the same mask) and
+        # gated by tools/coloring_cadence.py.
+        u2 = u.select("node", F.lit(0).cast("bigint").alias("used"))
+        newlies: list[DataFrame] = []
+        for t in range(rounds):
+            beaten = (act.filter(
+                (F.col("hb") < F.col("ha"))
+                | ((F.col("hb") == F.col("ha"))
+                   & (F.col(DST) < F.col(SRC))))
+                .select(F.col(SRC).alias("node")).distinct())
+            mex = "CASE " + " ".join(
+                f"WHEN (used >> {c}) % 2 = 0 THEN {c}"
+                for c in range(t + 1)) + f" ELSE {t} END"
+            newly = pin(u2.join(beaten, "node", "left_anti")
+                        .select("node", F.expr(mex).alias("color")))
+            newlies.append(newly)
+            if t + 1 < rounds:
+                w = newly.select("node")
+                delta = (both.join(newly
+                                   .select(F.col("node").alias(DST),
+                                           "color"), DST)
+                         .groupBy(F.col(SRC).alias("node"))
+                         .agg(F.expr("bit_or(CAST(1 AS BIGINT) << color)")
+                              .alias("d")))
+                u2 = trunc(
+                    u2.join(w, "node", "left_anti")
+                    .join(delta, "node", "left")
+                    .select("node",
+                            F.expr("used | coalesce(d, CAST(0 AS BIGINT))")
+                            .alias("used")), t)
+                act = trunc(
+                    act.join(w.withColumnRenamed("node", SRC), SRC,
+                             "left_anti")
+                    .join(w.withColumnRenamed("node", DST), DST,
+                          "left_anti"), t)
+        colored = newlies[0]
+        for n in newlies[1:]:
+            colored = colored.union(n)
+        return (nodes.join(colored, "node", "left")
+                .select("node",
+                        F.coalesce("color", F.lit(-1)).alias("color")))
+
     colored = None  # (node, color)
     for t in range(rounds):
         beaten = (act.filter(

@@ -106,8 +106,10 @@ def main() -> int:
     greedy_arms = [1, 2, 3]
     scc_arms = [4, 2]
     if "--greedy-arms" in args:
+        # arm tokens: "2" = legacy path at cadence 2; "2f" = the FUSED
+        # incremental-used-mask path (r11 verdict Next #4) at cadence 2
         i = args.index("--greedy-arms")
-        greedy_arms = [int(x) for x in args[i + 1].split(",")]
+        greedy_arms = args[i + 1].split(",")
         del args[i:i + 2]
     if "--scc-arms" in args:
         i = args.index("--scc-arms")
@@ -136,8 +138,14 @@ def main() -> int:
     for factor in sorted(factors):
         if "greedy" in ops:
             e = amplify(_pagerank_gate_graph(spark, sf), factor)
-            arms = {f"ckpt_every={k}": {"rounds": 3, "ckpt_every": k}
-                    for k in greedy_arms}
+            arms = {}
+            for tok in greedy_arms:
+                tok = str(tok)
+                fused = tok.endswith("f")
+                k = int(tok.rstrip("f"))
+                label = f"ckpt_every={k}" + (",fused" if fused else "")
+                arms[label] = {"rounds": 3, "ckpt_every": k,
+                               "fused": fused}
             cells = run_arms(f"greedy_coloring@{factor}x", e, arms,
                              lambda ed, **kw: greedy_coloring(ed, **kw),
                              reps)

@@ -143,24 +143,35 @@ def main() -> int:
 
     qs, oracles = E.queries(), E.oracle_sql()
     fails = []
+    timings = {}
+    import time as _time
     for name in sorted(qs):
         if only and name not in only:
             continue
+        t0 = _time.perf_counter()
         sdf = qs[name](spark, sf)
         smulti = rows_to_multiset(sdf.collect(), sdf.columns)
+        t_spark = _time.perf_counter() - t0
         if name not in oracles:
-            print(f"--  {name}: rows-only check, {sum(smulti.values())} rows")
+            print(f"--  {name}: rows-only check, {sum(smulti.values())} "
+                  f"rows  [spark {t_spark:.2f}s]")
+            timings[name] = {"spark": round(t_spark, 3), "oracle": None}
             continue
+        t1 = _time.perf_counter()
         otable = con.execute(oracles[name]).fetch_arrow_table()
         ocols = otable.schema.names
         omulti = rows_to_multiset(
             [tuple(row[c] for c in ocols) for row in otable.to_pylist()],
             list(ocols))
+        t_oracle = _time.perf_counter() - t1
+        timings[name] = {"spark": round(t_spark, 3),
+                         "oracle": round(t_oracle, 3)}
         tmism = type_mismatches(otable.schema, sdf.dtypes)
         ok = (smulti == omulti and sorted(sdf.columns) == sorted(ocols)
               and not tmism)
         print(f"{'OK ' if ok else 'MISMATCH'} {name}: "
-              f"spark={sum(smulti.values())} oracle={sum(omulti.values())}")
+              f"spark={sum(smulti.values())} oracle={sum(omulti.values())}"
+              f"  [spark {t_spark:.2f}s oracle {t_oracle:.2f}s]")
         if not ok:
             fails.append(name)
             for m in tmism:
@@ -170,6 +181,17 @@ def main() -> int:
                 for row in list(diff)[:3]:
                     print(f"    {side}: {row}")
     print("FAILED:", fails if fails else "none")
+    if timings:
+        tot_s = sum(t["spark"] for t in timings.values())
+        tot_o = sum(t["oracle"] or 0 for t in timings.values())
+        print(f"TIMING total: spark {tot_s:.1f}s oracle {tot_o:.1f}s "
+              f"over {len(timings)} queries")
+        out = os.environ.get("VERIFY_DRIVE_TIMINGS")
+        if out:
+            import json as _json
+            with open(out, "w") as fh:
+                _json.dump({"sf": sf, "timings": timings}, fh, indent=1,
+                           sort_keys=True)
     return 1 if fails else 0
 
 
