@@ -412,7 +412,21 @@ def setsim_prefix_join(tok: DataFrame, threshold_pct: int = 60,
     lossless (unlike MinHash's probabilistic recall) and never
     all-pairs. Rarest-first ordering puts prefixes on low-df tokens,
     which keeps the candidate join groups small on a Zipfian
-    vocabulary; verification counts the true intersection."""
+    vocabulary. The AllPairs LENGTH filter rides the candidate join
+    (Jaccard >= t forces t·max(|a|,|b|) <= min(|a|,|b|) — exact).
+
+    Verification (r12, from the measured sf0.1 tail): each candidate
+    pair is verified by a codegen `array_intersect` of the two
+    documents' token arrays — the arrays are a pure projection of the
+    per_doc frame the prefix already built, attached by two hash joins
+    keyed on doc id. The previous shape re-joined every candidate
+    against BOTH sides' token tables and re-aggregated (a
+    |cand|·|doc| row explosion through a shuffle — measured 1.2 B
+    intermediate rows / 167 s at sf0.1 where the intersect form reads
+    ~20 s); per-pair work is still O(|a|+|b|) but it stays inside
+    whole-stage codegen with zero extra exchange, and at 100 TB the
+    payload scales with the PREFIX-bounded candidate count, never with
+    Σ df² (the stopword blowup the direct pair-count join suffers)."""
     tok = tok.select(F.col(id_col).alias("doc_id"), "t").distinct()
     dfreq = tok.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
     per_doc = (tok.join(F.broadcast(dfreq), "t")
@@ -421,30 +435,32 @@ def setsim_prefix_join(tok: DataFrame, threshold_pct: int = 60,
                     .alias("toks"),
                     F.count(F.lit(1)).alias("n")))
     pref = per_doc.select(
-        "doc_id",
+        "doc_id", "n",
         F.explode(F.expr(
             f"slice(toks, 1, n - ({threshold_pct} * n + 99) DIV 100 + 1)"))
         .alias("p"))
     cand = (pref.alias("a")
             .join(pref.alias("b"),
                   (F.col("a.p.t") == F.col("b.p.t"))
-                  & (F.col("a.doc_id") < F.col("b.doc_id")))
+                  & (F.col("a.doc_id") < F.col("b.doc_id"))
+                  & (100 * F.least(F.col("a.n"), F.col("b.n"))
+                     >= threshold_pct
+                     * F.greatest(F.col("a.n"), F.col("b.n"))))
             .select(F.col("a.doc_id").alias("doc_a"),
                     F.col("b.doc_id").alias("doc_b"))
             .distinct())
-    inter = (cand
-             .join(tok.select(F.col("doc_id").alias("doc_a"), "t"), "doc_a")
-             .join(tok.select(F.col("doc_id").alias("doc_b"), "t"),
-                   ["doc_b", "t"])
-             .groupBy("doc_a", "doc_b")
-             .agg(F.count(F.lit(1)).alias("i")))
-    sizes = per_doc.select("doc_id", "n")
-    union = F.col("na") + F.col("nb") - F.col("i")
-    return (inter
-            .join(sizes.select(F.col("doc_id").alias("doc_a"),
-                               F.col("n").alias("na")), "doc_a")
-            .join(sizes.select(F.col("doc_id").alias("doc_b"),
-                               F.col("n").alias("nb")), "doc_b")
-            .filter(100 * F.col("i") >= threshold_pct * union)
+    sets = per_doc.select("doc_id", "n",
+                          F.expr("transform(toks, x -> x.t)").alias("ts"))
+    return (cand
+            .join(sets.select(F.col("doc_id").alias("doc_a"),
+                              F.col("n").alias("na"),
+                              F.col("ts").alias("ta")), "doc_a")
+            .join(sets.select(F.col("doc_id").alias("doc_b"),
+                              F.col("n").alias("nb"),
+                              F.col("ts").alias("tb")), "doc_b")
+            .withColumn("i", F.expr("size(array_intersect(ta, tb))"))
+            .filter(100 * F.col("i")
+                    >= threshold_pct * (F.col("na") + F.col("nb")
+                                        - F.col("i")))
             .select("doc_a", "doc_b",
                     F.expr("(100 * i) DIV (na + nb - i)").alias("j_x100")))
