@@ -1683,6 +1683,27 @@ def test_touched_map_covers_registry():
             assert quals, (key, f)
 
 
+def test_sf01_provenance_covers_registry():
+    """SF01_PROVENANCE.json (tools/sf01_rotation.py — the rotating-
+    thirds sf0.1 drive schedule, r11 verdict Next #2) must stay in
+    sync with the registry: a key missing from the file would never be
+    scheduled (it counts as round 0 and sorts first only because the
+    tool defaults it — pin the sync so the artifact stays the record
+    of actual coverage), and a stale key would schedule a drive of a
+    query that no longer exists."""
+    import json
+    import os
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(root, "SF01_PROVENANCE.json")) as fh:
+        rounds = json.load(fh)["rounds"]
+    from nebula_storage_spark.workload import build_queries
+    registry = set(build_queries())
+    assert set(rounds) == registry, (
+        f"missing={sorted(registry - set(rounds))} "
+        f"stale={sorted(set(rounds) - registry)}")
+    assert all(isinstance(r, int) and r >= 0 for r in rounds.values())
+
+
 def test_bucketed_layout_lossy_cast_and_conf_guards(spark, tmp_path):
     """r11 ADVICE closures on the shared layout helper: (1) a NARROWING
     key cast that would wrap/null under Spark's non-ANSI cast (bigint
