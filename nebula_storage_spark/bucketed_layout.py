@@ -149,9 +149,14 @@ def align_key_types(batch: DataFrame, table_schema,
             # try_cast nulls either way, so "new null or round-trip
             # mismatch" detects lossiness under BOTH modes.
             cast = F.col(k).try_cast(dst)
+            # eqNullSafe, not `!=`: if the BACK-cast nulls while the
+            # forward cast succeeded (an unforeseen type pair), plain
+            # `!=` evaluates to NULL and the filter would DROP the row,
+            # silently passing a lossy key (r12 ADVICE low).
             lossy = batch.filter(
                 F.col(k).isNotNull()
-                & (cast.isNull() | (cast.try_cast(src) != F.col(k))))
+                & (cast.isNull()
+                   | ~cast.try_cast(src).eqNullSafe(F.col(k))))
             if not lossy.isEmpty():
                 bad = lossy.select(k).limit(3).collect()
                 raise ValueError(

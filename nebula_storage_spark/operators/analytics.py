@@ -1536,6 +1536,16 @@ def greedy_coloring(edges: DataFrame, rounds: int = 3,
     """
     from ..cache import pin
 
+    if rounds > 64:
+        # both arms pack used colors into ONE bigint bitmask
+        # (`1 << color`); round t can assign color t, so rounds > 64
+        # would shift past bit 63 and silently corrupt the mask
+        # (r12 verdict nit — same fail-loud style as the ckpt_every
+        # validation below)
+        raise ValueError(
+            f"rounds must be <= 64, got {rounds} — colors are packed "
+            "into a single bigint used-mask (1 << color), so a 65th "
+            "round would silently wrap the mask")
     a, b = F.col(SRC), F.col(DST)
     und = (edges.filter(a != b)
            .select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))

@@ -1701,7 +1701,7 @@ def q_butterfly_count(spark, sf_dir):
     per-group HOF transform (codegen, no self-join), run on the side
     with FEWER wedges (Sanei-Mehri et al.'s side selection — both
     orientations count every K2,2 exactly once, so the result is
-    identical; see the inline note for the measured 14× win)."""
+    identical; see the inline note for the measured 31x win)."""
     g = tpch_graph(spark, sf_dir)
     ps = (g.edges["supplied_by"]
           .select(F.col(SRC).alias("p"), F.col(DST).alias("s")).distinct()
@@ -1717,13 +1717,15 @@ def q_butterfly_count(spark, sf_dir):
     # from whichever side has FEWER wedges (two scalar aggregates we
     # already publish; bounded-metadata driver decision). On the sf0.1
     # graph that is the part side: 8.7 M wedges vs 175 M (avg supplier
-    # degree 591 vs part degree 30) — measured 293 s → ~21 s. At 100 TB
+    # degree 591 vs part degree 30) — measured 331 s → 10.5 s. At 100 TB
     # the low-wedge orientation IS the hub mitigation (the quadratic
     # fanout runs on the side where it is provably smaller); a graph
     # with hubs on BOTH sides needs degree-ordered wedge splitting,
     # triangle_counts' pattern.
-    w_s = ws.first()["wedges_supplier"]
-    w_p = wp.first()["wedges_part"]
+    # `or 0`: sum() over an empty edge set is NULL → None driver-side;
+    # a bare comparison would raise TypeError (r12 ADVICE low).
+    w_s = ws.first()["wedges_supplier"] or 0
+    w_p = wp.first()["wedges_part"] or 0
     key, val = ("p", "s") if w_p <= w_s else ("s", "p")
     grouped = ps.groupBy(key).agg(F.sort_array(F.collect_set(val))
                                   .alias("xs"))

@@ -1761,6 +1761,13 @@ def test_coloring_cadence_validation_and_no_count_when_explicit(spark):
                               "_src bigint, _dst bigint")
     with pytest.raises(ValueError, match="ckpt_every"):
         greedy_coloring(e, rounds=2, ckpt_every=0)
+    # r12 verdict nit: both arms pack colors into ONE bigint bitmask
+    # (1 << color) — rounds > 64 would silently wrap bit 63, so the
+    # entry guard must fail loud (and 64 itself must stay legal)
+    with pytest.raises(ValueError, match="rounds must be <= 64"):
+        greedy_coloring(e, rounds=65)
+    with pytest.raises(ValueError, match="rounds must be <= 64"):
+        greedy_coloring(e, rounds=65, fused=False)
     nodes = spark.range(5).select(F.col("id").alias("node"))
     with pytest.raises(ValueError, match="ckpt_cadence"):
         _min_label_fixpoint(e, nodes, ckpt_cadence=0)

@@ -9,7 +9,7 @@ query's sf0.1 provenance stays <= 3 rounds old while each round's drive
 stays inside a ~1-2 h budget. SF01_PROVENANCE.json records, per
 registry key, the last round whose close-out drove it green at sf0.1.
 
-  --plan [--size N] [--round R]   print the round's drive list:
+  --plan [--size N]               print the round's drive list:
         every key whose recorded round is among the stalest, size
         default ceil(registry/3); keys missing from the file (new
         registrations) count as round 0 and sort first. Ties break in
@@ -88,9 +88,23 @@ def main() -> int:
               f"{sum(1 for r, _, _ in staleness if r == oldest)}")
         return 0
 
+    # strict parse (r12 ADVICE low): only --plan [--size N] reaches
+    # here; any unrecognized token must FAIL, not silently fall
+    # through to plan output (a typoed --record would otherwise print
+    # a plan and the caller's shell would drive the wrong list)
     size = math.ceil(len(order) / 3)
-    if "--size" in args:
-        size = int(args[args.index("--size") + 1])
+    rest = list(args)
+    if rest[:1] == ["--plan"]:
+        rest = rest[1:]
+    if rest[:1] == ["--size"]:
+        if len(rest) < 2:
+            raise SystemExit("--size requires a value")
+        size = int(rest[1])
+        rest = rest[2:]
+    if rest:
+        raise SystemExit(
+            f"unrecognized arguments: {rest} — usage: --plan [--size N] "
+            "| --record R key... | --status")
     staleness.sort()
     plan = [k for _, _, k in staleness[:size]]
     print(" ".join(plan))
