@@ -830,21 +830,28 @@ def k_core_fixed(edges: DataFrame, k: int, rounds: int = 3,
 
 def k_core_oracle_sql(edges_sql: str, k: int, rounds: int = 3) -> str:
     """DuckDB oracle for k_core_fixed: the same peel rounds unrolled.
-    `edges_sql` must yield (src, dst)."""
+    `edges_sql` must yield (src, dst).
+
+    MATERIALIZED throughout (r12 verdict Next #1): each e{t} is
+    consumed three times by round t+1 (twice in d, once in e), so
+    DuckDB's inlining re-evaluated e0 — and the co-order self-join
+    under it — 3^rounds times: 773 s at sf0.1 on the r13 host,
+    2.1 s materialized, bit-identical (the same fix the coloring
+    oracle shipped with)."""
     parts = [
-        f"raw AS ({edges_sql})",
-        "e0 AS (SELECT DISTINCT least(src, dst) AS a, "
+        f"raw AS MATERIALIZED ({edges_sql})",
+        "e0 AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a, "
         "greatest(src, dst) AS b FROM raw WHERE src <> dst)",
     ]
     for t in range(1, rounds + 1):
         parts.append(
-            f"d{t} AS (SELECT v, count(*) AS d FROM ("
+            f"d{t} AS MATERIALIZED (SELECT v, count(*) AS d FROM ("
             f"SELECT a AS v FROM e{t-1} UNION ALL SELECT b FROM e{t-1}) "
             f"GROUP BY v)")
         parts.append(
-            f"k{t} AS (SELECT v FROM d{t} WHERE d >= {k})")
+            f"k{t} AS MATERIALIZED (SELECT v FROM d{t} WHERE d >= {k})")
         parts.append(
-            f"e{t} AS (SELECT a, b FROM e{t-1} "
+            f"e{t} AS MATERIALIZED (SELECT a, b FROM e{t-1} "
             f"WHERE a IN (SELECT v FROM k{t}) "
             f"AND b IN (SELECT v FROM k{t}))")
     return ("WITH " + ",\n".join(parts)

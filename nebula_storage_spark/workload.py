@@ -2825,17 +2825,26 @@ ORACLE_EXT["vocab_topk"] = (
 
 
 def _oracle_ngram_pruned() -> str:
-    from .workload_pipeline import _SHINGLES_CTE, _JACCARD_SQL
+    # inter-by-group-count rewrite (r12 verdict Next #1) — see the
+    # note above workload_pipeline._SHINGLES_MAT. Candidates from the
+    # PRUNED index, exact intersections from the full-index `inter`
+    # (every pruned candidate shares >= 1 shingle, so the inner join
+    # loses nothing). Bit-identical, 110.5 s -> seconds at sf0.1.
+    from .workload_pipeline import _SHINGLES_MAT, _SIZES_CTE, _INTER_CTE
     return f"""
-WITH {_SHINGLES_CTE},
-inv0 AS (SELECT doc_id, unnest(s) AS g FROM sh),
-inv AS (SELECT * FROM inv0 WHERE g IN (
+WITH {_SHINGLES_MAT},
+{_SIZES_CTE},
+{_INTER_CTE},
+inv AS MATERIALIZED (SELECT * FROM inv0 WHERE g IN (
   SELECT g FROM inv0 GROUP BY g HAVING count(*) <= 20)),
-cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+cand AS MATERIALIZED (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
          FROM inv a JOIN inv b USING (g) WHERE a.doc_id < b.doc_id)
 SELECT * FROM (
-  SELECT id_a, id_b, {_JACCARD_SQL} AS jaccard_x10000
-  FROM cand JOIN sh x ON x.doc_id = id_a JOIN sh y ON y.doc_id = id_b)
+  SELECT id_a, id_b,
+    (CAST(inter AS BIGINT) * 10000) // (sa.n + sb.n - inter)
+      AS jaccard_x10000
+  FROM cand JOIN inter USING (id_a, id_b)
+  JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b)
 WHERE jaccard_x10000 >= 5000"""
 
 
@@ -3633,74 +3642,59 @@ ORACLE_ANALYTIC = {
 #
 # At the very head: queries whose CODE changed since their latest
 # driver row, so the changed plan gets a fresh driver artifact first.
-# Round 12 closed the r11 ADVICE items on the shared layout helper
-# (align_key_types: lossless-widening classification + try_cast
-# round-trip probe for narrowing; per-write partitionOverwriteMode
-# option) and added cadence validation to the coloring loops, so the
-# five queries that execute those paths front the sample again for
-# fresh post-change driver rows (all re-driven green at sf0.01 when
-# the changes landed; greedy_coloring additionally carries the r12
-# fused-arm profiling outcome, whatever it measures).
+# Round 13 (r12 verdict Next #1/#2/#3/#5 + ADVICE): the five monster
+# DuckDB oracles were rewritten to bit-identical cheaper SQL
+# (conductance_brands, k_core, dedup_ngram_jaccard, dedup_ngram_pruned,
+# dedup_containment — gated old-vs-new at sf0.001/0.01/0.1), the
+# align_key_types lossy-cast probe went null-safe (its three
+# executing queries re-front), butterfly_count gained the empty-graph
+# wedge guard, and the coloring family carries the rounds<=64 mask
+# guard plus this round's scc/coloring profiling outcomes.
 _REFRESH_HEAD = (
+    "store_bucketed_upsert",
     "index_incremental",
     "ft_index_incremental",
     "greedy_coloring",
     "scc_coloring",
     "scc_coloring_full",
+    "butterfly_count",
+    "conductance_brands",
+    "k_core",
+    "dedup_ngram_jaccard",
+    "dedup_ngram_pruned",
+    "dedup_containment",
 )
 
 # The r3 cohort drained to zero in the r9 sample, r4 drained in the
-# r10 sample, and r5 drained in the r11 sample (all 16 rows
-# re-checked green — CORRECTNESS_r11).
+# r10 sample, r5 drained in the r11 sample, and r6 drained in the r12
+# sample (all 11 rows re-checked green — CORRECTNESS_r12).
 
-# Queries whose LATEST driver row is CORRECTNESS_r06.json (11 after
-# the r11 sample took 29 of the 40) — the OLDEST cohort, so it
-# samples first and drains this round.
-_LATEST_R06 = frozenset({
-    "basket_affinity", "betweenness_2hop", "bigram_lm_rarity",
-    "closeness_centrality",
-    "dedup_jaccard_histogram",
-    "events_mad_outliers", "events_winsorize",
-    "modularity_brands",
-    "shard_balance_audit", "skyline_parts", "source_tv_distance",
-})
-
-# Queries whose LATEST driver row is CORRECTNESS_r07.json (50): the
-# round-7 sample — the 5 prior _REFRESH_HEAD queries, the entire r1
-# cohort (25), and the first 20 of the r2 cohort.
+# Queries whose LATEST driver row is CORRECTNESS_r07.json (17 after
+# the r12 sample took 33) — the OLDEST cohort, so it samples first
+# and drains this round (r12 verdict Next #6).
 _LATEST_R07 = frozenset({
-    "add_edges_overwrite", "add_vertices_ifnotexists",
-    "asof_last_purchase", "dedup_clusters", "dedup_distinct",
-    "delete_edges", "delete_vertices_cascade", "doc_chunks",
-    "doc_token_ids", "embed_stub", "events_hopping_window",
-    "events_window", "expr_surface", "fetch_edges", "fetch_vertices",
-    "go_both", "go_filter", "go_in_edges", "go_limit",
-    "go_multi_edge", "go_out_props", "go_sample", "go_stats",
-    "go_vertex_props", "index_rebuild", "kv_ops", "lookup_prefix",
-    "lookup_range", "lookup_residual", "mm_audio_stats",
-    "mm_frame_sample", "mm_image_meta", "mm_resize",
-    "node2vec_walks", "region_revenue", "scan_edge_limit",
-    "scan_vertex", "scan_vertex_page", "source_csv_roundtrip",
-    "stats_task", "store_checkpoint", "store_roundtrip", "tpch_q1",
-    "tpch_q3_top10", "ttl_lookup", "ttl_visibility", "upsert_edge",
-    "upsert_insert", "upsert_update_cond", "walk_visit_counts",
+    "delete_edges", "events_hopping_window", "events_window",
+    "expr_surface", "go_multi_edge", "index_rebuild", "kv_ops",
+    "node2vec_walks", "region_revenue", "scan_vertex_page",
+    "source_csv_roundtrip", "store_checkpoint", "store_roundtrip",
+    "tpch_q1", "tpch_q3_top10", "ttl_visibility", "walk_visit_counts",
 })
 
-# Queries whose LATEST driver row is CORRECTNESS_r08.json (47 here;
-# greedy_coloring and scc_coloring_full also have r8 rows but moved
-# to _REFRESH_HEAD — the r11 cadence changes postdate them; knn_pq_adc
-# has since gained an r10 row and sits in _LATEST_R10.)
+# Queries whose LATEST driver row is CORRECTNESS_r08.json (44 here;
+# dedup_containment, dedup_ngram_jaccard and k_core also have r8 rows
+# but moved to _REFRESH_HEAD — the r13 oracle rewrites postdate them;
+# knn_pq_adc has since gained an r10 row and sits in _LATEST_R10.)
 _LATEST_R08 = frozenset({
     "bfs_distances", "bloom_vocab_probe", "clustering_coefficient",
     "cms_token_counts", "connected_components",
     "connected_components_doubling", "corpus_curation",
-    "dedup_containment", "dedup_minhash_incremental",
-    "dedup_ngram_jaccard", "degree_assortativity", "degree_stats",
+    "dedup_minhash_incremental",
+    "degree_assortativity", "degree_stats",
     "delete_tag_rows", "events_props_json", "events_value_percentiles",
     "fetch_string_vids", "fulltext_search", "go_1_to_n", "go_grouped",
     "go_in_projected", "go_multi_tag", "go_stats_salted", "go_two_hop",
     "hll_distinct_users",
-    "incremental_view_maintenance", "k_core", "label_propagation",
+    "incremental_view_maintenance", "label_propagation",
     "lookup_multi_index", "maximal_independent_set", "pagerank",
     "personalized_pagerank", "random_walks", "rollup_revenue",
     "scan_edge_page", "schema_evolution",
@@ -3710,17 +3704,16 @@ _LATEST_R08 = frozenset({
     "upsert_returning", "walk_skipgrams", "weighted_sample_docs",
 })
 
-# Queries whose LATEST driver row is CORRECTNESS_r09.json (48 here;
+# Queries whose LATEST driver row is CORRECTNESS_r09.json (47 here;
 # knn_pq_adc's r9 row was superseded by its r10 row, and
-# index_incremental moved to _REFRESH_HEAD — the r11 shared-helper
-# extraction postdates its r9 row; the cohort sets must stay an
-# exact partition of _DRIVER_CHECKED_EVER): the r9 sample =
-# knn_pq_rerank (new) + knn_pq_adc + the entire remaining r3 cohort
-# (29) + 19 of r4.
+# dedup_ngram_pruned moved to _REFRESH_HEAD — the r13 oracle rewrite
+# postdates its r9 row; the cohort sets must stay an exact partition
+# of _DRIVER_CHECKED_EVER): the r9 sample = knn_pq_rerank (new) +
+# knn_pq_adc + the entire remaining r3 cohort (29) + 19 of r4.
 _LATEST_R09 = frozenset({
     "anti_join_no_urgent", "bpe_pair_counts", "bucketed_join",
     "common_neighbors", "cube_revenue", "customer_value_quartiles",
-    "datetime_surface", "dedup_ngram_pruned", "degree_quantiles",
+    "datetime_surface", "degree_quantiles",
     "events_lead_lag", "fetch_multi_tag", "go_expr",
     "go_stats_with_limit", "hll_incremental", "hof_surface",
     "index_rebuild_edge", "knn_pq_rerank",
@@ -3735,9 +3728,10 @@ _LATEST_R09 = frozenset({
     "tpch_q6", "tpch_q7", "triangle_counts", "vocab_topk",
 })
 
-# Queries whose LATEST driver row is CORRECTNESS_r10.json (50): the
-# r10 sample = the 4 kernel-refresh head queries + the entire r4
-# cohort (16, drained) + 30 of r5.
+# Queries whose LATEST driver row is CORRECTNESS_r10.json (49 here;
+# conductance_brands moved to _REFRESH_HEAD — the r13 oracle rewrite
+# postdates its r10 row): the r10 sample = the 4 kernel-refresh head
+# queries + the entire r4 cohort (16, drained) + 30 of r5.
 _LATEST_R10 = frozenset({
     "kmeans_embeddings", "cluster_top_terms", "hard_negative_mining",
     "knn_pq_adc",
@@ -3747,7 +3741,7 @@ _LATEST_R10 = frozenset({
     "inverted_index_search", "scd2_history", "store_compaction",
     "stream_enrich", "tpch_q16_shape", "tpch_q17", "tpch_q20_shape",
     "tpch_q8",
-    "bm25_topk", "bpe_train_merges", "conductance_brands",
+    "bm25_topk", "bpe_train_merges",
     "dedup_setsim_prefix", "doc_rarity_score", "dq_checks",
     "events_last_state", "events_m4_downsample",
     "events_markov_transitions", "events_new_users_daily",
@@ -3760,13 +3754,13 @@ _LATEST_R10 = frozenset({
     "training_shards", "weighted_pagerank", "zorder_pruning",
 })
 
-# Queries whose LATEST driver row is CORRECTNESS_r11.json (45 here;
-# the 5 _REFRESH_HEAD queries also have r11 rows but the r12 helper /
-# cadence changes postdate them — the cohort sets must stay an exact
+# Queries whose LATEST driver row is CORRECTNESS_r11.json (44 here;
+# butterfly_count moved to _REFRESH_HEAD — the r13 empty-graph wedge
+# guard postdates its r11 row; the cohort sets must stay an exact
 # partition of _DRIVER_CHECKED_EVER): the r11 sample = the 5 then-
 # refresh-head queries + the entire r5 cohort (16, drained) + 29 of r6.
 _LATEST_R11 = frozenset({
-    "analyze_table_stats", "ann_recall_eval", "butterfly_count",
+    "analyze_table_stats", "ann_recall_eval",
     "dedup_semantic_rerank", "degree_log_histogram",
     "embedding_robust_scale", "embedding_smoothing",
     "event_type_trigrams", "find_path_strings", "greedy_set_cover",
@@ -3784,13 +3778,38 @@ _LATEST_R11 = frozenset({
     "tfidf_top_terms", "time_surface", "top_docs_per_source",
 })
 
-# Every query with ANY driver CORRECTNESS row (r1–r11) — the cohorts
+# Queries whose LATEST driver row is CORRECTNESS_r12.json (44 here;
+# the then-refresh-head rows store_bucketed_upsert, index_incremental,
+# ft_index_incremental, greedy_coloring, scc_coloring and
+# scc_coloring_full sit in the r13 _REFRESH_HEAD instead — the r13
+# code changes postdate their r12 rows): the r12 sample = the 5 then-
+# refresh-head queries + store_bucketed_upsert (new) + the entire r6
+# cohort (11, drained) + 33 of r7.
+_LATEST_R12 = frozenset({
+    "add_edges_overwrite", "add_vertices_ifnotexists",
+    "asof_last_purchase", "basket_affinity", "betweenness_2hop",
+    "bigram_lm_rarity", "closeness_centrality", "dedup_clusters",
+    "dedup_distinct", "dedup_jaccard_histogram",
+    "delete_vertices_cascade", "doc_chunks", "doc_token_ids",
+    "embed_stub", "events_mad_outliers", "events_winsorize",
+    "fetch_edges", "fetch_vertices", "go_both", "go_filter",
+    "go_in_edges", "go_limit", "go_out_props", "go_sample",
+    "go_stats", "go_vertex_props", "lookup_prefix",
+    "lookup_range", "lookup_residual", "mm_audio_stats",
+    "mm_frame_sample", "mm_image_meta", "mm_resize",
+    "modularity_brands", "scan_edge_limit", "scan_vertex",
+    "shard_balance_audit", "skyline_parts", "source_tv_distance",
+    "stats_task", "ttl_lookup", "upsert_edge", "upsert_insert",
+    "upsert_update_cond",
+})
+
+# Every query with ANY driver CORRECTNESS row (r1–r12) — the cohorts
 # above partition this set by latest-row round. A registry name NOT in
 # this union has never been driver-checked and must sample FIRST.
 _DRIVER_CHECKED_EVER = (frozenset(_REFRESH_HEAD)
-                        | _LATEST_R06 | _LATEST_R07
+                        | _LATEST_R07
                         | _LATEST_R08 | _LATEST_R09 | _LATEST_R10
-                        | _LATEST_R11)
+                        | _LATEST_R11 | _LATEST_R12)
 
 
 def build_queries() -> dict[str, Query]:
@@ -3809,8 +3828,8 @@ def build_queries() -> dict[str, Query]:
     ordered = {k: v for k, v in out.items()
                if k not in _DRIVER_CHECKED_EVER}
     ordered.update({k: out[k] for k in _REFRESH_HEAD if k in out})
-    for cohort in (_LATEST_R06, _LATEST_R07, _LATEST_R08,
-                   _LATEST_R09, _LATEST_R10):
+    for cohort in (_LATEST_R07, _LATEST_R08,
+                   _LATEST_R09, _LATEST_R10, _LATEST_R11):
         ordered.update({k: v for k, v in out.items()
                         if k in cohort and k not in ordered})
     ordered.update({k: v for k, v in out.items() if k not in ordered})

@@ -711,9 +711,14 @@ def q_conductance_brands(spark, sf_dir):
                            "END").alias("phi_x1e6")))
 
 
+# MATERIALIZED (r12 verdict Next #1): `lab` is consumed five times
+# (m, cut x2, vol x2); DuckDB re-inlined it per consumer and the
+# c1 <> c2 variants degraded the lineitem self-join to NESTED-LOOP
+# plans — 221 s at sf0.1 on the r13 host. Forcing one hash-join
+# evaluation: 1.5 s, bit-identical.
 ORACLE_CONDUCTANCE = (
-    f"WITH pairs AS ({_ORACLE_CO_PAIRS}), "
-    "lab AS (SELECT b1.p_brand AS c1, b2.p_brand AS c2 FROM pairs "
+    f"WITH pairs AS MATERIALIZED ({_ORACLE_CO_PAIRS}), "
+    "lab AS MATERIALIZED (SELECT b1.p_brand AS c1, b2.p_brand AS c2 FROM pairs "
     "JOIN part b1 ON b1.p_partkey = pairs.src "
     "JOIN part b2 ON b2.p_partkey = pairs.dst), "
     "m AS (SELECT 2 * count(*) AS m2 FROM lab), "
