@@ -835,9 +835,10 @@ def k_core_oracle_sql(edges_sql: str, k: int, rounds: int = 3) -> str:
     MATERIALIZED throughout (r12 verdict Next #1): each e{t} is
     consumed three times by round t+1 (twice in d, once in e), so
     DuckDB's inlining re-evaluated e0 — and the co-order self-join
-    under it — 3^rounds times: 773 s at sf0.1 on the r13 host,
-    2.1 s materialized, bit-identical (the same fix the coloring
-    oracle shipped with)."""
+    under it — 3^rounds times, with a plan unstable enough to swing
+    40-773 s at sf0.1 across r13-host runs (110 s on the r12 host's
+    drive). Materialized: 0.8 s, bit-identical at all three scales
+    (the same fix the coloring oracle shipped with)."""
     parts = [
         f"raw AS MATERIALIZED ({edges_sql})",
         "e0 AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a, "
@@ -984,6 +985,8 @@ def _min_label_fixpoint(e: DataFrame, nodes: DataFrame,
         # keep their natural parallelism
         return df.coalesce(loop_parts) if loop_parts else df
 
+    from pyspark.sql import Observation
+
     labels = (narrow(nodes.select("node", F.col("node").alias("label")))
               .localCheckpoint())
     prev_sum = None  # Σlabel of the current `labels` (None = unknown)
@@ -998,27 +1001,49 @@ def _min_label_fixpoint(e: DataFrame, nodes: DataFrame,
             rounds_run += 1
             nbr = (e.join(labels, e[SRC] == labels["node"])
                    .select(F.col(DST).alias("node"), "label"))
-            lol = (labels.alias("x")
-                   .join(labels.alias("y"),
-                         F.col("x.label") == F.col("y.node"))
-                   .select(F.col("x.node").alias("node"),
-                           F.col("y.label").alias("label")))
-            new = narrow(labels.union(nbr).union(lol)
-                         .groupBy("node").agg(F.min("label").alias("label")))
-            if (r + 1) % ckpt_cadence == 0:
-                new = new.localCheckpoint()     # truncate plan growth
+            if r == 0:
+                # round 1: labels are the identity, so label-of-label
+                # degenerates to labels itself — union(labels, nbr,
+                # labels) min-aggregates identically to union(labels,
+                # nbr). Skipping the self-join saves one join per
+                # fixpoint CALL (r12 verdict Next #2; scc_coloring
+                # runs 8 fixpoints at gate scale), bit-identically.
+                parts = labels.union(nbr)
             else:
-                new = new.persist()
-                cached.append(new)
+                lol = (labels.alias("x")
+                       .join(labels.alias("y"),
+                             F.col("x.label") == F.col("y.node"))
+                       .select(F.col("x.node").alias("node"),
+                               F.col("y.label").alias("label")))
+                parts = labels.union(nbr).union(lol)
+            new = narrow(parts.groupBy("node")
+                         .agg(F.min("label").alias("label")))
             # count rides the same aggregation (no extra job): a NULL sum
             # over a NONEMPTY frame (non-numeric ids cast to NULL, or
             # decimal overflow) would otherwise compare None == None and
             # silently declare convergence after one round with wrong labels
-            row = new.agg(
-                F.sum(F.col("label").cast("decimal(38,0)")).alias("s"),
-                F.count(F.lit(1)).alias("n")).first()
-            cur_sum = row.s
-            if cur_sum is None and row.n > 0:
+            if (r + 1) % ckpt_cadence == 0:
+                # checkpoint rounds: ride Σ/count on the SAME job that
+                # materializes the checkpoint via observe() — the
+                # separate post-checkpoint agg was one whole extra
+                # driver round-trip per checkpoint round (r12 verdict
+                # Next #2: fuse the per-round jobs)
+                obs = Observation()
+                new = (new.observe(
+                    obs,
+                    F.sum(F.col("label").cast("decimal(38,0)")).alias("s"),
+                    F.count(F.lit(1)).alias("n"))
+                    .localCheckpoint())     # truncate plan growth
+                row = obs.get
+                cur_sum, cur_n = row["s"], row["n"]
+            else:
+                new = new.persist()
+                cached.append(new)
+                agg = new.agg(
+                    F.sum(F.col("label").cast("decimal(38,0)")).alias("s"),
+                    F.count(F.lit(1)).alias("n")).first()
+                cur_sum, cur_n = agg.s, agg.n
+            if cur_sum is None and cur_n > 0:
                 raise ValueError(
                     "_min_label_fixpoint: Σlabel is NULL over a nonempty "
                     "frame — label column must be non-null integral")
@@ -1505,7 +1530,7 @@ CKPT_PERSIST_MIN_NODES = 500_000
 def greedy_coloring(edges: DataFrame, rounds: int = 3,
                     prefix: str = "col#",
                     ckpt_every: int | None = None,
-                    fused: bool = True) -> DataFrame:
+                    fused: bool | str = "counter") -> DataFrame:
     """Jones-Plassmann parallel greedy coloring with deterministic Luby
     priorities: per round, every uncolored node whose md5 priority
     (ties by id) beats all uncolored neighbours takes the smallest
@@ -1522,24 +1547,28 @@ def greedy_coloring(edges: DataFrame, rounds: int = 3,
     persist() between — materialization without the checkpoint's block
     upload, lineage depth bounded by the cadence).
 
-    `fused=True` (default since r12, MEASURED via
-    tools/coloring_cadence.py under its bit-identity gate) maintains
-    the used-color bitmask incrementally on the frontier state
-    u2(node, used): winner selection and the mex fuse into one pass,
-    the neighbour-color aggregation joins `both` against only the
-    NEWLY-colored winners (geometrically shrinking, AQE-broadcastable
-    — total delta bytes over all rounds O(|E|) once, vs the legacy
-    path's per-round join against the GROWING colored set), frontier
-    restriction is two anti-joins against the small winner set, and
-    `colored` needs no checkpointing because it is never re-joined.
-    Measured: 165 k nodes 6.26 s vs legacy-shipping 7.81 s; 1.65 M
-    nodes 15.36 s vs legacy-shipping 25.11 s (both bit-identical).
-    Fused `ckpt_every=None` is cadence 1 (fastest at both measured
-    scales; 2 checkpointed frames/round instead of 3). The legacy
-    path (fused=False) keeps its measured |V| size gate — per-round
-    truncation wins ≤ 500 k nodes (8.3 vs 9.7 s at 165 k), the upload
-    loses 3.3× at 1.65 M (73.3 vs 22.1 s) so cadence min(rounds, 3)
-    above — and stays for the harness A/B. Output: (node, color).
+    `fused="counter"` (default since r13, MEASURED via
+    tools/coloring_cadence.py under its bit-identity gate) goes one
+    fusion step past the r12 mask arm: the state u3(node, used, nhp)
+    additionally tracks the COUNT of still-active beating neighbours,
+    decremented by the same delta aggregation that maintains the used
+    mask — winner selection collapses to filter(nhp = 0), winner
+    removal to filter(nhp > 0), and the per-round act restriction
+    (two anti-joins + one checkpointed frame) disappears. Measured vs
+    the r12 fused arm: 165 k nodes 5.91 vs 6.50 s; 1.65 M 12.47 vs
+    16.25 s (bit-identical; counter-arm checkpoint cadences 1/2/3 are
+    within noise at rounds=3, so the uniform cadence 1 stays).
+
+    `fused=True` is the r12 incremental-used-mask arm (u2(node,
+    used): winner selection and mex in one pass, neighbour-color
+    delta joined against only the newly-colored winners, frontier
+    restriction by anti-join). Measured: 165 k nodes 6.26 s vs
+    legacy-shipping 7.81 s; 1.65 M nodes 15.36 s vs 25.11 s. The
+    legacy path (fused=False) keeps its measured |V| size gate —
+    per-round truncation wins ≤ 500 k nodes (8.3 vs 9.7 s at 165 k),
+    the upload loses 3.3× at 1.65 M (73.3 vs 22.1 s) so cadence
+    min(rounds, 3) above. Both stay for the harness A/B. Output:
+    (node, color).
     """
     from ..cache import pin
 
@@ -1579,12 +1608,14 @@ def greedy_coloring(edges: DataFrame, rounds: int = 3,
            .localCheckpoint())
     if ckpt_every is None:
         if fused:
-            # fused checkpoints 2 frames/round (u2, act) instead of 3
-            # — colored is never re-joined, so it needs no truncation —
-            # and per-round cadence 1 MEASURED fastest at both gate
-            # scales (165 k nodes: 6.26 vs 6.38 s cadence-3; 1.65 M:
-            # 15.36 vs 17.24 s — tools/coloring_cadence.py r12,
-            # bit-identity-gated), so no size gate and no count job.
+            # counter arm checkpoints 1 frame/round (u3), fused 2
+            # (u2, act), vs legacy's 3 — colored is never re-joined,
+            # so it needs no truncation. Cadence 1 MEASURED fastest
+            # for fused at both gate scales (165 k nodes: 6.26 vs
+            # 6.38 s cadence-3; 1.65 M: 15.36 vs 17.24 s) and within
+            # noise for counter (r13: 12.3-13.5 s at 10x across
+            # cadences 1/2/3 — only two state updates at rounds=3),
+            # so no size gate and no count job.
             ckpt_every = 1
         else:
             # legacy |V| size gate (docstring) — u is already eagerly
@@ -1601,6 +1632,66 @@ def greedy_coloring(edges: DataFrame, rounds: int = 3,
     def trunc(df: DataFrame, t: int) -> DataFrame:
         return (df.localCheckpoint() if (t + 1) % ckpt_every == 0
                 else pin(df))
+
+    if fused == "counter":
+        # COUNTER arm (r12 verdict Next #3, the next fusion step):
+        # fold the beaten-selection itself into the per-round delta by
+        # maintaining, on the frontier state u3(node, used, nhp), the
+        # COUNT of still-active neighbours that beat this node
+        # (nhp = |{w adjacent, (h_w, w) < (h_u, u), w uncolored}|).
+        # Priorities are static, so nhp only ever DECREASES — by
+        # exactly one per beating neighbour at the moment that
+        # neighbour is colored — which is the same act-join-newly
+        # aggregation that maintains the used mask: one extra sum()
+        # riding the existing groupBy. Winner selection collapses to
+        # filter(nhp = 0) (winners are PRECISELY the nhp-0 rows, so
+        # winner removal is filter(nhp > 0) — no anti-join), and the
+        # per-round `act` restriction (two anti-joins + a checkpointed
+        # frame) disappears: `act` is consumed as a STATIC
+        # priority-annotated edge frame, checkpointed once. Per round:
+        # one broadcast-able join + aggregation, one left-join merge,
+        # ONE checkpointed frame. Bit-identical to the fused arm by
+        # construction (same winner predicate, same mask delta) and
+        # gated by tools/coloring_cadence.py.
+        beat = ((F.col("hb") < F.col("ha"))
+                | ((F.col("hb") == F.col("ha"))
+                   & (F.col(DST) < F.col(SRC))))
+        nhp0 = (act.filter(beat)
+                .groupBy(F.col(SRC).alias("node"))
+                .agg(F.count(F.lit(1)).alias("nhp")))
+        u3 = (u.select("node").join(nhp0, "node", "left")
+              .select("node", F.lit(0).cast("bigint").alias("used"),
+                      F.coalesce("nhp", F.lit(0)).alias("nhp")))
+        newlies = []
+        for t in range(rounds):
+            mex = "CASE " + " ".join(
+                f"WHEN (used >> {c}) % 2 = 0 THEN {c}"
+                for c in range(t + 1)) + f" ELSE {t} END"
+            newly = pin(u3.filter(F.col("nhp") == 0)
+                        .select("node", F.expr(mex).alias("color")))
+            newlies.append(newly)
+            if t + 1 < rounds:
+                delta = (act.join(newly.select(F.col("node").alias(DST),
+                                               "color"), DST)
+                         .groupBy(F.col(SRC).alias("node"))
+                         .agg(F.expr("bit_or(CAST(1 AS BIGINT) << color)")
+                              .alias("d"),
+                              F.sum(F.when(beat, 1).otherwise(0))
+                              .alias("dc")))
+                u3 = trunc(
+                    u3.filter(F.col("nhp") > 0)
+                    .join(delta, "node", "left")
+                    .select("node",
+                            F.expr("used | coalesce(d, CAST(0 AS BIGINT))")
+                            .alias("used"),
+                            F.expr("nhp - coalesce(dc, CAST(0 AS BIGINT))")
+                            .alias("nhp")), t)
+        colored = newlies[0]
+        for n in newlies[1:]:
+            colored = colored.union(n)
+        return (nodes.join(colored, "node", "left")
+                .select("node",
+                        F.coalesce("color", F.lit(-1)).alias("color")))
 
     if fused:
         # FUSED arm (r11 verdict Next #4): maintain the used-color

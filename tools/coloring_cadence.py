@@ -107,7 +107,9 @@ def main() -> int:
     scc_arms = [4, 2]
     if "--greedy-arms" in args:
         # arm tokens: "2" = legacy path at cadence 2; "2f" = the FUSED
-        # incremental-used-mask path (r11 verdict Next #4) at cadence 2
+        # incremental-used-mask path (r11 verdict Next #4) at cadence 2;
+        # "2c" = the COUNTER path (r12 verdict Next #3: beaten-selection
+        # folded into the delta aggregation, no per-round act frame)
         i = args.index("--greedy-arms")
         greedy_arms = args[i + 1].split(",")
         del args[i:i + 2]
@@ -141,9 +143,13 @@ def main() -> int:
             arms = {}
             for tok in greedy_arms:
                 tok = str(tok)
-                fused = tok.endswith("f")
-                k = int(tok.rstrip("f"))
-                label = f"ckpt_every={k}" + (",fused" if fused else "")
+                fused: bool | str = tok.endswith("f")
+                if tok.endswith("c"):
+                    fused = "counter"
+                k = int(tok.rstrip("fc"))
+                label = f"ckpt_every={k}" + (
+                    ",counter" if fused == "counter"
+                    else ",fused" if fused else "")
                 arms[label] = {"rounds": 3, "ckpt_every": k,
                                "fused": fused}
             cells = run_arms(f"greedy_coloring@{factor}x", e, arms,
