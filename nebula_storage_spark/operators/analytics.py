@@ -1245,11 +1245,21 @@ def scc_coloring(edges: DataFrame, max_outer: int = 64,
                 n_remaining = 0
                 break
             SCC_STATS["outer"].append(_outer + 1)
-            # 1. trim to fixpoint — 1 job per iteration
+            # 1. trim to fixpoint — 1 job per iteration; the
+            # has-in-AND-out membership comes from ONE aggregation
+            # (explode both endpoints tagged 1/2, bit_or to 3) instead
+            # of two distincts + a semi-join — same core set, one
+            # shuffle instead of three (r12 verdict Next #2)
             while True:
-                srcs = cur.select(F.col(SRC).alias("node")).distinct()
-                dsts = cur.select(F.col(DST).alias("node")).distinct()
-                core = (narrow(srcs.join(dsts, "node", "left_semi"))
+                core = (narrow(
+                    cur.select(F.explode(F.array(
+                        F.struct(F.col(SRC).alias("node"),
+                                 F.lit(1).alias("o")),
+                        F.struct(F.col(DST).alias("node"),
+                                 F.lit(2).alias("o")))).alias("x"))
+                    .select("x.node", "x.o")
+                    .groupBy("node").agg(F.expr("bit_or(o)").alias("m"))
+                    .filter(F.col("m") == 3).select("node"))
                         .localCheckpoint(False))
                 n_core = core.count()
                 if n_core == n_remaining:
