@@ -319,8 +319,8 @@ def connected_components_doubling_oracle_sql(edges_sql: str,
 
 def maximal_independent_set(edges: DataFrame, rounds: int = 4,
                             prefix: str = "mis#",
-                            broadcast_max_nodes: int | None = None
-                            ) -> DataFrame:
+                            broadcast_max_nodes: int | None = None,
+                            counter: bool = False) -> DataFrame:
     """Luby's maximal-independent-set algorithm with DETERMINISTIC
     priorities: md5(node) replaces the per-round RNG draw, ties broken
     by node id, so the selected set is reproducible on any engine (the
@@ -354,6 +354,74 @@ def maximal_independent_set(edges: DataFrame, rounds: int = 4,
            f"CAST(node AS STRING))), 1, 15), 16, 10) AS BIGINT)")
     u = (both.select(F.col(SRC).alias("node")).distinct()
          .withColumn("h", F.expr(pri)).localCheckpoint())
+    if counter:
+        # COUNTER arm (r13, NOT the default — a measured negative kept
+        # for the A/B record): greedy_coloring's nhp fusion applied to
+        # Luby selection — u4(node, nhp) tracks the count of
+        # still-active beating neighbours ((h_w, w) > (h_u, u), larger
+        # wins in MIS), winner selection is filter(nhp = 0). Measured
+        # at the sf0.1 gate config (co-order pairs, 4 rounds,
+        # best-of-3 warm): 11.3 s vs legacy 9.59 s. Why it loses here
+        # but wins in coloring: in MIS the leaving set per round is
+        # win ∪ FALLOUT — most of the graph leaves in round 1 — so the
+        # decrement delta plus the up-front nhp0 aggregation re-scan
+        # nearly the whole edge set once more, while the legacy arm's
+        # frontier-restricted eu joins shrink just as fast without
+        # that extra pass. In coloring only winners leave (geometric,
+        # slower), which is what makes the delta bounded AND the act
+        # restriction worth deleting. Bit-identical to the legacy arm
+        # (same winner predicate, same fallout definition), pinned by
+        # the parity test.
+        ha = f"CAST(conv(substring(md5(concat('{prefix}', " \
+             f"CAST({SRC} AS STRING))), 1, 15), 16, 10) AS BIGINT)"
+        hb = f"CAST(conv(substring(md5(concat('{prefix}', " \
+             f"CAST({DST} AS STRING))), 1, 15), 16, 10) AS BIGINT)"
+        beat = ((F.col("hb") > F.col("ha"))
+                | ((F.col("hb") == F.col("ha"))
+                   & (F.col(DST) > F.col(SRC))))
+        act = (both.withColumn("ha", F.expr(ha))
+               .withColumn("hb", F.expr(hb)).localCheckpoint())
+        nhp0 = (act.filter(beat)
+                .groupBy(F.col(SRC).alias("node"))
+                .agg(F.count(F.lit(1)).alias("nhp")))
+        u4 = (u.select("node").join(nhp0, "node", "left")
+              .select("node", F.coalesce("nhp", F.lit(0)).alias("nhp"))
+              .localCheckpoint())
+        winners, outs = None, None
+        for t in range(rounds):
+            hint = _round_hint(u4.count(), broadcast_max_nodes)
+            win = (u4.filter(F.col("nhp") == 0).select("node")
+                   .localCheckpoint())
+            out = (both.join(hint(win.withColumnRenamed("node", SRC)),
+                             SRC)
+                   .select(F.col(DST).alias("node")).distinct()
+                   .join(hint(u4.select("node")), "node", "left_semi")
+                   .localCheckpoint())
+            winners = win if winners is None else winners.union(win)
+            outs = out if outs is None else outs.union(out)
+            if t + 1 < rounds:
+                leave = win.union(out)
+                delta = (act.join(hint(leave.withColumnRenamed(
+                    "node", DST)), DST)
+                    .groupBy(F.col(SRC).alias("node"))
+                    .agg(F.sum(F.when(beat, 1).otherwise(0))
+                         .alias("dc")))
+                u4 = (u4.filter(F.col("nhp") > 0)
+                      .join(hint(out), "node", "left_anti")
+                      .join(delta, "node", "left")
+                      .select("node",
+                              F.expr("nhp - coalesce(dc, CAST(0 AS "
+                                     "BIGINT))").alias("nhp"))
+                      .localCheckpoint())
+        nodes = both.select(F.col(SRC).alias("node")).distinct()
+        return (nodes
+                .join(winners.withColumn("_in", F.lit(1)).distinct(),
+                      "node", "left")
+                .join(outs.withColumn("_out", F.lit(1)).distinct(),
+                      "node", "left")
+                .select("node", F.when(F.col("_in").isNotNull(), "in")
+                        .when(F.col("_out").isNotNull(), "out")
+                        .otherwise("undecided").alias("status")))
     winners, outs = None, None
     for _ in range(rounds):
         hint = _round_hint(u.count(), broadcast_max_nodes)

@@ -3663,6 +3663,7 @@ _REFRESH_HEAD = (
     "dedup_ngram_jaccard",
     "dedup_ngram_pruned",
     "dedup_containment",
+    "maximal_independent_set",
 )
 
 # The r3 cohort drained to zero in the r9 sample, r4 drained in the
@@ -3680,8 +3681,9 @@ _LATEST_R07 = frozenset({
     "tpch_q1", "tpch_q3_top10", "ttl_visibility", "walk_visit_counts",
 })
 
-# Queries whose LATEST driver row is CORRECTNESS_r08.json (44 here;
-# dedup_containment, dedup_ngram_jaccard and k_core also have r8 rows
+# Queries whose LATEST driver row is CORRECTNESS_r08.json (43 here;
+# dedup_containment, dedup_ngram_jaccard, k_core and
+# maximal_independent_set also have r8 rows
 # but moved to _REFRESH_HEAD — the r13 oracle rewrites postdate them;
 # knn_pq_adc has since gained an r10 row and sits in _LATEST_R10.)
 _LATEST_R08 = frozenset({
@@ -3695,7 +3697,7 @@ _LATEST_R08 = frozenset({
     "go_in_projected", "go_multi_tag", "go_stats_salted", "go_two_hop",
     "hll_distinct_users",
     "incremental_view_maintenance", "label_propagation",
-    "lookup_multi_index", "maximal_independent_set", "pagerank",
+    "lookup_multi_index", "pagerank",
     "personalized_pagerank", "random_walks", "rollup_revenue",
     "scan_edge_page", "schema_evolution",
     "sessionize", "source_json_roundtrip", "source_partitioned_pruning",

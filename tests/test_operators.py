@@ -1132,6 +1132,14 @@ def test_mis_independent_and_maximal_when_decided(spark):
     for v, s in got.items():
         if s == "out":
             assert adj[v] & chosen, v
+    # the r13 counter arm (measured negative, kept for A/B — see the
+    # docstring) must stay bit-identical to the shipping legacy arm
+    for rounds in (1, 3):
+        legacy = sorted(map(tuple, maximal_independent_set(
+            edges, rounds=rounds).collect()))
+        ctr = sorted(map(tuple, maximal_independent_set(
+            edges, rounds=rounds, counter=True).collect()))
+        assert legacy == ctr, rounds
 
 
 def test_prefix_sum_plan_is_range_partitioned_not_global(spark):
