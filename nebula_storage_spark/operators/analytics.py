@@ -41,6 +41,19 @@ from ..cache import pin as _pin
 
 from ..graph import DST, SRC
 
+# Pure-persist (no-checkpoint) iterative loops keep the FULL analyzed
+# lineage: each round's frame references the previous round's cached
+# frame, so the logical plan holds ~2^rounds subtrees. Execution is
+# truncated by CacheManager substitution (the cached subtree is read,
+# not re-run) and repeat executions reuse every round's cache — the
+# r13-measured 2-3x bench win — but the ANALYZER still walks the whole
+# tree once per build, which is exponential in `rounds`. At the gated
+# rounds=3 that is 8 subtrees (micro-seconds); by rounds~16 it is the
+# plan-explosion pathology the checkpoint form was built to kill. Loops
+# that adopt the pure-pin form therefore fall back to localCheckpoint
+# truncation beyond this bound.
+PURE_PIN_MAX_ROUNDS = 8
+
 # Per-round rank/label frames are broadcast only below this vertex count.
 # ~5M rows of (long, long) ≈ 80 MB serialized — the usual ceiling for a
 # comfortable executor broadcast. Above it, the hint is DROPPED and the
@@ -883,10 +896,12 @@ def k_core_fixed(edges: DataFrame, k: int, rounds: int = 3,
     (tools/loop_scaling.py, 120M-edge 100× amplification): the
     O(|E|)-checkpoint formulation held ~4 materialized 120M-row frames
     and went super-linear (147 s/round, memory squeeze); this
-    formulation keeps one. Checkpointing (LogicalRDD truncation) is
-    still load-bearing: a round references its input several times, so
-    the analyzed plan would grow exponentially in `rounds` if lineage
-    were kept.
+    formulation keeps one. Lineage: at the gated rounds<=
+    PURE_PIN_MAX_ROUNDS every frame is registry-pinned persist (plan-
+    reusable across repeat executions, the r13 bench win); above it
+    each alive set is localCheckpoint-truncated — a round references
+    its input several times, so the analyzed plan would otherwise grow
+    exponentially in `rounds`.
     """
     a, b = F.col(SRC), F.col(DST)
     # persist (registry-pinned), NOT localCheckpoint (r13): e0 is the
@@ -908,12 +923,17 @@ def k_core_fixed(edges: DataFrame, k: int, rounds: int = 3,
         # localCheckpoint — same one job per round, but repeat
         # executions then reuse every round's cached alive set, and the
         # plan stays bounded because alive_i reads cur_{i-1} whose legs
-        # are the cached e0 + the cached alive_{i-1} (2^rounds subtrees
-        # at rounds=3, well under the 16-round pathology the checkpoint
-        # form was built for).
-        alive = _pin(cur.select(F.explode(F.array("a", "b")).alias("v"))
-                     .groupBy("v").agg(F.count(F.lit(1)).alias("d"))
-                     .filter(F.col("d") >= k).select("v"))
+        # are the cached e0 + the cached alive_{i-1} (2^rounds ANALYZED
+        # subtrees — cheap at the gated rounds=3, pathological by
+        # rounds~16, so past PURE_PIN_MAX_ROUNDS each alive falls back
+        # to localCheckpoint truncation: cross-run cache reuse is a
+        # best-of-3 bench property that long-peel callers don't need,
+        # while analyzer blow-up would hit them hardest).
+        alive = (cur.select(F.explode(F.array("a", "b")).alias("v"))
+                 .groupBy("v").agg(F.count(F.lit(1)).alias("d"))
+                 .filter(F.col("d") >= k).select("v"))
+        alive = (_pin(alive) if rounds <= PURE_PIN_MAX_ROUNDS
+                 else alive.localCheckpoint(eager=False))
         hint = _round_hint(alive.count(), broadcast_max_nodes)
         cur = (e0
                .join(hint(alive.select(F.col("v").alias("a"))),
@@ -1734,7 +1754,11 @@ def greedy_coloring(edges: DataFrame, rounds: int = 3,
             # round's cache (the checkpointed form re-ran the whole
             # loop per repetition). Cadences 1/2/3 measured within
             # noise intra-run at rounds=3; cross-run reuse decides.
-            ckpt_every = rounds + 1
+            # Beyond PURE_PIN_MAX_ROUNDS the kept lineage (~2^rounds
+            # analyzed subtrees) would explode the analyzer, so the
+            # cadence falls back to per-round truncation there.
+            ckpt_every = (rounds + 1 if rounds <= PURE_PIN_MAX_ROUNDS
+                          else 1)
         elif fused:
             # fused arm checkpoints 2 frames/round (u2, act) vs
             # legacy's 3 — colored is never re-joined, so it needs no

@@ -3649,7 +3649,12 @@ ORACLE_ANALYTIC = {
 # align_key_types lossy-cast probe went null-safe (its three
 # executing queries re-front), butterfly_count gained the empty-graph
 # wedge guard, and the coloring family carries the rounds<=64 mask
-# guard plus this round's scc/coloring profiling outcomes.
+# guard plus this round's scc/coloring profiling outcomes. The
+# optimization wave (persist-pinned setup/round frames) additionally
+# touched bpe_train_merges, and the reverted round-pin experiments
+# left their measured-negative records in sssp_distances and
+# connected_components_doubling — all three front too (the list is
+# the verbatim `tools/touched_queries.py ba9b5a3..HEAD` output).
 _REFRESH_HEAD = (
     "store_bucketed_upsert",
     "index_incremental",
@@ -3664,6 +3669,9 @@ _REFRESH_HEAD = (
     "dedup_ngram_pruned",
     "dedup_containment",
     "maximal_independent_set",
+    "bpe_train_merges",
+    "sssp_distances",
+    "connected_components_doubling",
 )
 
 # The r3 cohort drained to zero in the r9 sample, r4 drained in the
@@ -3681,15 +3689,16 @@ _LATEST_R07 = frozenset({
     "tpch_q1", "tpch_q3_top10", "ttl_visibility", "walk_visit_counts",
 })
 
-# Queries whose LATEST driver row is CORRECTNESS_r08.json (43 here;
-# dedup_containment, dedup_ngram_jaccard, k_core and
-# maximal_independent_set also have r8 rows
-# but moved to _REFRESH_HEAD — the r13 oracle rewrites postdate them;
+# Queries whose LATEST driver row is CORRECTNESS_r08.json (42 here;
+# dedup_containment, dedup_ngram_jaccard, k_core,
+# maximal_independent_set and connected_components_doubling also have
+# r8 rows but moved to _REFRESH_HEAD — the r13 oracle rewrites /
+# optimization-round code edits postdate them;
 # knn_pq_adc has since gained an r10 row and sits in _LATEST_R10.)
 _LATEST_R08 = frozenset({
     "bfs_distances", "bloom_vocab_probe", "clustering_coefficient",
     "cms_token_counts", "connected_components",
-    "connected_components_doubling", "corpus_curation",
+    "corpus_curation",
     "dedup_minhash_incremental",
     "degree_assortativity", "degree_stats",
     "delete_tag_rows", "events_props_json", "events_value_percentiles",
@@ -3708,8 +3717,9 @@ _LATEST_R08 = frozenset({
 
 # Queries whose LATEST driver row is CORRECTNESS_r09.json (47 here;
 # knn_pq_adc's r9 row was superseded by its r10 row, and
-# dedup_ngram_pruned moved to _REFRESH_HEAD — the r13 oracle rewrite
-# postdates its r9 row; the cohort sets must stay an exact partition
+# dedup_ngram_pruned / sssp_distances moved to _REFRESH_HEAD — the
+# r13 oracle rewrite / optimization-round code edits postdate their
+# r9 rows; the cohort sets must stay an exact partition
 # of _DRIVER_CHECKED_EVER): the r9 sample = knn_pq_rerank (new) +
 # knn_pq_adc + the entire remaining r3 cohort (29) + 19 of r4.
 _LATEST_R09 = frozenset({
@@ -3723,16 +3733,17 @@ _LATEST_R09 = frozenset({
     "mm_video_meta", "neighbor_jaccard", "preferential_attachment",
     "price_size_correlation", "range_click_attribution",
     "resource_allocation", "running_total", "scc_components",
-    "source_orc_roundtrip", "sssp_distances", "stream_cdc_upsert",
+    "source_orc_roundtrip", "stream_cdc_upsert",
     "stream_dedup", "stream_join", "string_surface", "tpch_q10",
     "tpch_q13", "tpch_q14", "tpch_q15", "tpch_q18", "tpch_q19",
     "tpch_q21_shape", "tpch_q2_shape", "tpch_q4_semi", "tpch_q5",
     "tpch_q6", "tpch_q7", "triangle_counts", "vocab_topk",
 })
 
-# Queries whose LATEST driver row is CORRECTNESS_r10.json (49 here;
-# conductance_brands moved to _REFRESH_HEAD — the r13 oracle rewrite
-# postdates its r10 row): the r10 sample = the 4 kernel-refresh head
+# Queries whose LATEST driver row is CORRECTNESS_r10.json (48 here;
+# conductance_brands / bpe_train_merges moved to _REFRESH_HEAD — the
+# r13 oracle rewrite / optimization-round code edits postdate their
+# r10 rows): the r10 sample = the 4 kernel-refresh head
 # queries + the entire r4 cohort (16, drained) + 30 of r5.
 _LATEST_R10 = frozenset({
     "kmeans_embeddings", "cluster_top_terms", "hard_negative_mining",
@@ -3743,7 +3754,7 @@ _LATEST_R10 = frozenset({
     "inverted_index_search", "scd2_history", "store_compaction",
     "stream_enrich", "tpch_q16_shape", "tpch_q17", "tpch_q20_shape",
     "tpch_q8",
-    "bm25_topk", "bpe_train_merges",
+    "bm25_topk",
     "dedup_setsim_prefix", "doc_rarity_score", "dq_checks",
     "events_last_state", "events_m4_downsample",
     "events_markov_transitions", "events_new_users_daily",

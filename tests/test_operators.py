@@ -1383,13 +1383,19 @@ def test_headliner_plans_are_scale_safe(spark, sf_dir):
        (tiny query-side frame) joined to the corpus band index by
        (band, bkey) equi-keys, and the per-query top-k runs as a
        WindowGroupLimit; no CartesianProduct anywhere.
-    2. k_core — per-round state is the O(|V|) alive set, checkpointed
-       each round (LogicalRDD truncation), while the O(|E|) canonical
-       edge frame is checkpointed once: the FINAL plan reads Scan
-       ExistingRDD leaves and its join count is CONSTANT in `rounds`
-       (only the last restriction's two left-semi joins survive;
-       without truncation lineage grows exponentially), with no
-       CartesianProduct.
+    2. k_core — per-round state is the O(|V|) alive set, the O(|E|)
+       canonical edge frame is materialized once, and the EXECUTED
+       plan's join count is CONSTANT in `rounds` (only the last
+       restriction's two left-semi joins survive), with no
+       CartesianProduct. Since r13 the per-round truncation mechanism
+       is regime-split: at rounds <= PURE_PIN_MAX_ROUNDS the frames
+       are registry-pinned persists, so the executed tree bottoms out
+       in InMemoryTableScan leaves (CacheManager substitution — the
+       walk below does NOT descend into cached subtrees, exactly like
+       the executor) and repeat executions reuse every round's cache;
+       above the bound each alive set falls back to localCheckpoint
+       (ExistingRDD leaves) so the ANALYZED plan cannot grow
+       exponentially in `rounds`.
     """
     from nebula_storage_spark.workload_pipeline import (
         q_knn_hyperplane_lsh)
@@ -1401,18 +1407,41 @@ def test_headliner_plans_are_scale_safe(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in lsh
 
     from nebula_storage_spark.graph import DST, SRC, tpch_graph
-    from nebula_storage_spark.operators.analytics import k_core_fixed
+    from nebula_storage_spark.operators.analytics import (
+        PURE_PIN_MAX_ROUNDS, k_core_fixed)
     e = tpch_graph(spark, sf_dir).edges["placed"].select(SRC, DST)
-    plans = [
-        (k_core_fixed(e, k=2, rounds=r)._jdf.queryExecution()
-         .executedPlan().toString())
-        for r in (1, 3)]
+
+    def walk(node):
+        """Executed-plan nodes, NOT descending into InMemoryTableScan
+        (a leaf: its cached relation is read, not re-executed).
+        AdaptiveSparkPlanExec hides its child behind inputPlan()."""
+        yield node.nodeName()
+        if node.getClass().getSimpleName() == "AdaptiveSparkPlanExec":
+            yield from walk(node.inputPlan())
+            return
+        ch = node.children()
+        for i in range(ch.size()):
+            yield from walk(ch.apply(i))
+
+    def executed_nodes(df):
+        return list(walk(df._jdf.queryExecution().executedPlan()))
+
+    plans = [executed_nodes(k_core_fixed(e, k=2, rounds=r))
+             for r in (1, 3)]
     for kc in plans:
-        assert "ExistingRDD" in kc
-        assert "CartesianProduct" not in kc
-        assert "BroadcastNestedLoopJoin" not in kc
-    joins = [kc.count("Join") for kc in plans]
-    assert joins[0] == joins[1] > 0   # lineage truncated per round
+        assert any("InMemoryTableScan" in n for n in kc)  # pinned e0
+        assert not any("CartesianProduct" in n for n in kc)
+        assert not any("BroadcastNestedLoopJoin" in n for n in kc)
+    joins = [sum("Join" in n for n in kc) for kc in plans]
+    assert joins[0] == joins[1] > 0   # executed joins constant in rounds
+
+    # beyond the pure-pin bound the per-round alive sets must return
+    # to localCheckpoint truncation (ExistingRDD leaves) — the kept
+    # lineage would otherwise hold ~2^rounds analyzed subtrees
+    deep = executed_nodes(
+        k_core_fixed(e, k=2, rounds=PURE_PIN_MAX_ROUNDS + 1))
+    assert any("ExistingRDD" in n for n in deep)
+    assert sum("Join" in n for n in deep) == joins[0]
 
 
 def test_pagerank_beyond_broadcast_fallback_plan(spark, sf_dir):
@@ -1759,9 +1788,11 @@ def test_coloring_cadence_validation_and_no_count_when_explicit(spark):
     would ZeroDivisionError mid-loop (negatives silently disable
     truncation) — both now raise at entry; and an EXPLICIT ckpt_every
     runs no auto-gate count() job (pinned by making count raise for
-    the duration of the build)."""
+    the duration of the build — on the CLASSIC DataFrame class, the
+    one instances actually resolve methods on in Spark 4; patching
+    the pyspark.sql.DataFrame base intercepts nothing)."""
     import pytest
-    from pyspark.sql import DataFrame
+    from pyspark.sql.classic.dataframe import DataFrame
     from nebula_storage_spark.operators.analytics import (
         _min_label_fixpoint, greedy_coloring)
 
@@ -1793,6 +1824,48 @@ def test_coloring_cadence_validation_and_no_count_when_explicit(spark):
     auto = {r.node: r.color
             for r in greedy_coloring(e, rounds=2).collect()}
     assert {r.node: r.color for r in colored.collect()} == auto
+
+
+def test_counter_arm_pure_pin_bounded_by_rounds(spark):
+    """r13: the counter arm keeps NO per-round checkpoint at the gated
+    small `rounds` (pure-pin — every round frame is plan-reusable, the
+    measured 2x bench win), but the kept lineage holds ~2^rounds
+    analyzed subtrees, so past PURE_PIN_MAX_ROUNDS the cadence must
+    fall back to per-round localCheckpoint truncation — and stay
+    bit-identical to the legacy arm at the same rounds."""
+    # patch the CLASSIC class: in Spark 4 pyspark.sql.DataFrame is the
+    # abstract base and instances resolve methods on the classic
+    # subclass, so a base-class patch intercepts nothing
+    from pyspark.sql.classic.dataframe import DataFrame
+    from nebula_storage_spark.operators.analytics import (
+        PURE_PIN_MAX_ROUNDS, greedy_coloring)
+
+    e = spark.createDataFrame([(0, 1), (1, 2), (2, 3), (3, 0), (1, 4)],
+                              "_src bigint, _dst bigint")
+    calls = []
+    real_lc = DataFrame.localCheckpoint
+
+    def counting_lc(self, *a, **kw):
+        calls.append(1)
+        return real_lc(self, *a, **kw)
+
+    DataFrame.localCheckpoint = counting_lc
+    try:
+        greedy_coloring(e, rounds=3)          # counter default: pure pin
+        pure_pin_calls = len(calls)
+        calls.clear()
+        deep = greedy_coloring(e, rounds=PURE_PIN_MAX_ROUNDS + 1)
+        fallback_calls = len(calls)
+    finally:
+        DataFrame.localCheckpoint = real_lc
+    assert pure_pin_calls == 0                # no truncation below bound
+    # the state frame is updated rounds-1 times, each one truncated
+    assert fallback_calls == PURE_PIN_MAX_ROUNDS
+    got = {r.node: r.color for r in deep.collect()}
+    legacy = {r.node: r.color
+              for r in greedy_coloring(e, rounds=PURE_PIN_MAX_ROUNDS + 1,
+                                       fused=False).collect()}
+    assert got == legacy
 
 
 def test_kernel_assignment_plans_are_pure_maps(spark, sf_dir):
