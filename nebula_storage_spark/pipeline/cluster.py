@@ -119,9 +119,15 @@ def kmeans_fixed(emb: DataFrame, k: int = 8, iterations: int = 2,
         return fn
 
     prev_cent = None
+    # r14 (§5 driver round-trips, mirroring pq.py): ONE collect per
+    # codebook state — the collect materializes the pinned refit (same
+    # one job) AND returns the rows the next iteration (or the final
+    # assignment) needs; the separate count() was a second round-trip
+    # over the same k cached rows.
+    cb_np = _collect_cb(cent)
     for _ in range(iterations - 1):
         partials = pts.mapInPandas(
-            _refit_partials(_collect_cb(cent)),
+            _refit_partials(cb_np),
             schema="cluster bigint, dim int, sx bigint, n bigint")
         sums = (partials.groupBy("cluster", "dim")
                 .agg(F.sum("sx").alias("s"), F.sum("n").alias("n")))
@@ -134,7 +140,7 @@ def kmeans_fixed(emb: DataFrame, k: int = 8, iterations: int = 2,
                 .select("cid",
                         F.expr("transform(sc, s -> s.cx)").alias("c"))
                 .transform(_pin))
-        cent.count()
+        cb_np = _collect_cb(cent)
         # release-on-supersede (r9 ADVICE, mirroring pq.py's loop): the
         # final assignment uses driver-collected numpy centroids, so a
         # superseded iteration's pinned cent frame is dead weight once
@@ -144,7 +150,7 @@ def kmeans_fixed(emb: DataFrame, k: int = 8, iterations: int = 2,
             prev_cent.unpersist()
         prev_cent = cent
     return pts.mapInPandas(
-        _assign(_collect_cb(cent)),
+        _assign(cb_np),
         schema="vec_id bigint, cluster bigint, d2 bigint")
 
 

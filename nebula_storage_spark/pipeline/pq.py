@@ -144,19 +144,21 @@ def pq_train_encode(emb: DataFrame, n_queries: int = 3, subspaces: int = 4,
                 (F.col("_rn") - 1).cast("bigint").alias("cid"))
             .select("sub", "cid", "c"))
 
-    def _cbs(cb: DataFrame) -> DataFrame:
-        """Fold the (sub, cid, c) codebook frame into ONE row: `cbs`
-        is an S-element array (indexed by sub) of sorted
-        array<struct<cid, c>> — the broadcast the assignment / encode
-        / query-table maps look centroids up in."""
-        return (cb.groupBy("sub")
-                .agg(F.sort_array(F.collect_list(
-                    F.struct("cid", "c"))).alias("cb"))
-                .groupBy()
-                .agg(*[F.max(F.when(F.col("sub") == s, F.col("cb")))
-                       .alias(f"_cb{s}") for s in range(subspaces)])
-                .select(F.array(*[f"_cb{s}" for s in range(subspaces)])
-                        .alias("cbs")))
+    def _cbs_local(sess, cb_np) -> DataFrame:
+        """Fold the collected codebooks into ONE row: `cbs` is an
+        S-element array (indexed by sub) of cid-sorted
+        array<struct<cid, c>> — the broadcast the query-table map
+        looks centroids up in. Built as a LocalRelation from the
+        driver-side cb_np (S·k tiny rows, already collected for the
+        encode kernel) — identical to aggregating the cent frame
+        (sort_array over struct(cid, c) == cid order; cids unique),
+        with zero cluster jobs (r14, guide §5)."""
+        row = [[(int(cid), [int(x) for x in vec])
+                for cid, vec in zip(cids, cents.tolist())]
+               for cids, cents in cb_np]
+        return sess.createDataFrame(
+            [(row,)],
+            "cbs array<array<struct<cid: bigint, c: array<bigint>>>>")
 
     # Assignment and encode run as Arrow-batched numpy KERNELS
     # (mapInPandas), not SQL expressions: the nearest-centroid HOF is
@@ -212,9 +214,15 @@ def pq_train_encode(emb: DataFrame, n_queries: int = 3, subspaces: int = 4,
         return fn
 
     prev_cent = None
+    # r14 (§5 driver round-trips, r13 verdict Next #4): ONE collect per
+    # codebook state. The old loop ran collect(previous cent) + refit
+    # count(new cent) per iteration PLUS a final collect — the collect
+    # itself materializes the persisted refit (same one job), so
+    # carrying cb_np forward drops one driver round-trip per train.
+    cb_np = _collect_cb(cent)   # seed codebooks (one job)
     for _ in range(iterations - 1):
         partials = train_pts.mapInPandas(
-            _refit_partials(_collect_cb(cent)),
+            _refit_partials(cb_np),
             schema="sub int, cid bigint, dim int, sx bigint, n bigint")
         sums = (partials.groupBy("sub", "cid", "dim")
                 .agg(F.sum("sx").alias("sx"), F.sum("n").alias("n")))
@@ -227,7 +235,11 @@ def pq_train_encode(emb: DataFrame, n_queries: int = 3, subspaces: int = 4,
                 .select("sub", "cid",
                         F.expr("transform(sc, s -> s.cx)").alias("c"))
                 .persist())
-        cent.count()   # ONE refit job for ALL subspaces
+        # ONE refit job for ALL subspaces: the collect materializes the
+        # persisted frame AND returns the rows the next iteration (or
+        # the encode) needs — the separate count() was a second
+        # round-trip over the same 16 cached rows.
+        cb_np = _collect_cb(cent)
         # the refit is materialized, so the superseded codebook's
         # blocks are dead weight (downstream plans reference only
         # THIS cent; an eviction recomputes the chain correctly) —
@@ -237,8 +249,14 @@ def pq_train_encode(emb: DataFrame, n_queries: int = 3, subspaces: int = 4,
         if prev_cent is not None:
             prev_cent.unpersist()
         prev_cent = _cache.track(cent)
-    cbs = _cbs(cent)
-    cb_np = _collect_cb(cent)
+    # `cbs` — the one-row broadcast the query-table map consumes — is
+    # assembled DRIVER-SIDE from the already-collected cb_np as a
+    # LocalRelation instead of re-aggregating the cached cent frame:
+    # the two-groupBy _cbs chain cost 2-3 AQE stage-jobs inside every
+    # qwide broadcast build (r14, §5). Values are identical by
+    # construction: _cbs sorts struct(cid, c) ascending == cb_np's
+    # cid-sorted rows (collect_centroids sorts by cid; cids unique).
+    cbs = _cbs_local(train_pts.sparkSession, cb_np)
 
     # the ENCODE is a MAP: one row per vector in, S code columns out,
     # zero shuffle (under sampled training this is the only

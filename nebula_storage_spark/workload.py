@@ -3715,7 +3715,7 @@ _LATEST_R08 = frozenset({
     "upsert_returning", "walk_skipgrams", "weighted_sample_docs",
 })
 
-# Queries whose LATEST driver row is CORRECTNESS_r09.json (47 here;
+# Queries whose LATEST driver row is CORRECTNESS_r09.json (46 here;
 # knn_pq_adc's r9 row was superseded by its r10 row, and
 # dedup_ngram_pruned / sssp_distances moved to _REFRESH_HEAD — the
 # r13 oracle rewrite / optimization-round code edits postdate their

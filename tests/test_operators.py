@@ -9,6 +9,24 @@ import pytest
 from pyspark.sql import functions as F
 
 
+def _classic_dataframe():
+    """The monkeypatch target for count/localCheckpoint interceptions.
+    In Spark 4 `pyspark.sql.DataFrame` is an abstract base and
+    instances resolve methods on the classic subclass, so patching the
+    base intercepts nothing (r13 finding). This helper pins that
+    internal path in ONE place and fails loudly if a Spark bump moves
+    it — rather than with a confusing patch-miss (r13 ADVICE)."""
+    try:
+        from pyspark.sql.classic.dataframe import DataFrame
+    except ImportError as exc:  # pragma: no cover - future Spark bump
+        raise ImportError(
+            "pyspark.sql.classic.dataframe moved (Spark bump?): the "
+            "count/localCheckpoint monkeypatch tests must re-pin the "
+            "concrete DataFrame class instances resolve methods on"
+        ) from exc
+    return DataFrame
+
+
 def test_exact_dedup_keeps_lowest_id(spark):
     from nebula_storage_spark.pipeline.dedup import exact_dedup
     docs = spark.createDataFrame(
@@ -1792,7 +1810,7 @@ def test_coloring_cadence_validation_and_no_count_when_explicit(spark):
     one instances actually resolve methods on in Spark 4; patching
     the pyspark.sql.DataFrame base intercepts nothing)."""
     import pytest
-    from pyspark.sql.classic.dataframe import DataFrame
+    DataFrame = _classic_dataframe()
     from nebula_storage_spark.operators.analytics import (
         _min_label_fixpoint, greedy_coloring)
 
@@ -1833,10 +1851,7 @@ def test_counter_arm_pure_pin_bounded_by_rounds(spark):
     analyzed subtrees, so past PURE_PIN_MAX_ROUNDS the cadence must
     fall back to per-round localCheckpoint truncation — and stay
     bit-identical to the legacy arm at the same rounds."""
-    # patch the CLASSIC class: in Spark 4 pyspark.sql.DataFrame is the
-    # abstract base and instances resolve methods on the classic
-    # subclass, so a base-class patch intercepts nothing
-    from pyspark.sql.classic.dataframe import DataFrame
+    DataFrame = _classic_dataframe()
     from nebula_storage_spark.operators.analytics import (
         PURE_PIN_MAX_ROUNDS, greedy_coloring)
 
