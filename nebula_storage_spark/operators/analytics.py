@@ -1636,6 +1636,17 @@ def hits_fixed(edges: DataFrame, iterations: int = 3,
     of the persisted edge frame against the size-gated-broadcast score
     frame + one aggregate; the max is a 1-row scalar crossJoin.
     Overflow bound: raw sums ≤ N·scale — safe to N ~ 2^43 at scale 1e6.
+
+    r14 (§2.4 — remove shuffles outright): the rounds iterate SPARSE.
+    araw/hraw carry only nodes with ≥1 in-/out-edge; the old per-round
+    `nodes LEFT JOIN raw + coalesce(0)` reinstatement is deferred to
+    the single final projection, dropping TWO joins per iteration.
+    Bit-identical: every score is ≥ 0, an absent row is an exact 0
+    that contributes nothing to the next round's sum, and the rescale
+    max is unchanged by adding zero rows (max over a non-empty
+    non-negative set). Nodes with no in-edges (auth 0) or no out-edges
+    (hub 0) reappear in the final nodes-left-join with the same 0 the
+    dense rounds carried for them.
     """
     nodes = (edges.select(F.col(SRC).alias("node"))
              .union(edges.select(F.col(DST).alias("node")))
@@ -1656,47 +1667,54 @@ def hits_fixed(edges: DataFrame, iterations: int = 3,
         araw = (e.join(hint(hub), e[SRC] == hub["node"])
                 .select(F.col(DST).alias("node"), "hub")
                 .groupBy("node").agg(F.sum("hub").alias("auth")))
-        auth = rescale(
-            nodes.join(hint(araw), "node", "left")
-            .select("node", F.coalesce("auth", F.lit(0)).cast("long")
-                    .alias("auth")), "auth")
+        auth = rescale(araw, "auth")
         hraw = (e.join(hint(auth), e[DST] == auth["node"])
                 .select(F.col(SRC).alias("node"), "auth")
                 .groupBy("node").agg(F.sum("auth").alias("hub")))
-        hub = rescale(
-            nodes.join(hint(hraw), "node", "left")
-            .select("node", F.coalesce("hub", F.lit(0)).cast("long")
-                    .alias("hub")), "hub")
+        hub = rescale(hraw, "hub")
         if i < iterations - 1:
             auth = auth.transform(_pin)
             hub = hub.transform(_pin)
             auth.count(), hub.count()
-    return auth.join(hub, "node")
+    zero = F.lit(0).cast("long")
+    return (nodes.join(auth, "node", "left").join(hub, "node", "left")
+            .select("node", F.coalesce("auth", zero).alias("auth"),
+                    F.coalesce("hub", zero).alias("hub")))
 
 
 def hits_oracle_sql(edges_sql: str, iterations: int = 3,
                     scale: int = 10 ** 6) -> str:
     """DuckDB oracle for hits_fixed — the same max-normalized integer
-    iterations unrolled. `edges_sql` must yield (src, dst)."""
+    iterations unrolled. `edges_sql` must yield (src, dst).
+
+    The shared CTEs are MATERIALIZED (r14, the r13 monster-oracle
+    rule): af{t}/hf{t} are each referenced twice (once as the rescale
+    input, once inside the max() scalar subquery) and e/nodes once per
+    half-iteration, so DuckDB's default inlining re-evaluates the
+    whole prefix once per reference — ~4^K-fold at K iterations.
+    Identical SQL semantics, only the evaluation is pinned."""
     parts = [
-        f"e AS ({edges_sql})",
-        "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e)",
+        f"e AS MATERIALIZED ({edges_sql})",
+        "nodes AS MATERIALIZED "
+        "(SELECT src AS node FROM e UNION SELECT dst FROM e)",
         f"h0 AS (SELECT node, CAST({scale} AS BIGINT) AS hub FROM nodes)",
     ]
     for t in range(1, iterations + 1):
         parts += [
             f"ar{t} AS (SELECT e.dst AS node, sum(h.hub) AS auth "
             f"FROM e JOIN h{t-1} h ON h.node = e.src GROUP BY e.dst)",
-            f"af{t} AS (SELECT n.node, coalesce(a.auth, 0) AS auth "
+            f"af{t} AS MATERIALIZED "
+            f"(SELECT n.node, coalesce(a.auth, 0) AS auth "
             f"FROM nodes n LEFT JOIN ar{t} a USING (node))",
-            f"a{t} AS (SELECT node, CAST(auth * {scale} // "
+            f"a{t} AS MATERIALIZED (SELECT node, CAST(auth * {scale} // "
             f"greatest((SELECT max(auth) FROM af{t}), 1) AS BIGINT) "
             f"AS auth FROM af{t})",
             f"hr{t} AS (SELECT e.src AS node, sum(a.auth) AS hub "
             f"FROM e JOIN a{t} a ON a.node = e.dst GROUP BY e.src)",
-            f"hf{t} AS (SELECT n.node, coalesce(h.hub, 0) AS hub "
+            f"hf{t} AS MATERIALIZED "
+            f"(SELECT n.node, coalesce(h.hub, 0) AS hub "
             f"FROM nodes n LEFT JOIN hr{t} h USING (node))",
-            f"h{t} AS (SELECT node, CAST(hub * {scale} // "
+            f"h{t} AS MATERIALIZED (SELECT node, CAST(hub * {scale} // "
             f"greatest((SELECT max(hub) FROM hf{t}), 1) AS BIGINT) "
             f"AS hub FROM hf{t})",
         ]
