@@ -131,9 +131,19 @@ def pagerank_fixed(edges: DataFrame, iterations: int = 5,
         # size gate so the persisted edge frame never re-shuffles; above
         # it the hint is dropped and only the rank frame shuffles to the
         # edges' existing hash-partitioning
-        contribs = (e.join(hint(ranks), e[SRC] == ranks["node"])
-                    .select(F.col(DST).alias("node"),
-                            F.expr("rank DIV _deg").alias("_c")))
+        if i == 0:
+            # r14 (§2.4, the scc-fixpoint round-1 rule): r0 is the
+            # constant `scale` for EVERY node, so the round-1 join
+            # against the rank frame folds to a projection of the
+            # pinned edge frame — one join (and its broadcast build)
+            # fewer, bit-identical by substitution rank := scale.
+            contribs = e.select(
+                F.col(DST).alias("node"),
+                F.expr(f"CAST({scale} AS BIGINT) DIV _deg").alias("_c"))
+        else:
+            contribs = (e.join(hint(ranks), e[SRC] == ranks["node"])
+                        .select(F.col(DST).alias("node"),
+                                F.expr("rank DIV _deg").alias("_c")))
         summed = contribs.groupBy("node").agg(F.sum("_c").alias("_s"))
         ranks = (nodes.join(hint(summed), "node", "left")
                  .select("node",
@@ -177,9 +187,19 @@ def personalized_pagerank(edges: DataFrame, seeds: list[int],
         "node", F.when(in_seed, F.lit(scale)).otherwise(F.lit(0))
         .cast("long").alias("rank"))
     for i in range(iterations):
-        contribs = (e.join(hint(ranks), e[SRC] == ranks["node"])
-                    .select(F.col(DST).alias("node"),
-                            F.expr("rank DIV _deg").alias("_c")))
+        if i == 0:
+            # r14 round-1 fold: r0 is scale·[src∈S] — non-seed rows
+            # contribute an exact 0 the sum ignores and the left-join
+            # reinstatement below coalesces back, so round 1 is a
+            # FILTER of the pinned edge frame, not a join.
+            contribs = (e.filter(F.col(SRC).isin(seeds))
+                        .select(F.col(DST).alias("node"),
+                                F.expr(f"CAST({scale} AS BIGINT) "
+                                       "DIV _deg").alias("_c")))
+        else:
+            contribs = (e.join(hint(ranks), e[SRC] == ranks["node"])
+                        .select(F.col(DST).alias("node"),
+                                F.expr("rank DIV _deg").alias("_c")))
         summed = contribs.groupBy("node").agg(F.sum("_c").alias("_s"))
         ranks = (nodes.join(hint(summed), "node", "left")
                  .select("node",
@@ -247,8 +267,13 @@ def connected_components_fixed(edges: DataFrame, iterations: int = 3,
         # same shape as pagerank_fixed: size-gated broadcast of the
         # |V|-sized label frame against the persisted edges, shuffle only
         # the min-groupBy; materialize each round to keep lineage O(|V|)
-        nbr = (und.join(hint(labels), und[DST] == labels["node"])
-               .select(F.col(SRC).alias("node"), "label"))
+        if i == 0:
+            # r14 round-1 fold: l0 is the identity, the join IS und.
+            nbr = und.select(F.col(SRC).alias("node"),
+                             F.col(DST).alias("label"))
+        else:
+            nbr = (und.join(hint(labels), und[DST] == labels["node"])
+                   .select(F.col(SRC).alias("node"), "label"))
         labels = (labels.union(nbr)
                   .groupBy("node").agg(F.min("label").alias("label")))
         if i < iterations - 1:
@@ -261,16 +286,24 @@ def connected_components_fixed(edges: DataFrame, iterations: int = 3,
 def connected_components_oracle_sql(edges_sql: str,
                                     iterations: int = 3) -> str:
     """DuckDB oracle: the same K min-label rounds unrolled as CTEs.
-    `edges_sql` must yield columns (src, dst)."""
+    `edges_sql` must yield columns (src, dst).
+
+    MATERIALIZED throughout (r14, the monster-oracle rule): l{t-1} is
+    referenced twice per round and e once per round, so default
+    inlining re-evaluates the whole prefix — including `edges_sql`,
+    which for the dedup-cluster callers is a full minhash pipeline —
+    ~2^K times. Identical semantics, one evaluation each."""
     parts = [
-        f"e0 AS ({edges_sql})",
-        "e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0)",
+        f"e0 AS MATERIALIZED ({edges_sql})",
+        "e AS MATERIALIZED "
+        "(SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0)",
         "nodes AS (SELECT DISTINCT src AS node FROM e)",
         "l0 AS (SELECT node, node AS label FROM nodes)",
     ]
     for t in range(1, iterations + 1):
         parts.append(
-            f"l{t} AS (SELECT node, min(label) AS label FROM ("
+            f"l{t} AS MATERIALIZED "
+            f"(SELECT node, min(label) AS label FROM ("
             f"SELECT node, label FROM l{t-1} "
             f"UNION ALL SELECT e.src AS node, l.label FROM e "
             f"JOIN l{t-1} l ON l.node = e.dst) GROUP BY node)")
@@ -303,16 +336,27 @@ def connected_components_doubling(edges: DataFrame, iterations: int = 3,
     hint = _round_hint(nodes.count(), broadcast_max_nodes)
     labels = nodes.select("node", F.col("node").alias("label"))
     for i in range(iterations):
-        nbr = (und.join(hint(labels), und[DST] == labels["node"])
-               .select(F.col(SRC).alias("node"), "label"))
-        # label-of-label: follow the pointer one extra hop
-        lol = (labels.alias("x")
-               .join(hint(labels.alias("y")),
-                     F.col("x.label") == F.col("y.node"))
-               .select(F.col("x.node").alias("node"),
-                       F.col("y.label").alias("label")))
-        labels = (labels.union(nbr).union(lol)
-                  .groupBy("node").agg(F.min("label").alias("label")))
+        if i == 0:
+            # r14 round-1 fold (scc fixpoint precedent, r13): l0 is the
+            # identity, so the neighbour join IS the edge list and the
+            # label-of-label hop maps every (node, node) row to itself —
+            # rows the union already carries and the min absorbs. Both
+            # round-1 joins fold away.
+            nbr = und.select(F.col(SRC).alias("node"),
+                             F.col(DST).alias("label"))
+            labels = (labels.union(nbr)
+                      .groupBy("node").agg(F.min("label").alias("label")))
+        else:
+            nbr = (und.join(hint(labels), und[DST] == labels["node"])
+                   .select(F.col(SRC).alias("node"), "label"))
+            # label-of-label: follow the pointer one extra hop
+            lol = (labels.alias("x")
+                   .join(hint(labels.alias("y")),
+                         F.col("x.label") == F.col("y.node"))
+                   .select(F.col("x.node").alias("node"),
+                           F.col("y.label").alias("label")))
+            labels = (labels.union(nbr).union(lol)
+                      .groupBy("node").agg(F.min("label").alias("label")))
         if i < iterations - 1:
             # eager localCheckpoint (labels is referenced 3x per
             # round); the persist+count variant (r13 greedy/k_core
@@ -324,16 +368,21 @@ def connected_components_doubling(edges: DataFrame, iterations: int = 3,
 
 def connected_components_doubling_oracle_sql(edges_sql: str,
                                              iterations: int = 3) -> str:
-    """DuckDB oracle: the same doubling rounds unrolled."""
+    """DuckDB oracle: the same doubling rounds unrolled. MATERIALIZED
+    throughout (r14): l{t-1} is referenced FOUR times per round here
+    (carry + neighbour join + both sides of the label-of-label hop),
+    so default inlining re-evaluates the prefix ~4^K times."""
     parts = [
-        f"e0 AS ({edges_sql})",
-        "e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0)",
+        f"e0 AS MATERIALIZED ({edges_sql})",
+        "e AS MATERIALIZED "
+        "(SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0)",
         "nodes AS (SELECT DISTINCT src AS node FROM e)",
         "l0 AS (SELECT node, node AS label FROM nodes)",
     ]
     for t in range(1, iterations + 1):
         parts.append(
-            f"l{t} AS (SELECT node, min(label) AS label FROM ("
+            f"l{t} AS MATERIALIZED "
+            f"(SELECT node, min(label) AS label FROM ("
             f"SELECT node, label FROM l{t-1} "
             f"UNION ALL SELECT e.src AS node, l.label FROM e "
             f"JOIN l{t-1} l ON l.node = e.dst "
@@ -570,9 +619,18 @@ def sssp_fixed(edges: DataFrame, source: int, iterations: int = 4,
     dist = (nodes.filter(F.col("node") == source)
             .select("node", F.lit(0).cast("long").alias("dist")))
     for i in range(iterations):
-        relaxed = (e.join(hint(dist), e[SRC] == dist["node"])
-                   .select(F.col(DST).alias("node"),
-                           (F.col("dist") + F.col("w")).alias("dist")))
+        if i == 0:
+            # r14 round-1 fold: d0 is the single row (source, 0), so
+            # the relax join is a FILTER of the pinned edge frame
+            # (0 + w = w exactly; a source absent from the graph
+            # yields the same empty frame either way).
+            relaxed = (e.filter(F.col(SRC) == source)
+                       .select(F.col(DST).alias("node"),
+                               F.col("w").alias("dist")))
+        else:
+            relaxed = (e.join(hint(dist), e[SRC] == dist["node"])
+                       .select(F.col(DST).alias("node"),
+                               (F.col("dist") + F.col("w")).alias("dist")))
         dist = (dist.union(relaxed)
                 .groupBy("node").agg(F.min("dist").alias("dist")))
         if i < iterations - 1:
@@ -591,16 +649,19 @@ def sssp_fixed(edges: DataFrame, source: int, iterations: int = 4,
 def sssp_oracle_sql(edges_sql: str, source: int,
                     iterations: int = 4) -> str:
     """DuckDB oracle for sssp_fixed: the same K relax-and-min rounds
-    unrolled as CTEs. `edges_sql` must yield (src, dst, w)."""
+    unrolled as CTEs. `edges_sql` must yield (src, dst, w).
+    MATERIALIZED (r14): d{t-1} is referenced twice per round (carry +
+    relax join) and e once per round — default inlining is ~2^K."""
     parts = [
-        f"e AS ({edges_sql})",
+        f"e AS MATERIALIZED ({edges_sql})",
         f"d0 AS (SELECT DISTINCT node, CAST(0 AS BIGINT) AS dist FROM ("
         f"SELECT src AS node FROM e UNION SELECT dst FROM e) "
         f"WHERE node = {source})",
     ]
     for t in range(1, iterations + 1):
         parts.append(
-            f"d{t} AS (SELECT node, min(dist) AS dist FROM ("
+            f"d{t} AS MATERIALIZED "
+            f"(SELECT node, min(dist) AS dist FROM ("
             f"SELECT node, dist FROM d{t-1} "
             f"UNION ALL SELECT e.dst AS node, d.dist + e.w AS dist "
             f"FROM e JOIN d{t-1} d ON d.node = e.src) GROUP BY node)")
@@ -645,10 +706,18 @@ def sssp_parents_fixed(edges: DataFrame, source: int, iterations: int = 4,
              .select("node", F.lit(0).cast("long").alias("dist"),
                      F.lit(source).cast("long").alias("parent")))
     for i in range(iterations):
-        relaxed = (e.join(hint(state), e[SRC] == state["node"])
-                   .select(F.col(DST).alias("node"),
-                           (F.col("dist") + F.col("w")).alias("dist"),
-                           F.col(SRC).alias("parent")))
+        if i == 0:
+            # r14 round-1 fold (see sssp_fixed): the single-row seed
+            # state makes the relax join a filter of the pinned frame.
+            relaxed = (e.filter(F.col(SRC) == source)
+                       .select(F.col(DST).alias("node"),
+                               F.col("w").alias("dist"),
+                               F.col(SRC).alias("parent")))
+        else:
+            relaxed = (e.join(hint(state), e[SRC] == state["node"])
+                       .select(F.col(DST).alias("node"),
+                               (F.col("dist") + F.col("w")).alias("dist"),
+                               F.col(SRC).alias("parent")))
         state = (state.union(relaxed)
                  .groupBy("node")
                  .agg(F.min(F.struct("dist", "parent")).alias("m"))
@@ -662,9 +731,10 @@ def sssp_parents_fixed(edges: DataFrame, source: int, iterations: int = 4,
 def sssp_parents_oracle_sql(edges_sql: str, source: int,
                             iterations: int = 4) -> str:
     """DuckDB oracle for sssp_parents_fixed: the same rounds unrolled,
-    arg-min by (dist, parent) via row_number."""
+    arg-min by (dist, parent) via row_number. MATERIALIZED (r14): same
+    2-references-per-round inlining blowup as sssp_oracle_sql."""
     parts = [
-        f"e AS ({edges_sql})",
+        f"e AS MATERIALIZED ({edges_sql})",
         f"d0 AS (SELECT DISTINCT node, CAST(0 AS BIGINT) AS dist, "
         f"CAST({source} AS BIGINT) AS parent FROM ("
         f"SELECT src AS node FROM e UNION SELECT dst FROM e) "
@@ -672,7 +742,7 @@ def sssp_parents_oracle_sql(edges_sql: str, source: int,
     ]
     for t in range(1, iterations + 1):
         parts.append(
-            f"d{t} AS (SELECT node, dist, parent FROM ("
+            f"d{t} AS MATERIALIZED (SELECT node, dist, parent FROM ("
             f"SELECT node, dist, parent, row_number() OVER ("
             f"PARTITION BY node ORDER BY dist, parent) AS rn FROM ("
             f"SELECT node, dist, parent FROM d{t-1} "
@@ -884,8 +954,14 @@ def label_propagation_fixed(edges: DataFrame, iterations: int = 3,
     hint = _round_hint(nodes.count(), broadcast_max_nodes)
     labels = nodes.select("node", F.col("node").alias("label"))
     for i in range(iterations):
-        votes = (und.join(hint(labels), und[DST] == labels["node"])
-                 .select(F.col(SRC).alias("node"), "label"))
+        if i == 0:
+            # r14 round-1 fold: l0(v) = v, so the neighbour-label join
+            # against the identity label frame IS the edge list.
+            votes = und.select(F.col(SRC).alias("node"),
+                               F.col(DST).alias("label"))
+        else:
+            votes = (und.join(hint(labels), und[DST] == labels["node"])
+                     .select(F.col(SRC).alias("node"), "label"))
         counts = (votes.groupBy("node", "label")
                   .agg(F.count(F.lit(1)).alias("cnt")))
         labels = (counts.groupBy("node")
@@ -904,16 +980,20 @@ def label_propagation_oracle_sql(edges_sql: str,
                                  iterations: int = 3) -> str:
     """DuckDB oracle for label_propagation_fixed: the same K
     most-frequent-neighbour-label rounds unrolled as CTEs, arg-selection
-    via row_number. `edges_sql` must yield (src, dst)."""
+    via row_number. `edges_sql` must yield (src, dst). MATERIALIZED
+    (r14): e is consumed once per round — default inlining re-derives
+    the undirected union from edges_sql K times."""
     parts = [
-        f"e0 AS ({edges_sql})",
-        "e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0)",
+        f"e0 AS MATERIALIZED ({edges_sql})",
+        "e AS MATERIALIZED "
+        "(SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0)",
         "nodes AS (SELECT DISTINCT src AS node FROM e)",
         "l0 AS (SELECT node, node AS label FROM nodes)",
     ]
     for t in range(1, iterations + 1):
         parts.append(
-            f"c{t} AS (SELECT e.src AS node, l.label, count(*) AS cnt "
+            f"c{t} AS MATERIALIZED "
+            f"(SELECT e.src AS node, l.label, count(*) AS cnt "
             f"FROM e JOIN l{t-1} l ON l.node = e.dst GROUP BY 1, 2)")
         parts.append(
             f"l{t} AS (SELECT node, label FROM ("
@@ -1581,9 +1661,17 @@ def weighted_pagerank_fixed(edges: DataFrame, iterations: int = 5,
     hint = _round_hint(nodes.count(), broadcast_max_nodes)
     ranks = nodes.select("node", F.lit(scale).cast("long").alias("rank"))
     for i in range(iterations):
-        contribs = (e.join(hint(ranks), e[SRC] == ranks["node"])
-                    .select(F.col(DST).alias("node"),
-                            F.expr("rank * _w DIV _sw").alias("_c")))
+        if i == 0:
+            # r14 round-1 fold (see pagerank_fixed): r0 ≡ scale, so the
+            # round-1 contribution is a projection of the pinned frame.
+            contribs = e.select(
+                F.col(DST).alias("node"),
+                F.expr(f"CAST({scale} AS BIGINT) * _w DIV _sw")
+                .alias("_c"))
+        else:
+            contribs = (e.join(hint(ranks), e[SRC] == ranks["node"])
+                        .select(F.col(DST).alias("node"),
+                                F.expr("rank * _w DIV _sw").alias("_c")))
         summed = contribs.groupBy("node").agg(F.sum("_c").alias("_s"))
         ranks = (nodes.join(hint(summed), "node", "left")
                  .select("node",
@@ -1664,9 +1752,17 @@ def hits_fixed(edges: DataFrame, iterations: int = 3,
     hub = nodes.select("node", F.lit(scale).cast("long").alias("hub"))
     auth = None
     for i in range(iterations):
-        araw = (e.join(hint(hub), e[SRC] == hub["node"])
-                .select(F.col(DST).alias("node"), "hub")
-                .groupBy("node").agg(F.sum("hub").alias("auth")))
+        if i == 0:
+            # r14 round-1 fold: hub0 ≡ scale, so Σ_{u→v} hub(u) is
+            # indeg(v)·scale — one aggregation over the pinned edge
+            # frame, no join.
+            araw = (e.groupBy(F.col(DST).alias("node"))
+                    .agg((F.count(F.lit(1))
+                          * F.lit(scale).cast("long")).alias("auth")))
+        else:
+            araw = (e.join(hint(hub), e[SRC] == hub["node"])
+                    .select(F.col(DST).alias("node"), "hub")
+                    .groupBy("node").agg(F.sum("hub").alias("auth")))
         auth = rescale(araw, "auth")
         hraw = (e.join(hint(auth), e[DST] == auth["node"])
                 .select(F.col(SRC).alias("node"), "auth")

@@ -2432,18 +2432,18 @@ ORACLE_EXT["zorder_pruning"] = (
     "WHERE p_size BETWEEN 5 AND 12 AND p_retailprice >= 920 "
     "AND p_retailprice < 950")
 ORACLE_EXT["scc_components"] = """
-WITH RECURSIVE f AS (SELECT event_type, user_id % 4 AS grp, user_id,
+WITH RECURSIVE f AS MATERIALIZED (SELECT event_type, user_id % 4 AS grp, user_id,
     min(ts) AS first_ts FROM events WHERE user_id < 150
   GROUP BY event_type, user_id % 4, user_id),
-r AS (SELECT event_type, grp, user_id,
+r AS MATERIALIZED (SELECT event_type, grp, user_id,
     row_number() OVER (PARTITION BY event_type, grp
                        ORDER BY first_ts, user_id) AS rn,
     count(*) OVER (PARTITION BY event_type, grp) AS n FROM f),
-e AS (SELECT DISTINCT a.user_id AS src, b.user_id AS dst
+e AS MATERIALIZED (SELECT DISTINCT a.user_id AS src, b.user_id AS dst
   FROM r a JOIN r b ON a.event_type = b.event_type AND a.grp = b.grp
   AND b.rn = a.rn % a.n + 1),
-e2 AS (SELECT src, dst FROM e WHERE src <> dst),
-tc AS (SELECT src, dst FROM e2
+e2 AS MATERIALIZED (SELECT src, dst FROM e WHERE src <> dst),
+tc AS MATERIALIZED (SELECT src, dst FROM e2
   UNION SELECT tc.src, e2.dst FROM tc JOIN e2 ON tc.dst = e2.src),
 nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
 m AS (SELECT fw.src AS node, fw.dst AS peer FROM tc fw
@@ -2452,24 +2452,24 @@ m AS (SELECT fw.src AS node, fw.dst AS peer FROM tc fw
 SELECT node, min(peer) AS scc_id FROM m GROUP BY node"""
 
 ORACLE_EXT["scc_coloring"] = """
-WITH RECURSIVE f AS (SELECT event_type, user_id % 4 AS grp, user_id,
+WITH RECURSIVE f AS MATERIALIZED (SELECT event_type, user_id % 4 AS grp, user_id,
     min(ts) AS first_ts FROM events
   GROUP BY event_type, user_id % 4, user_id),
-r AS (SELECT event_type, grp, user_id,
+r AS MATERIALIZED (SELECT event_type, grp, user_id,
     row_number() OVER (PARTITION BY event_type, grp
                        ORDER BY first_ts, user_id) AS rn,
     count(*) OVER (PARTITION BY event_type, grp) AS n FROM f),
-mins AS (SELECT user_id % 4 AS grp, min(user_id) AS mu FROM events
+mins AS MATERIALIZED (SELECT user_id % 4 AS grp, min(user_id) AS mu FROM events
   GROUP BY user_id % 4),
-e AS (SELECT DISTINCT src, dst FROM (
+e AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
   SELECT a.user_id AS src, b.user_id AS dst
     FROM r a JOIN r b ON a.event_type = b.event_type AND a.grp = b.grp
     AND b.rn = a.rn % a.n + 1
   UNION ALL
   SELECT x.mu AS src, y.mu AS dst FROM mins x
     JOIN mins y ON y.grp = x.grp + 1)),
-e2 AS (SELECT src, dst FROM e WHERE src <> dst),
-tc AS (SELECT src, dst FROM e2
+e2 AS MATERIALIZED (SELECT src, dst FROM e WHERE src <> dst),
+tc AS MATERIALIZED (SELECT src, dst FROM e2
   UNION SELECT tc.src, e2.dst FROM tc JOIN e2 ON tc.dst = e2.src),
 nodes AS (SELECT src AS node FROM e2 UNION SELECT dst FROM e2),
 m AS (SELECT fw.src AS node, fw.dst AS peer FROM tc fw
