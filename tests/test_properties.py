@@ -9,6 +9,7 @@ reuse the session fixture; deadline disabled accordingly.
 
 from __future__ import annotations
 
+import pytest
 from hypothesis import HealthCheck, given, settings, strategies as st
 
 SET = settings(max_examples=15, deadline=None,
@@ -185,6 +186,8 @@ def test_label_propagation_labels_are_node_ids_and_stable(spark, edges):
     assert {lbl for _, lbl in a} <= nodes
 
 
+@pytest.mark.scaling  # r14: heavy hypothesis sweep (~44 s); runs in
+# the close-out `pytest -m scaling` pass with assertions unchanged
 @given(st.lists(st.integers(0, 9), min_size=1, max_size=40),
        st.lists(st.integers(0, 12), min_size=1, max_size=6, unique=True))
 @settings(max_examples=6, deadline=None,
@@ -349,6 +352,8 @@ def test_snapshot_diff_classifies_added_deleted_changed(spark):
                    4: ("added", None, "d")}
 
 
+@pytest.mark.scaling  # r14: heaviest hypothesis sweep (~194 s — 6
+# examples x 3 k-values of full truss peels); close-out `-m scaling`
 @given(st.lists(st.tuples(st.integers(0, 7), st.integers(0, 7)),
                 min_size=3, max_size=20))
 @settings(max_examples=6, deadline=None,
@@ -446,6 +451,8 @@ def test_skyline_two_pass_matches_naive_dominance(spark, pts):
     assert got == naive
 
 
+@pytest.mark.scaling  # r14: heavy hypothesis sweep (~163 s; the
+# properness half stays fast via test_greedy_coloring_is_proper)
 @given(st.lists(st.tuples(st.integers(0, 10), st.integers(0, 10)),
                 min_size=1, max_size=25))
 @settings(max_examples=8, deadline=None,
@@ -570,6 +577,8 @@ def test_greedy_coloring_is_proper(spark, edges):
             assert ca != cb, f"edge ({a},{b}) monochromatic color {ca}"
 
 
+@pytest.mark.scaling  # r14: heavy hypothesis sweep (~42 s); the
+# pendant-triangle operator test keeps truss coverage in the fast suite
 @given(st.lists(st.tuples(st.integers(0, 9), st.integers(0, 9)),
                 min_size=3, max_size=35))
 @settings(max_examples=8, deadline=None,
