@@ -3642,36 +3642,42 @@ ORACLE_ANALYTIC = {
 #
 # At the very head: queries whose CODE changed since their latest
 # driver row, so the changed plan gets a fresh driver artifact first.
-# Round 13 (r12 verdict Next #1/#2/#3/#5 + ADVICE): the five monster
-# DuckDB oracles were rewritten to bit-identical cheaper SQL
-# (conductance_brands, k_core, dedup_ngram_jaccard, dedup_ngram_pruned,
-# dedup_containment — gated old-vs-new at sf0.001/0.01/0.1), the
-# align_key_types lossy-cast probe went null-safe (its three
-# executing queries re-front), butterfly_count gained the empty-graph
-# wedge guard, and the coloring family carries the rounds<=64 mask
-# guard plus this round's scc/coloring profiling outcomes. The
-# optimization wave (persist-pinned setup/round frames) additionally
-# touched bpe_train_merges, and the reverted round-pin experiments
-# left their measured-negative records in sssp_distances and
-# connected_components_doubling — all three front too (the list is
-# the verbatim `tools/touched_queries.py ba9b5a3..HEAD` output).
+# Round 14 (r13 verdict Next list): the triangle-support packed-key
+# aggregation, the pq/kmeans codebook collect-fusion, the HITS sparse
+# iteration, the round-1 constant folds across the iterative family
+# (pagerank/ppr/wpr/hits/lp/cc/ccd/sssp×2), PURE_PIN_MAX_ROUNDS 8→5
+# (k_core/greedy/scc regime gate), and the MATERIALIZED oracle
+# rewrites (cc/ccd/sssp×2/lp/hits/scc — hash-gated old-vs-new at
+# sf0.001/0.01/0.1). The list is the verbatim
+# `tools/touched_queries.py 20b755f..HEAD` output (27 keys).
 _REFRESH_HEAD = (
-    "store_bucketed_upsert",
-    "index_incremental",
-    "ft_index_incremental",
+    "cluster_top_terms",
+    "clustering_coefficient",
+    "connected_components",
+    "connected_components_doubling",
+    "dedup_apply",
+    "dedup_clusters",
+    "edge_triangle_support",
+    "find_path_strings",
+    "global_transitivity",
     "greedy_coloring",
+    "hard_negative_mining",
+    "hits_scores",
+    "k_core",
+    "k_truss_edges",
+    "kmeans_embeddings",
+    "knn_pq_adc",
+    "knn_pq_rerank",
+    "label_propagation",
+    "pagerank",
+    "personalized_pagerank",
     "scc_coloring",
     "scc_coloring_full",
-    "butterfly_count",
-    "conductance_brands",
-    "k_core",
-    "dedup_ngram_jaccard",
-    "dedup_ngram_pruned",
-    "dedup_containment",
-    "maximal_independent_set",
-    "bpe_train_merges",
+    "scc_components",
     "sssp_distances",
-    "connected_components_doubling",
+    "sssp_parent_tree",
+    "triangle_counts",
+    "weighted_pagerank",
 )
 
 # The r3 cohort drained to zero in the r9 sample, r4 drained in the
@@ -3689,15 +3695,17 @@ _LATEST_R07 = frozenset({
     "tpch_q1", "tpch_q3_top10", "ttl_visibility", "walk_visit_counts",
 })
 
-# Queries whose LATEST driver row is CORRECTNESS_r08.json (42 here;
-# dedup_containment, dedup_ngram_jaccard, k_core,
-# maximal_independent_set and connected_components_doubling also have
-# r8 rows but moved to _REFRESH_HEAD — the r13 oracle rewrites /
-# optimization-round code edits postdate them;
-# knn_pq_adc has since gained an r10 row and sits in _LATEST_R10.)
+# Queries whose LATEST driver row is CORRECTNESS_r08.json (36 here;
+# dedup_containment, dedup_ngram_jaccard, k_core and
+# maximal_independent_set also have r8 rows but sit in later cohorts /
+# _REFRESH_HEAD — r13/r14 code edits postdate them; the r14 round-1
+# folds moved clustering_coefficient, connected_components,
+# label_propagation, pagerank, personalized_pagerank and
+# sssp_parent_tree to _REFRESH_HEAD;
+# knn_pq_adc has since gained an r10 row and sits in _REFRESH_HEAD.)
 _LATEST_R08 = frozenset({
-    "bfs_distances", "bloom_vocab_probe", "clustering_coefficient",
-    "cms_token_counts", "connected_components",
+    "bfs_distances", "bloom_vocab_probe",
+    "cms_token_counts",
     "corpus_curation",
     "dedup_minhash_incremental",
     "degree_assortativity", "degree_stats",
@@ -3705,51 +3713,49 @@ _LATEST_R08 = frozenset({
     "fetch_string_vids", "fulltext_search", "go_1_to_n", "go_grouped",
     "go_in_projected", "go_multi_tag", "go_stats_salted", "go_two_hop",
     "hll_distinct_users",
-    "incremental_view_maintenance", "label_propagation",
-    "lookup_multi_index", "pagerank",
-    "personalized_pagerank", "random_walks", "rollup_revenue",
+    "incremental_view_maintenance",
+    "lookup_multi_index",
+    "random_walks", "rollup_revenue",
     "scan_edge_page", "schema_evolution",
     "sessionize", "source_json_roundtrip", "source_partitioned_pruning",
-    "sssp_parent_tree", "stream_session_window",
+    "stream_session_window",
     "stream_stateful_count", "stream_window", "subgraph", "ttl_purge",
     "upsert_returning", "walk_skipgrams", "weighted_sample_docs",
 })
 
-# Queries whose LATEST driver row is CORRECTNESS_r09.json (46 here;
+# Queries whose LATEST driver row is CORRECTNESS_r09.json (43 here;
 # knn_pq_adc's r9 row was superseded by its r10 row, and
-# dedup_ngram_pruned / sssp_distances moved to _REFRESH_HEAD — the
-# r13 oracle rewrite / optimization-round code edits postdate their
-# r9 rows; the cohort sets must stay an exact partition
-# of _DRIVER_CHECKED_EVER): the r9 sample = knn_pq_rerank (new) +
-# knn_pq_adc + the entire remaining r3 cohort (29) + 19 of r4.
+# dedup_ngram_pruned / sssp_distances moved out earlier — the r14
+# edits additionally moved knn_pq_rerank, scc_components and
+# triangle_counts to _REFRESH_HEAD; the cohort sets must stay an
+# exact partition of _DRIVER_CHECKED_EVER).
 _LATEST_R09 = frozenset({
     "anti_join_no_urgent", "bpe_pair_counts", "bucketed_join",
     "common_neighbors", "cube_revenue", "customer_value_quartiles",
     "datetime_surface", "degree_quantiles",
     "events_lead_lag", "fetch_multi_tag", "go_expr",
     "go_stats_with_limit", "hll_incremental", "hof_surface",
-    "index_rebuild_edge", "knn_pq_rerank",
+    "index_rebuild_edge",
     "lang_confusion", "lookup_edge_index", "lookup_null",
     "mm_video_meta", "neighbor_jaccard", "preferential_attachment",
     "price_size_correlation", "range_click_attribution",
-    "resource_allocation", "running_total", "scc_components",
+    "resource_allocation", "running_total",
     "source_orc_roundtrip", "stream_cdc_upsert",
     "stream_dedup", "stream_join", "string_surface", "tpch_q10",
     "tpch_q13", "tpch_q14", "tpch_q15", "tpch_q18", "tpch_q19",
     "tpch_q21_shape", "tpch_q2_shape", "tpch_q4_semi", "tpch_q5",
-    "tpch_q6", "tpch_q7", "triangle_counts", "vocab_topk",
+    "tpch_q6", "tpch_q7", "vocab_topk",
 })
 
-# Queries whose LATEST driver row is CORRECTNESS_r10.json (48 here;
-# conductance_brands / bpe_train_merges moved to _REFRESH_HEAD — the
-# r13 oracle rewrite / optimization-round code edits postdate their
-# r10 rows): the r10 sample = the 4 kernel-refresh head
-# queries + the entire r4 cohort (16, drained) + 30 of r5.
+# Queries whose LATEST driver row is CORRECTNESS_r10.json (39 here;
+# conductance_brands / bpe_train_merges moved out in r13; the r14
+# edits moved cluster_top_terms, edge_triangle_support,
+# global_transitivity, hard_negative_mining, hits_scores,
+# k_truss_edges, kmeans_embeddings, knn_pq_adc and weighted_pagerank
+# to _REFRESH_HEAD).
 _LATEST_R10 = frozenset({
-    "kmeans_embeddings", "cluster_top_terms", "hard_negative_mining",
-    "knn_pq_adc",
     "dedup_chunk_exact", "dedup_fuzzy", "doc_mixture_sample",
-    "edge_triangle_support", "events_anomaly_zscore",
+    "events_anomaly_zscore",
     "events_cohort_retention", "events_fill_forward", "events_funnel",
     "inverted_index_search", "scd2_history", "store_compaction",
     "stream_enrich", "tpch_q16_shape", "tpch_q17", "tpch_q20_shape",
@@ -3758,28 +3764,27 @@ _LATEST_R10 = frozenset({
     "dedup_setsim_prefix", "doc_rarity_score", "dq_checks",
     "events_last_state", "events_m4_downsample",
     "events_markov_transitions", "events_new_users_daily",
-    "events_pivot", "events_rolling_avg", "global_transitivity",
-    "harmonic_centrality", "hits_scores", "k_truss_edges",
+    "events_pivot", "events_rolling_avg",
+    "harmonic_centrality",
     "louvain_one_sweep", "revenue_grouping_sets",
     "source_concentration", "source_logs_parse", "stats_variance",
     "store_merkle_diff", "store_snapshot_diff", "tpch_q11_shape",
     "tpch_q12_shape", "tpch_q22_shape", "tpch_q9_shape",
-    "training_shards", "weighted_pagerank", "zorder_pruning",
+    "training_shards", "zorder_pruning",
 })
 
-# Queries whose LATEST driver row is CORRECTNESS_r11.json (44 here;
-# butterfly_count moved to _REFRESH_HEAD — the r13 empty-graph wedge
-# guard postdates its r11 row; the cohort sets must stay an exact
-# partition of _DRIVER_CHECKED_EVER): the r11 sample = the 5 then-
-# refresh-head queries + the entire r5 cohort (16, drained) + 29 of r6.
+# Queries whose LATEST driver row is CORRECTNESS_r11.json (42 here;
+# butterfly_count moved out in r13 (now _LATEST_R13); the r14 edits
+# moved dedup_apply and find_path_strings to _REFRESH_HEAD; the
+# cohort sets must stay an exact partition of _DRIVER_CHECKED_EVER).
 _LATEST_R11 = frozenset({
     "analyze_table_stats", "ann_recall_eval",
     "dedup_semantic_rerank", "degree_log_histogram",
     "embedding_robust_scale", "embedding_smoothing",
-    "event_type_trigrams", "find_path_strings", "greedy_set_cover",
+    "event_type_trigrams", "greedy_set_cover",
     "kcenter_init", "rendezvous_parts", "rfm_segments",
     "store_orphan_gc", "user_churn_flags", "vocab_coverage_curve",
-    "corpus_stats", "decontaminate", "dedup_apply", "dedup_exact",
+    "corpus_stats", "decontaminate", "dedup_exact",
     "dedup_minhash_lsh", "dedup_simhash", "dedup_simhash_pairs",
     "doc_fingerprint", "embedding_near_dup",
     "knn_bruteforce", "knn_hyperplane_lsh", "knn_ivf",
@@ -3791,17 +3796,15 @@ _LATEST_R11 = frozenset({
     "tfidf_top_terms", "time_surface", "top_docs_per_source",
 })
 
-# Queries whose LATEST driver row is CORRECTNESS_r12.json (44 here;
-# the then-refresh-head rows store_bucketed_upsert, index_incremental,
-# ft_index_incremental, greedy_coloring, scc_coloring and
-# scc_coloring_full sit in the r13 _REFRESH_HEAD instead — the r13
-# code changes postdate their r12 rows): the r12 sample = the 5 then-
-# refresh-head queries + store_bucketed_upsert (new) + the entire r6
-# cohort (11, drained) + 33 of r7.
+# Queries whose LATEST driver row is CORRECTNESS_r12.json (43 here;
+# greedy_coloring, scc_coloring and scc_coloring_full sit in the r14
+# _REFRESH_HEAD; store_bucketed_upsert, index_incremental and
+# ft_index_incremental gained r13 rows (_LATEST_R13); the r14 oracle
+# rewrite moved dedup_clusters to _REFRESH_HEAD).
 _LATEST_R12 = frozenset({
     "add_edges_overwrite", "add_vertices_ifnotexists",
     "asof_last_purchase", "basket_affinity", "betweenness_2hop",
-    "bigram_lm_rarity", "closeness_centrality", "dedup_clusters",
+    "bigram_lm_rarity", "closeness_centrality",
     "dedup_distinct", "dedup_jaccard_histogram",
     "delete_vertices_cascade", "doc_chunks", "doc_token_ids",
     "embed_stub", "events_mad_outliers", "events_winsorize",
@@ -3816,13 +3819,23 @@ _LATEST_R12 = frozenset({
     "upsert_update_cond",
 })
 
-# Every query with ANY driver CORRECTNESS row (r1–r12) — the cohorts
+# Queries whose LATEST driver row is CORRECTNESS_r13.json (10 here —
+# the r13 refresh-head members NOT re-touched by the r14 edits; all
+# ten were driven green in the r13 sample).
+_LATEST_R13 = frozenset({
+    "store_bucketed_upsert", "index_incremental",
+    "ft_index_incremental", "butterfly_count", "conductance_brands",
+    "dedup_ngram_jaccard", "dedup_ngram_pruned", "dedup_containment",
+    "maximal_independent_set", "bpe_train_merges",
+})
+
+# Every query with ANY driver CORRECTNESS row (r1–r13) — the cohorts
 # above partition this set by latest-row round. A registry name NOT in
 # this union has never been driver-checked and must sample FIRST.
 _DRIVER_CHECKED_EVER = (frozenset(_REFRESH_HEAD)
                         | _LATEST_R07
                         | _LATEST_R08 | _LATEST_R09 | _LATEST_R10
-                        | _LATEST_R11 | _LATEST_R12)
+                        | _LATEST_R11 | _LATEST_R12 | _LATEST_R13)
 
 
 def build_queries() -> dict[str, Query]:
@@ -3842,7 +3855,8 @@ def build_queries() -> dict[str, Query]:
                if k not in _DRIVER_CHECKED_EVER}
     ordered.update({k: out[k] for k in _REFRESH_HEAD if k in out})
     for cohort in (_LATEST_R07, _LATEST_R08,
-                   _LATEST_R09, _LATEST_R10, _LATEST_R11):
+                   _LATEST_R09, _LATEST_R10, _LATEST_R11,
+                   _LATEST_R12, _LATEST_R13):
         ordered.update({k: v for k, v in out.items()
                         if k in cohort and k not in ordered})
     ordered.update({k: v for k, v in out.items() if k not in ordered})
