@@ -128,6 +128,38 @@ def test_pagerank_deterministic_and_mass_bounded(spark):
     assert all(0 < v <= 3 * scale for v in r1.values())
 
 
+def test_round1_folds_remove_score_frame_joins(spark):
+    """r14 round-1 constant folds: at iterations=1 the iterative loops
+    must contain NO join against the (constant/identity) score frame —
+    the optimized plan's only joins are setup joins. Pre-fold counts
+    were pagerank 3 (deg + rank + reinstate), ccd 2 (nbr + lol),
+    cc/sssp/lp 1 each; a regression that reintroduces the round-1
+    join shows up as a count bump here."""
+    from nebula_storage_spark.operators.analytics import (
+        connected_components_doubling, connected_components_fixed,
+        label_propagation_fixed, pagerank_fixed, sssp_fixed)
+    e = spark.createDataFrame(
+        [(1, 2, 1), (2, 3, 2)], "_src bigint, _dst bigint, w bigint")
+
+    def joins(df):
+        return df._jdf.queryExecution().optimizedPlan() \
+            .toString().count("Join")
+
+    # pagerank keeps its two setup/reinstate joins (edges x deg, nodes
+    # LEFT JOIN summed); the round-1 rank join is folded away
+    assert joins(pagerank_fixed(e.select("_src", "_dst"),
+                                iterations=1)) == 2
+    # the pure min-label round folds to union+aggregate: zero joins
+    assert joins(connected_components_doubling(
+        e.select("_src", "_dst"), iterations=1)) == 0
+    assert joins(connected_components_fixed(
+        e.select("_src", "_dst"), iterations=1)) == 0
+    assert joins(label_propagation_fixed(
+        e.select("_src", "_dst"), iterations=1)) == 0
+    # the single-seed relax folds to a filter: zero joins
+    assert joins(sssp_fixed(e, source=1, iterations=1)) == 0
+
+
 def test_analytics_no_broadcast_path_matches(spark):
     """broadcast_max_nodes=0 forces the shuffled-join fallback (the 100 TB
     path where |V| exceeds broadcast range); results must be bit-identical
