@@ -295,11 +295,20 @@ def hyperplane_lsh_topk(emb: DataFrame, query_ids, k: int = 5,
             .filter(F.col("q_id") != F.col("n_id"))
             .select("q_id", "n_id").distinct())
     vecs = q.select(F.col(id_col), "qvec", "qnorm2")
-    pairs = (cand
-             .join(F.broadcast(vecs.select(F.col(id_col).alias("q_id"),
-                                           F.col("qvec").alias("qv"),
-                                           F.col("qnorm2").alias("_n2a"))),
-                   "q_id")
+    # r14 (§3.1 — broadcast the side that FITS): the q-side build only
+    # ever matches the query ids (cand.q_id ⊆ query_ids by
+    # construction), so it is filtered to them BEFORE the broadcast —
+    # |queries| rows instead of the whole quantized corpus (the before
+    # plan carried two corpus-sized BroadcastExchanges). The n_id
+    # attach then broadcasts the (queries × bucket-occupancy) candidate
+    # side and leaves the corpus un-shuffled and un-broadcast — the
+    # only shape that survives 10^9 vectors. Join outputs are
+    # strategy-independent: bit-identical.
+    qvecs = (vecs.filter(F.col(id_col).isin(list(query_ids)))
+             .select(F.col(id_col).alias("q_id"),
+                     F.col("qvec").alias("qv"),
+                     F.col("qnorm2").alias("_n2a")))
+    pairs = (F.broadcast(cand.join(F.broadcast(qvecs), "q_id"))
              .join(vecs.select(F.col(id_col).alias("n_id"),
                                F.col("qvec").alias("cv"),
                                F.col("qnorm2").alias("_n2b")), "n_id")
