@@ -3648,9 +3648,12 @@ ORACLE_ANALYTIC = {
 # (pagerank/ppr/wpr/hits/lp/cc/ccd/sssp×2), PURE_PIN_MAX_ROUNDS 8→5
 # (k_core/greedy/scc regime gate), and the MATERIALIZED oracle
 # rewrites (cc/ccd/sssp×2/lp/hits/scc — hash-gated old-vs-new at
-# sf0.001/0.01/0.1). The list is the verbatim
-# `tools/touched_queries.py 20b755f..HEAD` output (27 keys).
+# sf0.001/0.01/0.1), plus the LSH rerank broadcast reshape
+# (knn_hyperplane_lsh / knn_lsh_multiprobe). The list is the verbatim
+# `tools/touched_queries.py 20b755f..HEAD` output (29 keys).
 _REFRESH_HEAD = (
+    "knn_hyperplane_lsh",
+    "knn_lsh_multiprobe",
     "cluster_top_terms",
     "clustering_coefficient",
     "connected_components",
@@ -3773,10 +3776,11 @@ _LATEST_R10 = frozenset({
     "training_shards", "zorder_pruning",
 })
 
-# Queries whose LATEST driver row is CORRECTNESS_r11.json (42 here;
+# Queries whose LATEST driver row is CORRECTNESS_r11.json (40 here;
 # butterfly_count moved out in r13 (now _LATEST_R13); the r14 edits
-# moved dedup_apply and find_path_strings to _REFRESH_HEAD; the
-# cohort sets must stay an exact partition of _DRIVER_CHECKED_EVER).
+# moved dedup_apply, find_path_strings, knn_hyperplane_lsh and
+# knn_lsh_multiprobe to _REFRESH_HEAD; the cohort sets must stay an
+# exact partition of _DRIVER_CHECKED_EVER).
 _LATEST_R11 = frozenset({
     "analyze_table_stats", "ann_recall_eval",
     "dedup_semantic_rerank", "degree_log_histogram",
@@ -3787,9 +3791,9 @@ _LATEST_R11 = frozenset({
     "corpus_stats", "decontaminate", "dedup_exact",
     "dedup_minhash_lsh", "dedup_simhash", "dedup_simhash_pairs",
     "doc_fingerprint", "embedding_near_dup",
-    "knn_bruteforce", "knn_hyperplane_lsh", "knn_ivf",
+    "knn_bruteforce", "knn_ivf",
     "knn_ivf_incremental", "knn_ivf_nprobe", "knn_ivf_persisted",
-    "knn_lsh_multiprobe", "lang_id",
+    "lang_id",
     "pack_sequences", "quality_filter", "repetition_stats",
     "split_assign", "stratified_sample", "stream_late_data",
     "text_features", "text_normalize", "text_redact",
